@@ -1,0 +1,390 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Core relational engine capabilities (SURVEY.md §2.6) demonstrated on the
+  * driver test tables, each paired with a DuckDB oracle.
+  *
+  * Determinism rules (FIXTURES.md §B):
+  *  - money/value doubles are cast to DECIMAL(12,2) before aggregation so
+  *    sums are exact and engine/order-independent; final results cast back
+  *    to DOUBLE (exact decimal → nearest double is deterministic).
+  *  - every query ends in a total ORDER BY with a unique tiebreaker.
+  *  - no current_date()/now(); pivots are literals.
+  */
+object Relational {
+
+  /** Cast a money-ish double column to exact decimal. */
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+  private def d2(c: Column): Column = c.cast(DoubleType)
+
+  // -------------------------------------------------------------------------
+  // A1 hash aggregate — TPC-H Q1 shape (partial+final agg, codegen'd).
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" <= lit("1998-09-01").cast(TimestampType))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        d2(sum(dec($"l_quantity"))).as("sum_qty"),
+        d2(sum(dec($"l_extendedprice"))).as("sum_base_price"),
+        d2(sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(12, 2)) - dec($"l_discount")))).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // A2 distinct aggregate.
+  def a2DistinctAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  val a2DistinctAggSql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // A3 rollup (multi-grain aggregate in one pass).
+  def a3Rollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        d2(sum(dec($"o_totalprice"))).as("sum_price"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  val a3RollupSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // J1 star join: fact ⋈ broadcast dims. customer/nation/region are tiny at
+  // every SF → explicit broadcast keeps the plan shuffle-free on the dim side;
+  // lineitem⋈orders is the only big join (AQE picks SMJ/shuffled-hash).
+  def j1StarJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val c  = Tables.customer(spark, dir)
+    val n  = Tables.nation(spark, dir)
+    val r  = Tables.region(spark, dir)
+    val dim = broadcast(
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+       .join(r, n("n_regionkey") === r("r_regionkey"))
+       .select($"c_custkey", $"n_name", $"r_name"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(dim, o("o_custkey") === dim("c_custkey"))
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        d2(sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(12, 2)) - dec($"l_discount")))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  val j1StarJoinSql: String =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // J2 large ⋈ large (sort-merge above broadcast threshold at scale).
+  def j2LargeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    li.hint("merge")
+      .join(o.hint("merge"), li("l_orderkey") === o("o_orderkey"))
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_items"),
+        d2(sum(dec($"l_quantity"))).as("sum_qty"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val j2LargeJoinSql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // J3 left-semi / left-anti (EXISTS / NOT EXISTS; SURVEY S5's incremental
+  // file-skip is the same anti-join shape).
+  def j3SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select($"o_custkey")
+    val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy($"c_mktsegment").agg(count(lit(1)).as("with_orders"))
+    val withoutOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy($"c_mktsegment").agg(count(lit(1)).as("without_orders"))
+    withOrders.join(withoutOrders, Seq("c_mktsegment"), "full_outer")
+      .select(
+        $"c_mktsegment",
+        coalesce($"with_orders", lit(0L)).as("with_orders"),
+        coalesce($"without_orders", lit(0L)).as("without_orders"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val j3SemiAntiSql: String =
+    """WITH w AS (
+      |  SELECT c_mktsegment, COUNT(*) AS with_orders FROM customer
+      |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  GROUP BY c_mktsegment),
+      |a AS (
+      |  SELECT c_mktsegment, COUNT(*) AS without_orders FROM customer
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  GROUP BY c_mktsegment)
+      |SELECT COALESCE(w.c_mktsegment, a.c_mktsegment) AS c_mktsegment,
+      |  COALESCE(with_orders, 0) AS with_orders,
+      |  COALESCE(without_orders, 0) AS without_orders
+      |FROM w FULL OUTER JOIN a USING (c_mktsegment)
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // J4 outer join: dim-completeness audit.
+  def j4Outer(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy($"c_mktsegment")
+      .agg(
+        countDistinct($"c_custkey").as("n_customers"),
+        count($"o_orderkey").as("n_orders"),
+        countDistinct(when($"o_orderkey".isNull, $"c_custkey")).as("n_orderless"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val j4OuterSql: String =
+    """SELECT c_mktsegment,
+      |  COUNT(DISTINCT c_custkey) AS n_customers,
+      |  COUNT(o_orderkey) AS n_orders,
+      |  COUNT(DISTINCT CASE WHEN o_orderkey IS NULL THEN c_custkey END) AS n_orderless
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // J5 as-of join: for each event, the latest order of the same user with
+  // o_orderdate <= ts. Spark-first scale design: NOT a non-equi join (which
+  // would be a broadcast-nested-loop) — instead the union-and-carry-forward
+  // trick: one shuffle on user_id, one sort, last(ignoreNulls) window. This
+  // is the single-pass merge an as-of join compiles to in engines that have
+  // it natively, and it scales linearly with one exchange.
+  def j5AsOf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    // one row per (custkey, orderdate): keep max orderkey → deterministic match
+    val od = Tables.orders(spark, dir)
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max($"o_orderkey").as("o_orderkey"))
+    val orderSide = od.select(
+      $"o_custkey".as("user_id"), $"o_orderdate".as("t"),
+      lit(0).as("tag"), $"o_orderkey".as("okey"),
+      lit(null).cast(LongType).as("event_id"))
+    val eventSide = ev.select(
+      $"user_id", $"ts".as("t"),
+      lit(1).as("tag"), lit(null).cast(LongType).as("okey"),
+      $"event_id")
+    val w = Window.partitionBy($"user_id").orderBy($"t".asc, $"tag".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orderSide.unionByName(eventSide)
+      .withColumn("matched_orderkey", last($"okey", ignoreNulls = true).over(w))
+      .filter($"tag" === 1)
+      .select($"event_id", $"user_id", $"matched_orderkey")
+      .orderBy($"event_id")
+  }
+
+  val j5AsOfSql: String =
+    """WITH od AS (
+      |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      |  FROM orders GROUP BY o_custkey, o_orderdate)
+      |SELECT e.event_id, e.user_id, od.o_orderkey AS matched_orderkey
+      |FROM events e ASOF LEFT JOIN od
+      |  ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+      |ORDER BY e.event_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // O1 top-k (TakeOrderedAndProject — no global sort at scale).
+  def o1TopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy($"o_custkey")
+      .agg(d2(sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(12, 2)) - dec($"l_discount")))).as("revenue"))
+      .orderBy($"revenue".desc, $"o_custkey".asc)
+      .limit(10)
+  }
+
+  val o1TopKSql: String =
+    """SELECT o_custkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_custkey
+      |ORDER BY revenue DESC, o_custkey ASC
+      |LIMIT 10""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // SO1 union / intersect / except over history/forecast-style splits.
+  def so1SetOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val buyers  = ev.filter($"event_type" === "purchase").select($"user_id").distinct()
+    val clickers = ev.filter($"event_type" === "click").select($"user_id").distinct()
+    def counted(op: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_users")).select(lit(op).as("op"), $"n_users")
+    counted("except", buyers.except(clickers))
+      .union(counted("intersect", buyers.intersect(clickers)))
+      .union(counted("union", buyers.union(clickers).distinct()))
+      .orderBy($"op")
+  }
+
+  val so1SetOpsSql: String =
+    """WITH b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+      |SELECT 'except' AS op, COUNT(*) AS n_users FROM (SELECT * FROM b EXCEPT SELECT * FROM c)
+      |UNION ALL
+      |SELECT 'intersect', COUNT(*) FROM (SELECT * FROM b INTERSECT SELECT * FROM c)
+      |UNION ALL
+      |SELECT 'union', COUNT(*) FROM (SELECT * FROM b UNION SELECT * FROM c)
+      |ORDER BY op""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // W1 latest-per-key windowed dedup (the reference's canonical operator,
+  // fact_*.sql:17-21,32 — freshest dateGenerated per reading slot).
+  def w1LatestPerKey(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts".desc, $"event_id".desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type", $"event_id", d2(dec($"value")).as("value"))
+      .orderBy($"user_id", $"event_type")
+  }
+
+  val w1LatestPerKeySql: String =
+    """SELECT user_id, event_type, event_id,
+      |  CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS value
+      |FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                               ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // W2 analytic windows: lag delta + moving sum over a row frame.
+  def w2Analytic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val wFrame = wOrd.rowsBetween(-2, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("prev_value", lag(dec($"value"), 1).over(wOrd))
+      .withColumn("delta", d2(dec($"value") - $"prev_value"))
+      .withColumn("moving_sum", d2(sum(dec($"value")).over(wFrame)))
+      .select($"event_id", $"user_id", $"delta", $"moving_sum")
+      .orderBy($"event_id")
+  }
+
+  val w2AnalyticSql: String =
+    """SELECT event_id, user_id,
+      |  CAST(CAST(value AS DECIMAL(12,2))
+      |       - LAG(CAST(value AS DECIMAL(12,2)), 1) OVER w AS DOUBLE) AS delta,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2)))
+      |       OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |ORDER BY event_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // P4/P5/P7: pushed-down filters (between + in-set) and distinct-project.
+  def p457FilterDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate".between(
+        lit("1995-01-01").cast(TimestampType), lit("1996-12-31").cast(TimestampType)))
+      .filter($"l_returnflag".isin("A", "R"))
+      .select($"l_returnflag", $"l_linestatus")
+      .dropDuplicates()
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val p457FilterDistinctSql: String =
+    """SELECT DISTINCT l_returnflag, l_linestatus
+      |FROM lineitem
+      |WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'
+      |  AND l_returnflag IN ('A', 'R')
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"        -> (q1Agg _),
+    "a2_distinct_agg" -> (a2DistinctAgg _),
+    "a3_rollup"     -> (a3Rollup _),
+    "j1_star_join"  -> (j1StarJoin _),
+    "j2_large_join" -> (j2LargeJoin _),
+    "j3_semi_anti"  -> (j3SemiAnti _),
+    "j4_outer"      -> (j4Outer _),
+    "j5_asof"       -> (j5AsOf _),
+    "o1_topk"       -> (o1TopK _),
+    "so1_setops"    -> (so1SetOps _),
+    "w1_latest_per_key" -> (w1LatestPerKey _),
+    "w2_analytic"   -> (w2Analytic _),
+    "p457_filter_distinct" -> (p457FilterDistinct _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg"        -> q1AggSql,
+    "a2_distinct_agg" -> a2DistinctAggSql,
+    "a3_rollup"     -> a3RollupSql,
+    "j1_star_join"  -> j1StarJoinSql,
+    "j2_large_join" -> j2LargeJoinSql,
+    "j3_semi_anti"  -> j3SemiAntiSql,
+    "j4_outer"      -> j4OuterSql,
+    "j5_asof"       -> j5AsOfSql,
+    "o1_topk"       -> o1TopKSql,
+    "so1_setops"    -> so1SetOpsSql,
+    "w1_latest_per_key" -> w1LatestPerKeySql,
+    "w2_analytic"   -> w2AnalyticSql,
+    "p457_filter_distinct" -> p457FilterDistinctSql)
+}
