@@ -18,11 +18,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++
-    ops.ScalarFuncs.queries
+    ops.ScalarFuncs.queries ++
+    ops.WeatherQueries.queries ++
+    ops.NestedOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++
-    ops.ScalarFuncs.oracles
+    ops.ScalarFuncs.oracles ++
+    ops.WeatherQueries.oracles ++
+    ops.NestedOps.oracles
 }

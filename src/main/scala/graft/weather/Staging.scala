@@ -1,0 +1,85 @@
+package graft.weather
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** stg_weather_raw: the reference's staging model (stg_weather_raw.sql:28-42)
+  * re-expressed Spark-first.
+  *
+  * U1 triple-flatten = chained `explode` (a Catalyst Generate node per
+  * level); P1/P2 json-path extraction = plain struct field access because
+  * the read is schema-on-read. Document-level filters (S5 incremental) are
+  * applied BEFORE the explodes — predicate pushdown stops at generators
+  * (SURVEY.md §4 caveat), and the reference does the same (its incremental
+  * filter sits in the pre-FLATTEN CTE, stg_weather_raw.sql:21-25).
+  */
+object Staging {
+
+  /** S4 stage-scan of raw JSON docs from disk, exposing file metadata
+    * (Snowflake METADATA$FILENAME / FILE_LAST_MODIFIED ↔ Spark `_metadata`).
+    */
+  def readRawJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(WeatherSchema.enrichedDoc).json(path)
+      .select(
+        col("_metadata.file_path").as("file_path"),
+        col("_metadata.file_modification_time").as("file_modified"),
+        col("*"))
+
+  /** S5 incremental-scan: skip already-loaded files. The reference's
+    * `METADATA$FILENAME NOT IN (SELECT file_path FROM {{this}})`
+    * (stg_weather_raw.sql:21-25) as a left-anti join — equivalent because
+    * file_path is never null (SURVEY.md §7.5); at scale the anti-join's
+    * build side (distinct file paths) is tiny → broadcast.
+    */
+  def incrementalNew(newDocs: DataFrame, existing: DataFrame, key: String = "file_path"): DataFrame =
+    newDocs.join(broadcast(existing.select(key).distinct()), Seq(key), "left_anti")
+
+  /** U1 + P1/P2: docs (WeatherSchema.enrichedDoc + file_path [+ file_modified])
+    * → one row per (file, parameter, coordinate, timestamp) reading.
+    */
+  def flatten(docs: DataFrame): DataFrame = {
+    val withMod =
+      if (docs.columns.contains("file_modified")) docs
+      else docs.withColumn("file_modified", lit(null).cast(TimestampType))
+    withMod
+      .select(
+        col("file_path"), col("file_modified"), col("country"), col("city"),
+        col("weather.dateGenerated").cast(TimestampType).as("dateGenerated"),
+        explode(col("weather.data")).as("param"))
+      .select(
+        col("file_path"), col("file_modified"), col("country"), col("city"), col("dateGenerated"),
+        col("param.parameter").as("parameter"),
+        explode(col("param.coordinates")).as("coord"))
+      .select(
+        col("file_path"), col("file_modified"), col("country"), col("city"), col("dateGenerated"),
+        col("parameter"),
+        col("coord.lat").cast(DoubleType).as("latitude"),
+        col("coord.lon").cast(DoubleType).as("longitude"),
+        explode(col("coord.dates")).as("reading"))
+      .select(
+        col("file_path"), col("file_modified"), col("country"), col("city"), col("dateGenerated"),
+        col("parameter"), col("latitude"), col("longitude"),
+        col("reading.date").cast(TimestampType).as("reading_datetime"),
+        col("reading.value").as("reading_value"))
+  }
+
+  /** S6/S7: staging write — dedup-merge on the incremental unique_key
+    * (file_path, parameter, reading_datetime — stg_weather_raw.sql:5),
+    * clustered by reading date (cluster_by, :6) via date partitioning +
+    * in-partition sort. At 100 TB this is the layout that gives the facts'
+    * P4 time-window filter partition pruning.
+    */
+  def writeStaging(stg: DataFrame, path: String): Unit =
+    stg
+      .withColumn("reading_date", to_date(col("reading_datetime")))
+      .repartition(col("reading_date"))
+      .sortWithinPartitions("reading_datetime")
+      .write.mode("overwrite").partitionBy("reading_date").parquet(path)
+
+  /** S3 raw sink: hive-style country/city layout = the reference's S3 key
+    * scheme (meteomatics_get_data.py:116).
+    */
+  def writeRaw(docs: DataFrame, path: String): Unit =
+    docs.write.mode("overwrite").partitionBy("country", "city").json(path)
+}
