@@ -1,5 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
+  * emits one JSON line with per-query wall seconds.
+  *
+  * Methodology (round-3 fixes):
+  *  - fixed query order (sorted by name) so per-query numbers are comparable
+  *    across rounds (Scala Map hash order previously shuffled them);
+  *  - one full warm-up pass before the measured pass, so JVM/codegen/IO
+  *    warm-up is not billed to whichever query happens to run first;
+  *  - the JSON line is ALSO written to a file (SPARK_GRAFT_BENCH_OUT, default
+  *    ./bench_result.json) because sbt's forked-run logger prefixes stdout
+  *    with [info], which has broken driver-side parsing two rounds running.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +21,30 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Warm-up: run everything once, ignore timings and failures.
+    ordered.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+    try Files.writeString(Paths.get(outPath), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
+    println(line)
     spark.stop()
   }
 }

@@ -90,9 +90,10 @@ object Relational {
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
   // -------------------------------------------------------------------------
-  // J1 star join: fact ⋈ broadcast dims. customer/nation/region are tiny at
-  // every SF → explicit broadcast keeps the plan shuffle-free on the dim side;
-  // lineitem⋈orders is the only big join (AQE picks SMJ/shuffled-hash).
+  // J1 star join. Broadcast scope matters at 100×: nation (25) and region (5)
+  // are FIXED-size dims → always broadcast; customer grows linearly with SF,
+  // so it must NOT be pinned to the broadcast side — it joins normally and
+  // AQE picks broadcast at small SF / shuffle at scale.
   def j1StarJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, dir)
@@ -100,10 +101,11 @@ object Relational {
     val c  = Tables.customer(spark, dir)
     val n  = Tables.nation(spark, dir)
     val r  = Tables.region(spark, dir)
-    val dim = broadcast(
-      c.join(n, c("c_nationkey") === n("n_nationkey"))
-       .join(r, n("n_regionkey") === r("r_regionkey"))
-       .select($"c_custkey", $"n_name", $"r_name"))
+    val nr = broadcast(
+      n.join(r, n("n_regionkey") === r("r_regionkey"))
+       .select($"n_nationkey", $"n_name", $"r_name"))
+    val dim = c.join(nr, c("c_nationkey") === nr("n_nationkey"))
+      .select($"c_custkey", $"n_name", $"r_name")
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .join(dim, o("o_custkey") === dim("c_custkey"))
       .groupBy($"r_name", $"n_name")
@@ -266,17 +268,24 @@ object Relational {
       |LIMIT 10""".stripMargin
 
   // -------------------------------------------------------------------------
-  // SO1 union / intersect / except over history/forecast-style splits.
+  // SO1 union / intersect / except semantics computed in ONE scan: per-user
+  // membership flags via conditional agg, then one global rollup. The naive
+  // except/intersect/union formulation scans events 6× (round-2 verdict);
+  // this shape is one scan + one shuffle on user_id and is the plan you want
+  // at 100 TB.
   def so1SetOps(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ev = Tables.events(spark, dir)
-    val buyers  = ev.filter($"event_type" === "purchase").select($"user_id").distinct()
-    val clickers = ev.filter($"event_type" === "click").select($"user_id").distinct()
-    def counted(op: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("n_users")).select(lit(op).as("op"), $"n_users")
-    counted("except", buyers.except(clickers))
-      .union(counted("intersect", buyers.intersect(clickers)))
-      .union(counted("union", buyers.union(clickers).distinct()))
+    Tables.events(spark, dir)
+      .filter($"event_type".isin("purchase", "click"))
+      .groupBy($"user_id")
+      .agg(
+        max(when($"event_type" === "purchase", 1).otherwise(0)).as("is_buyer"),
+        max(when($"event_type" === "click", 1).otherwise(0)).as("is_clicker"))
+      .agg(
+        sum(when($"is_buyer" === 1 && $"is_clicker" === 0, 1L).otherwise(0L)).as("n_except"),
+        sum(when($"is_buyer" === 1 && $"is_clicker" === 1, 1L).otherwise(0L)).as("n_intersect"),
+        count(lit(1)).as("n_union"))
+      .selectExpr("stack(3, 'except', n_except, 'intersect', n_intersect, 'union', n_union) AS (op, n_users)")
       .orderBy($"op")
   }
 
