@@ -20,7 +20,8 @@ object SparkEntry {
     ops.Relational.queries ++
     ops.ScalarFuncs.queries ++
     ops.WeatherQueries.queries ++
-    ops.NestedOps.queries
+    ops.NestedOps.queries ++
+    llm.TextDedup.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
     ops.Relational.oracles ++
     ops.ScalarFuncs.oracles ++
     ops.WeatherQueries.oracles ++
-    ops.NestedOps.oracles
+    ops.NestedOps.oracles ++
+    llm.TextDedup.oracles
 }
