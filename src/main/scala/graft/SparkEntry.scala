@@ -21,7 +21,12 @@ object SparkEntry {
     ops.ScalarFuncs.queries ++
     ops.WeatherQueries.queries ++
     ops.NestedOps.queries ++
-    llm.TextDedup.queries
+    ops.EventWindows.queries ++
+    weather.FileIngest.queries ++
+    llm.TextDedup.queries ++
+    llm.Embeddings.queries ++
+    llm.TextAnalysis.queries ++
+    llm.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +35,10 @@ object SparkEntry {
     ops.ScalarFuncs.oracles ++
     ops.WeatherQueries.oracles ++
     ops.NestedOps.oracles ++
-    llm.TextDedup.oracles
+    ops.EventWindows.oracles ++
+    weather.FileIngest.oracles ++
+    llm.TextDedup.oracles ++
+    llm.Embeddings.oracles ++
+    llm.TextAnalysis.oracles ++
+    llm.Multimodal.oracles
 }

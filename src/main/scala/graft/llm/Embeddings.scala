@@ -1,0 +1,253 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (vec_id, embedding:
+  * array<float>, label) — the vector half of an LLM data pipeline.
+  *
+  * Three operators, baseline → scale path:
+  *  - emb_cosine_topk: brute-force cosine top-k. The query set is tiny and
+  *    BROADCAST; the corpus streams — one scan, no shuffle of the corpus.
+  *  - emb_ivf_topk: IVF (inverted-file) ANN. A coarse quantizer (centroids)
+  *    partitions the corpus into cells; queries probe only the nearest
+  *    `nprobe` cells. At 100 TB the cell assignment IS the partitioning key
+  *    (write bucketed by cell), so a probe reads `nprobe/k` of the data —
+  *    the FAISS IVF-flat layout expressed relationally.
+  *  - emb_lsh_neardup: near-duplicate pairs via sign-random-projection LSH:
+  *    banded signature equi-join generates candidates (never all-pairs),
+  *    exact cosine verifies. Same band-join shape as TextDedup.minhashLsh.
+  *
+  * Determinism contract with the DuckDB oracle: all float math is element-
+  * wise double products followed by a sequential sum, and every emitted or
+  * compared similarity is round(sim, 6) — the two engines' summation-order
+  * differences are ~1e-15, absorbed by the rounding; ties after rounding
+  * are broken by vec_id. "Random" hyperplanes/centroid seeds are derived
+  * from md5 so both engines compute identical weights (no RNG).
+  */
+object Embeddings {
+
+  /** Element-wise double view of a float vector column. */
+  private def vd(c: Column): Column = transform(c, x => x.cast("double"))
+  /** Sequential-fold dot product (both engines: per-element double products,
+    * then an ordered sum — see determinism note above). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def norm(c: Column): Column = sqrt(dot(c, c))
+
+  /** Shared oracle CTE: vectors with double view + norm. */
+  private val embCte: String =
+    """WITH ev AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v,
+      |         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x))) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // E1 brute-force cosine top-k: queries vec_id < 5 vs the rest of the
+  // corpus. 100 TB: broadcast(query) × corpus scan is embarrassingly
+  // parallel; the final per-query top-k is a window over a tiny
+  // (n_queries × k × n_partitions)-bounded set — here plain row_number.
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", vd($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
+    val c = e.filter($"vec_id" >= 5)
+      .select($"vec_id".as("cid"), $"v".as("cv"), $"nrm".as("cn"))
+    val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid".asc)
+    c.join(broadcast(q))
+      .withColumn("sim", round(dot($"qv", $"cv") / ($"qn" * $"cn"), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 5)
+      .select($"qid", $"rnk", $"cid", $"sim")
+      .orderBy($"qid", $"rnk")
+  }
+
+  val cosineTopKSql: String =
+    embCte + """,
+      |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM ev WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM ev WHERE vec_id >= 5),
+      |sims AS (
+      |  SELECT qid, cid,
+      |    round(list_sum(list_transform(list_zip(qv, cv), t -> t[1] * t[2])) / (qn * cn), 6) AS sim
+      |  FROM c CROSS JOIN q),
+      |ranked AS (
+      |  SELECT qid, cid, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+      |  FROM sims)
+      |SELECT qid, rnk, cid, sim FROM ranked WHERE rnk <= 5
+      |ORDER BY qid, rnk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // E2 IVF ANN: coarse centroids = per-label mean vectors (deterministic,
+  // data-derived; components rounded to 6dp so both engines quantize from
+  // identical centroids). Corpus vectors are assigned to their max-cosine
+  // centroid (the inverted file); queries probe the top-2 cells and rank
+  // only vectors inside them. 100 TB: centroids are broadcast (k × dim
+  // doubles); the corpus is written bucketed by `cell`, so a probe scans
+  // nprobe/k of the data and the top-k never sees the rest.
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label", vd($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+    // centroids: element-wise mean per label, rounded (see scaladoc)
+    val cents = e
+      .select($"label", posexplode($"v").as(Seq("i", "x")))
+      .groupBy($"label", $"i").agg(round(avg($"x"), 6).as("cx"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"i", $"cx"))),
+        s => s.getField("cx")).as("cv"))
+      .withColumn("cn", norm($"cv"))
+      .select($"label".as("cell"), $"cv", $"cn")
+    val bc = broadcast(cents)
+    // inverted file: every vector → argmax-cosine cell
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cell".asc)
+    val assigned = e.join(bc)
+      .withColumn("csim", round(dot($"v", $"cv") / ($"nrm" * $"cn"), 6))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter($"arn" === 1)
+      .select($"vec_id", $"v", $"nrm", $"cell")
+    // queries probe top-2 cells
+    val q = e.filter($"vec_id" < 5)
+    val wProbe = Window.partitionBy($"qid").orderBy($"csim".desc, $"cell".asc)
+    val probes = q.join(bc)
+      .withColumn("csim", round(dot($"v", $"cv") / ($"nrm" * $"cn"), 6))
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"), $"cell", $"csim")
+      .withColumn("prn", row_number().over(wProbe))
+      .filter($"prn" <= 2)
+      .select($"qid", $"qv", $"qn", $"cell")
+    // search only inside probed cells
+    val wTop = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id".asc)
+    probes.join(assigned.filter($"vec_id" >= 5), Seq("cell"))
+      .withColumn("sim", round(dot($"qv", $"v") / ($"qn" * $"nrm"), 6))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter($"rnk" <= 3)
+      .select($"qid", $"rnk", $"vec_id".as("cid"), $"cell", $"sim")
+      .orderBy($"qid", $"rnk")
+  }
+
+  val ivfTopKSql: String =
+    embCte + """,
+      |cent AS (
+      |  SELECT label AS cell, i,
+      |    round(avg(v[i]), 6) AS cx
+      |  FROM ev CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+      |  GROUP BY 1, 2),
+      |cents AS (
+      |  SELECT cell, list(cx ORDER BY i) AS cv,
+      |    sqrt(list_sum(list_transform(list(cx ORDER BY i), x -> x * x))) AS cn
+      |  FROM cent GROUP BY cell),
+      |assigned AS (
+      |  SELECT vec_id, v, nrm, cell FROM (
+      |    SELECT ev.vec_id, ev.v, ev.nrm, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY ev.vec_id ORDER BY
+      |        round(list_sum(list_transform(list_zip(ev.v, c.cv), t -> t[1] * t[2])) / (ev.nrm * c.cn), 6) DESC,
+      |        c.cell ASC) AS arn
+      |    FROM ev CROSS JOIN cents c)
+      |  WHERE arn = 1),
+      |probes AS (
+      |  SELECT qid, qv, qn, cell FROM (
+      |    SELECT ev.vec_id AS qid, ev.v AS qv, ev.nrm AS qn, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY ev.vec_id ORDER BY
+      |        round(list_sum(list_transform(list_zip(ev.v, c.cv), t -> t[1] * t[2])) / (ev.nrm * c.cn), 6) DESC,
+      |        c.cell ASC) AS prn
+      |    FROM ev CROSS JOIN cents c WHERE ev.vec_id < 5)
+      |  WHERE prn <= 2),
+      |hits AS (
+      |  SELECT p.qid, a.vec_id AS cid, p.cell,
+      |    round(list_sum(list_transform(list_zip(p.qv, a.v), t -> t[1] * t[2])) / (p.qn * a.nrm), 6) AS sim
+      |  FROM probes p JOIN assigned a ON p.cell = a.cell AND a.vec_id >= 5),
+      |ranked AS (
+      |  SELECT qid, cid, cell, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+      |  FROM hits)
+      |SELECT qid, rnk, cid, cell, sim FROM ranked WHERE rnk <= 3
+      |ORDER BY qid, rnk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // E3 LSH near-dup: 16 sign-random-projection hyperplanes (weights ±1 from
+  // md5(plane|dim) — identical in both engines), signature split into 4
+  // bands × 4 bits; pairs sharing any band are candidates; exact cosine
+  // >= 0.4 verifies. 100 TB: the hyperplane table is a broadcast constant,
+  // signatures are one corpus scan + a (vec, plane)-grouped sum, and the
+  // candidate join shuffles on (band, chunk) — never all-pairs.
+  def lshNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", vd($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+    // hyperplane weights: w(h, d) = +1 if first hex digit of md5("h|d") < 8
+    val planes = broadcast(
+      spark.range(16).select($"id".cast("int").as("h"))
+        .crossJoin(spark.range(1, 65).select($"id".cast("int").as("d")))
+        .withColumn("w",
+          when(expr("instr('01234567', substr(md5(concat(cast(h as string), '|', cast(d as string))), 1, 1))") > 0,
+            lit(1.0)).otherwise(lit(-1.0))))
+    val bits = e
+      .select($"vec_id", posexplode($"v").as(Seq("p", "x")))
+      .withColumn("d", $"p" + 1)
+      .join(planes, Seq("d"))
+      .groupBy($"vec_id", $"h").agg(sum($"w" * $"x").as("proj"))
+      .withColumn("bit", when($"proj" >= 0, lit("1")).otherwise(lit("0")))
+    val sig = bits.groupBy($"vec_id")
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct($"h", $"bit"))),
+        s => s.getField("bit"))).as("bits"))
+    val bands = sig
+      .select($"vec_id", explode(sequence(lit(0), lit(3))).as("band"), $"bits")
+      .withColumn("chunk", expr("substr(bits, band * 4 + 1, 4)"))
+      .select($"vec_id", $"band", $"chunk")
+    val cand = bands.as("a").join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.chunk" === $"b.chunk" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("va"), $"b.vec_id".as("vb")).distinct()
+    cand
+      .join(e.select($"vec_id".as("va"), $"v".as("av"), $"nrm".as("an")), Seq("va"))
+      .join(e.select($"vec_id".as("vb"), $"v".as("bv"), $"nrm".as("bn")), Seq("vb"))
+      .withColumn("sim", round(dot($"av", $"bv") / ($"an" * $"bn"), 6))
+      .filter($"sim" >= 0.4)
+      .select($"va", $"vb", $"sim")
+      .orderBy($"va", $"vb")
+  }
+
+  val lshNearDupSql: String =
+    embCte + """,
+      |planes AS (
+      |  SELECT h.h, d.d,
+      |    CASE WHEN strpos('01234567', substr(md5(h.h::VARCHAR || '|' || d.d::VARCHAR), 1, 1)) > 0
+      |         THEN 1.0 ELSE -1.0 END AS w
+      |  FROM generate_series(0, 15) h(h) CROSS JOIN generate_series(1, 64) d(d)),
+      |bits AS (
+      |  SELECT ev.vec_id, p.h,
+      |    CASE WHEN SUM(p.w * ev.v[p.d]) >= 0 THEN '1' ELSE '0' END AS bit
+      |  FROM ev JOIN planes p ON TRUE
+      |  GROUP BY 1, 2),
+      |sig AS (SELECT vec_id, string_agg(bit, '' ORDER BY h) AS bits FROM bits GROUP BY 1),
+      |bands AS (
+      |  SELECT vec_id, band, substr(bits, band * 4 + 1, 4) AS chunk
+      |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.chunk = b.chunk AND a.vec_id < b.vec_id)
+      |SELECT va, vb,
+      |  round(list_sum(list_transform(list_zip(x.v, y.v), t -> t[1] * t[2])) / (x.nrm * y.nrm), 6) AS sim
+      |FROM cand JOIN ev x ON x.vec_id = va JOIN ev y ON y.vec_id = vb
+      |WHERE round(list_sum(list_transform(list_zip(x.v, y.v), t -> t[1] * t[2])) / (x.nrm * y.nrm), 6) >= 0.4
+      |ORDER BY va, vb""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_cosine_topk" -> (cosineTopK _),
+    "emb_ivf_topk"    -> (ivfTopK _),
+    "emb_lsh_neardup" -> (lshNearDup _))
+
+  val oracles: Map[String, String] = Map(
+    "emb_cosine_topk" -> cosineTopKSql,
+    "emb_ivf_topk"    -> ivfTopKSql,
+    "emb_lsh_neardup" -> lshNearDupSql)
+}

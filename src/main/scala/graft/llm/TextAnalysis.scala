@@ -1,0 +1,195 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for LLM training-data curation, over the
+  * `documents` table: token counting, quality scoring, language
+  * identification, and document fingerprinting.
+  *
+  * Determinism contract with the DuckDB oracle: all counts are exact
+  * integers; every ratio is a single double division of exact int64s
+  * (bit-identical across engines); composite scores are written as the
+  * SAME expression tree in both engines and rounded to 6dp; token hashes
+  * go through md5 hex (identical bytes both sides).
+  */
+object TextAnalysis {
+
+  // ---------------------------------------------------------------------
+  // T1 token counting: whitespace tokens and regex ("BPE-ish" pre-tokenizer
+  // segments: letter runs | digit runs | single punctuation) per language.
+  // 100 TB: pure map-side per-doc arithmetic + one partial+final aggregate
+  // on a low-cardinality key — the cheapest possible shape.
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("toks", split($"text", " "))
+      .withColumn("retoks", regexp_extract_all($"text", lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size($"toks")).as("n_ws_tokens"),
+        sum(size($"retoks")).as("n_re_tokens"),
+        sum(size(array_distinct($"toks"))).as("n_distinct_tokens"),
+        sum($"n_chars").as("n_chars"))
+      .orderBy($"lang")
+  }
+
+  val tokenCountsSql: String =
+    """SELECT lang,
+      |  COUNT(*) AS n_docs,
+      |  SUM(len(string_split(text, ' '))) AS n_ws_tokens,
+      |  SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS n_re_tokens,
+      |  SUM(len(list_distinct(string_split(text, ' ')))) AS n_distinct_tokens,
+      |  SUM(n_chars) AS n_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // T2 quality scoring: per-doc length / stopword / alphabetic signals and
+  // a composite score — the standard pre-training quality-filter shape
+  // (cf. C4/Gopher rules). All ratios are double divisions of exact ints;
+  // the composite is the same expression tree in both engines, rounded.
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("toks", split($"text", " "))
+      .withColumn("n_tok", size($"toks"))
+      .withColumn("n_stop", size(filter($"toks", t => t === "the" || t === "a")))
+      .withColumn("sum_len", aggregate(transform($"toks", t => length(t)), lit(0), (a, b) => a + b))
+      .withColumn("n_alpha", length(regexp_replace($"text", "[^a-z]", "")))
+      .withColumn("mean_tok_len", round($"sum_len".cast("double") / $"n_tok", 6))
+      .withColumn("stop_ratio", round($"n_stop".cast("double") / $"n_tok", 6))
+      .withColumn("alpha_ratio", round($"n_alpha".cast("double") / $"n_chars", 6))
+      .withColumn("quality", round(
+        lit(0.4) * (lit(1.0) - $"n_stop".cast("double") / $"n_tok")
+          + lit(0.3) * ($"n_alpha".cast("double") / $"n_chars")
+          + lit(0.3) * least($"n_tok".cast("double") / 100.0, lit(1.0)), 6))
+      .select($"doc_id", $"lang", $"n_tok", $"n_stop", $"mean_tok_len",
+        $"stop_ratio", $"alpha_ratio", $"quality")
+      .orderBy($"doc_id")
+  }
+
+  val qualityScoreSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS toks
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    len(toks) AS n_tok,
+      |    len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS n_stop,
+      |    list_sum(list_transform(toks, x -> len(x))) AS sum_len,
+      |    len(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha
+      |  FROM t)
+      |SELECT doc_id, lang, n_tok, n_stop,
+      |  round(sum_len::DOUBLE / n_tok, 6) AS mean_tok_len,
+      |  round(n_stop::DOUBLE / n_tok, 6) AS stop_ratio,
+      |  round(n_alpha::DOUBLE / n_chars, 6) AS alpha_ratio,
+      |  round(0.4 * (1.0 - n_stop::DOUBLE / n_tok)
+      |      + 0.3 * (n_alpha::DOUBLE / n_chars)
+      |      + 0.3 * least(n_tok::DOUBLE / 100.0, 1.0), 6) AS quality
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // T3 language ID via character-bigram profiles, self-trained: the top-20
+  // bigrams per declared language form that language's profile; each doc is
+  // scored by how many of its bigram occurrences fall in each profile, and
+  // predicted = argmax. Output is the (true lang × predicted lang)
+  // confusion matrix. NOTE: the synthetic corpus shares one vocabulary
+  // across langs, so the matrix shows near-uniform confusion — the
+  // OPERATOR (profile training + broadcast-join scoring + argmax) is the
+  // deliverable, and it is exactly the n-gram scoring used by real
+  // langid at scale. 100 TB: profiles are a tiny broadcast dim; scoring is
+  // one explode + broadcast join + two aggregations.
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val bigrams = docs
+      .select($"doc_id", $"lang",
+        explode(expr("transform(sequence(1, length(text) - 1), i -> substr(text, i, 2))")).as("bg"))
+    val wProf = Window.partitionBy($"lang").orderBy($"cnt".desc, $"bg".asc)
+    val profile = bigrams
+      .groupBy($"lang", $"bg").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(wProf))
+      .filter($"rk" <= 20)
+      .select($"lang".as("profile_lang"), $"bg")
+    val wPred = Window.partitionBy($"doc_id").orderBy($"hits".desc, $"profile_lang".asc)
+    val scored = bigrams
+      .join(broadcast(profile), Seq("bg"))
+      .groupBy($"doc_id", $"lang", $"profile_lang")
+      .agg(count(lit(1)).as("hits"))
+      .withColumn("rk", row_number().over(wPred))
+      .filter($"rk" === 1)
+    scored
+      .groupBy($"lang", $"profile_lang".as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"predicted")
+  }
+
+  val langIdSql: String =
+    """WITH bigrams AS (
+      |  SELECT doc_id, lang,
+      |    unnest(list_transform(generate_series(1, len(text) - 1), i -> substr(text, i, 2))) AS bg
+      |  FROM documents),
+      |profile AS (
+      |  SELECT lang AS profile_lang, bg FROM (
+      |    SELECT lang, bg, COUNT(*) AS cnt,
+      |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, bg ASC) AS rk
+      |    FROM bigrams GROUP BY lang, bg)
+      |  WHERE rk <= 20),
+      |scored AS (
+      |  SELECT doc_id, lang, profile_lang, COUNT(*) AS hits,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY COUNT(*) DESC, profile_lang ASC) AS rk
+      |  FROM bigrams JOIN profile USING (bg)
+      |  GROUP BY doc_id, lang, profile_lang)
+      |SELECT lang, profile_lang AS predicted, COUNT(*) AS n_docs
+      |FROM scored WHERE rk = 1
+      |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // T4 document fingerprinting: order-sensitive polynomial rolling hash
+  // over the token sequence, fp = fold(0, (acc, h) -> (acc*31 + h) mod p)
+  // with h = first 8 md5 hex digits of the token as int64. Unlike the
+  // content-md5 of exact dedup, the rolling form extends to shingled
+  // substring fingerprints (Rabin-Karp). fp_dupes counts docs sharing a
+  // fingerprint. 100 TB: per-doc map work + one count agg on fp.
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wFp = Window.partitionBy($"fp")
+    Tables.documents(spark, dir)
+      .withColumn("toks", split($"text", " "))
+      .withColumn("hs", transform($"toks",
+        t => conv(substring(md5(t), 1, 8), 16, 10).cast("long")))
+      .withColumn("fp", aggregate($"hs", lit(0L), (a, h) => (a * 31 + h) % 1000000007L))
+      .withColumn("fp_dupes", count(lit(1)).over(wFp))
+      .select($"doc_id", size($"toks").as("n_tok"), $"fp", $"fp_dupes")
+      .orderBy($"doc_id")
+  }
+
+  val fingerprintSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ' '), s ->
+      |        CAST(list_sum(list_transform([1,2,3,4,5,6,7,8], i ->
+      |          CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 AS BIGINT)
+      |            * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 1000000007) AS fp
+      |  FROM documents)
+      |SELECT doc_id, n_tok, fp, COUNT(*) OVER (PARTITION BY fp) AS fp_dupes
+      |FROM h ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_tokens"      -> (tokenCounts _),
+    "ta_quality"     -> (qualityScore _),
+    "ta_langid"      -> (langId _),
+    "ta_fingerprint" -> (fingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "ta_tokens"      -> tokenCountsSql,
+    "ta_quality"     -> qualityScoreSql,
+    "ta_langid"      -> langIdSql,
+    "ta_fingerprint" -> fingerprintSql)
+}

@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Batch time windows over `events.ts` (SURVEY.md §2.7): tumbling, sliding
+  * and session windows via the built-in `window` / `session_window`
+  * generators. The identical expressions are Structured-Streaming-ready —
+  * swap the batch read for `readStream` + `withWatermark` and the plans
+  * carry over (the reference itself is strictly daily batch, so batch-first
+  * is the faithful default).
+  *
+  * Money-ish doubles go through DECIMAL(12,2) like Relational (exact,
+  * order-independent sums). All window boundaries are exact timestamp
+  * arithmetic — events.ts is microsecond-aligned (Tables.events).
+  */
+object EventWindows {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
+  private def d2(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+
+  // ---------------------------------------------------------------------
+  // EV1 tumbling window: 1-hour buckets per event_type. One shuffle on
+  // (bucket, type) with partial aggregation — the scale-canonical shape.
+  def tumbling(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), d2(sum(dec($"value"))).as("sum_value"))
+      .select($"w.start".as("window_start"), $"event_type", $"n_events", $"sum_value")
+      .orderBy($"window_start", $"event_type")
+  }
+
+  val tumblingSql: String =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY window_start, event_type
+      |ORDER BY window_start, event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // EV2 sliding window: 1-hour windows every 30 minutes — each event lands
+  // in exactly 2 windows (Spark's `window(ts, len, slide)` generator; the
+  // oracle reproduces it as bucket-minus-offset). Scale note: slide
+  // duplication factor = len/slide; keep it small or pre-aggregate to the
+  // slide grain and roll up (the 2-level approach) when len >> slide.
+  def sliding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(window($"ts", "1 hour", "30 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), d2(sum(dec($"value"))).as("sum_value"))
+      .select($"w.start".as("window_start"), $"event_type", $"n_events", $"sum_value")
+      .orderBy($"window_start", $"event_type")
+  }
+
+  val slidingSql: String =
+    """SELECT time_bucket(INTERVAL '30 minutes', ts) - o.off * INTERVAL '30 minutes' AS window_start,
+      |  event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events CROSS JOIN (VALUES (0), (1)) o(off)
+      |GROUP BY window_start, event_type
+      |ORDER BY window_start, event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // EV3 session window: per-user sessions closed by a 10-minute gap.
+  // Spark's session_window merges events whose [ts, ts+gap) intervals
+  // overlap, so a gap of EXACTLY 10 minutes starts a new session — the
+  // oracle's break condition is therefore `>= gap`, not `> gap`.
+  // 100 TB: one shuffle on user_id; state per key is bounded by the gap.
+  def session(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(session_window($"ts", "10 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), d2(sum(dec($"value"))).as("sum_value"))
+      .select($"user_id", $"w.start".as("session_start"), $"n_events", $"sum_value")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  val sessionSql: String =
+    """WITH x AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                   ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM x)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_tumbling" -> (tumbling _),
+    "ev_sliding"  -> (sliding _),
+    "ev_session"  -> (session _))
+
+  val oracles: Map[String, String] = Map(
+    "ev_tumbling" -> tumblingSql,
+    "ev_sliding"  -> slidingSql,
+    "ev_session"  -> sessionSql)
+}

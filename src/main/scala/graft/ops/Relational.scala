@@ -90,6 +90,55 @@ object Relational {
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
   // -------------------------------------------------------------------------
+  // A3b cube: all 4 grouping combinations in one pass, with explicit
+  // grouping flags (Snowflake/DuckDB GROUPING() ↔ Spark grouping()).
+  def a3Cube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(
+        grouping($"o_orderstatus").as("g_status"),
+        grouping($"o_orderpriority").as("g_prio"),
+        count(lit(1)).as("n_orders"),
+        d2(sum(dec($"o_totalprice"))).as("sum_price"))
+      .orderBy($"g_status", $"g_prio",
+        $"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  val a3CubeSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  GROUPING(o_orderstatus) AS g_status,
+      |  GROUPING(o_orderpriority) AS g_prio,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY g_status, g_prio, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // A3c explicit grouping sets (the general form rollup/cube compile to),
+  // via the SQL entry point — exercising spark.sql + temp views as an API
+  // surface alongside the DataFrame DSL.
+  def a3GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_gs")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  val a3GroupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------------
   // J1 star join. Broadcast scope matters at 100×: nation (25) and region (5)
   // are FIXED-size dims → always broadcast; customer grows linearly with SF,
   // so it must NOT be pinned to the broadcast side — it joins normally and
@@ -371,6 +420,8 @@ object Relational {
     "q1_agg"        -> (q1Agg _),
     "a2_distinct_agg" -> (a2DistinctAgg _),
     "a3_rollup"     -> (a3Rollup _),
+    "a3_cube"       -> (a3Cube _),
+    "a3_gsets"      -> (a3GroupingSets _),
     "j1_star_join"  -> (j1StarJoin _),
     "j2_large_join" -> (j2LargeJoin _),
     "j3_semi_anti"  -> (j3SemiAnti _),
@@ -386,6 +437,8 @@ object Relational {
     "q1_agg"        -> q1AggSql,
     "a2_distinct_agg" -> a2DistinctAggSql,
     "a3_rollup"     -> a3RollupSql,
+    "a3_cube"       -> a3CubeSql,
+    "a3_gsets"      -> a3GroupingSetsSql,
     "j1_star_join"  -> j1StarJoinSql,
     "j2_large_join" -> j2LargeJoinSql,
     "j3_semi_anti"  -> j3SemiAntiSql,
