@@ -97,6 +97,9 @@ object ScalarFuncs {
         month($"date_day").as("month"),
         dayofmonth($"date_day").as("day"),
         (dayofweek($"date_day") - 1).as("weekday"),
+        // reference dim_date.sql:16 emits to_char(date_day,'Day') — the
+        // day NAME; kept alongside the numeric dow
+        date_format($"date_day", "EEEE").as("weekday_name"),
         dayofweek($"date_day").isin(1, 7).as("is_weekend"),
         ((datediff(date_trunc("week", $"date_day").cast(DateType),
                    date_trunc("week", trunc($"date_day", "year")).cast(DateType)) / 7)
@@ -111,6 +114,7 @@ object ScalarFuncs {
       |  CAST(EXTRACT(month FROM date_day) AS INTEGER) AS month,
       |  CAST(EXTRACT(day FROM date_day) AS INTEGER) AS day,
       |  CAST(dayofweek(date_day) AS INTEGER) AS weekday,
+      |  dayname(date_day) AS weekday_name,
       |  dayofweek(date_day) IN (0, 6) AS is_weekend,
       |  CAST(date_diff('day',
       |         date_trunc('week', date_trunc('year', date_day)),

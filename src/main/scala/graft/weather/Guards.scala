@@ -1,0 +1,55 @@
+package graft.weather
+
+import java.time.{Instant, LocalDate, ZoneOffset}
+
+/** Driver-side ingest guards and helpers (SURVEY.md §2.1/§2.9): the
+  * pre-flight pieces of the reference's fetch task that sit OUTSIDE the
+  * relational engine — location parsing, geocoding, and the fetch time
+  * window. Kept as plain Scala (they run once per location on the driver,
+  * like the reference's per-task Python).
+  */
+object Guards {
+
+  /** S2 geocode: static lookup standing in for the Nominatim call
+    * (reference helper_geocoders.py:5-13). An external network service has
+    * no place inside the engine core — the lookup is injected as data; a
+    * production deployment would refresh this table out-of-band.
+    */
+  val geocodeTable: Map[String, (Double, Double)] = Map(
+    "berlin, germany"  -> (52.5170365, 13.3888599),
+    "london, uk"       -> (51.5073219, -0.1276474),
+    "paris, france"    -> (48.8588897, 2.3200410),
+    "madrid, spain"    -> (40.4167047, -3.7035825),
+    "rome, italy"      -> (41.8933203, 12.4829321))
+
+  /** V3 format guard (reference meteomatics_get_data.py:55-58): a location
+    * must be "City, Country". Left = the error the reference raises.
+    */
+  def parseLocation(location: String): Either[String, (String, String)] =
+    location.split(",").map(_.trim).filter(_.nonEmpty) match {
+      case Array(city, country) => Right((city, country))
+      case _ => Left(s"Invalid location format: '$location' (expected 'City, Country')")
+    }
+
+  /** V2 geocode guard (reference meteomatics_get_data.py:49-53): a null
+    * geocode result is an error, not a silent skip.
+    */
+  def geocode(location: String): Either[String, (Double, Double)] =
+    geocodeTable.get(location.trim.toLowerCase) match {
+      case Some(coords) => Right(coords)
+      case None         => Left(s"Could not geocode location: '$location'")
+    }
+
+  /** F11 time bounds (reference meteomatics_get_data.py:28-36): a run date
+    * maps to the fetch window [run−1d T00:00Z, run+7d T00:00Z].
+    */
+  def timeBounds(runDate: LocalDate): (Instant, Instant) = (
+    runDate.minusDays(1).atStartOfDay(ZoneOffset.UTC).toInstant,
+    runDate.plusDays(7).atStartOfDay(ZoneOffset.UTC).toInstant)
+
+  /** F10 string-normalize (meteomatics_get_data.py:55-61): slug for task
+    * ids / file names.
+    */
+  def slug(s: String): String =
+    s.trim.toLowerCase.replaceAll("[ ,]+", "_")
+}

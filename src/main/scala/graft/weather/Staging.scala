@@ -1,6 +1,7 @@
 package graft.weather
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -82,4 +83,41 @@ object Staging {
     */
   def writeRaw(docs: DataFrame, path: String): Unit =
     docs.write.mode("overwrite").partitionBy("country", "city").json(path)
+
+  /** S6 incremental upsert on the staging unique_key (file_path, parameter,
+    * reading_datetime — stg_weather_raw.sql:5): union existing + incoming
+    * and keep the freshest `file_modified` per key (the W1 shape again).
+    * This reproduces dbt's incremental merge semantics without a table
+    * format; with Delta/Iceberg it would lower to a MERGE. One shuffle on
+    * the unique key; at 100 TB pair it with S7's date clustering so the
+    * merge only touches affected date partitions.
+    */
+  def mergeStaging(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy(col("file_path"), col("parameter"), col("reading_datetime"))
+      .orderBy(col("file_modified").desc_nulls_last)
+    existing.unionByName(incoming)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** V1 schema gate, FAILFAST flavor: any malformed document raises and
+    * halts the load — the pydantic behavior (reference
+    * helper_validate_response.py:36-43).
+    */
+  def readStrict(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(WeatherSchema.enrichedDoc)
+      .option("mode", "FAILFAST").json(path)
+
+  /** V1 schema gate, side-output flavor: malformed documents land in
+    * `_corrupt_record` instead of failing, so good rows load and bad rows
+    * can be counted/quarantined — the scalable variant of the gate.
+    */
+  def readWithCorrupt(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(WeatherSchema.enrichedDoc.add("_corrupt_record", StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
 }

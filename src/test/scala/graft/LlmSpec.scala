@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Embeddings, TextAnalysis, TextDedup}
+
+/** LLM-pipeline operators: invariants that must hold on any corpus,
+  * checked on sf0.001.
+  */
+class LlmSpec extends SparkSpec {
+
+  test("exact dedup: n_docs = n_unique + n_dupes per source") {
+    import spark.implicits._
+    val bad = TextDedup.exactDedup(spark, sfDir)
+      .filter($"n_docs" =!= $"n_unique" + $"n_dupes")
+    assert(bad.isEmpty)
+  }
+
+  test("exact dedup agrees with an independent distinct-count") {
+    import spark.implicits._
+    val got = TextDedup.exactDedup(spark, sfDir)
+      .agg(sum($"n_unique")).head.getLong(0)
+    val expected = Tables.documents(spark, sfDir)
+      .groupBy($"source").agg(countDistinct($"text").as("u"))
+      .agg(sum($"u")).head.getLong(0)
+    assert(got === expected)
+  }
+
+  test("ngram Jaccard pairs are ordered, thresholded, and symmetric-free") {
+    import spark.implicits._
+    val pairs = TextDedup.ngramJaccard(spark, sfDir).cache()
+    assert(pairs.filter($"doc_a" >= $"doc_b").isEmpty)
+    assert(pairs.filter($"jaccard" < 0.8 || $"jaccard" > 1.0).isEmpty)
+    // n_common never exceeds either side's shingle count
+    assert(pairs.filter($"n_common" > least($"n_a", $"n_b")).isEmpty)
+    pairs.unpersist()
+  }
+
+  test("minhash LSH finds every identical-text pair (j=1 ⇒ all bands collide)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    // identical-text pairs with >= 3 tokens (shingle precondition)
+    val dupPairs = docs.as("x").join(docs.as("y"),
+        $"x.text" === $"y.text" && $"x.doc_id" < $"y.doc_id"
+          && size(split($"x.text", " ")) >= 3)
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+    val found = TextDedup.minhashLsh(spark, sfDir).select("doc_a", "doc_b")
+    assert(dupPairs.exceptAll(found).isEmpty, "an identical pair was missed")
+  }
+
+  test("simhash: identical docs have Hamming distance 0") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val dupPairs = docs.as("x").join(docs.as("y"),
+        $"x.text" === $"y.text" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+    val zero = TextDedup.simhash(spark, sfDir).filter($"hamming" === 0)
+      .select("doc_a", "doc_b")
+    assert(dupPairs.exceptAll(zero).isEmpty)
+  }
+
+  test("cosine top-k: ranks dense 1..5, sims within [-1,1] and non-increasing") {
+    import spark.implicits._
+    val tk = Embeddings.cosineTopK(spark, sfDir).cache()
+    assert(tk.count() === 25) // 5 queries × k=5
+    assert(tk.filter($"sim" < -1.0 || $"sim" > 1.0).isEmpty)
+    val monotone = tk
+      .withColumn("prev", lag($"sim", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"qid").orderBy($"rnk")))
+      .filter($"prev".isNotNull && $"prev" < $"sim")
+    assert(monotone.isEmpty)
+    tk.unpersist()
+  }
+
+  test("IVF top-k never beats brute force (it searches a subset)") {
+    import spark.implicits._
+    val brute1 = Embeddings.cosineTopK(spark, sfDir)
+      .filter($"rnk" === 1).select($"qid", $"sim".as("best"))
+    val ivf1 = Embeddings.ivfTopK(spark, sfDir)
+      .filter($"rnk" === 1).select($"qid", $"sim".as("ivf_best"))
+    val beat = ivf1.join(brute1, "qid").filter($"ivf_best" > $"best")
+    assert(beat.isEmpty)
+  }
+
+  test("LSH near-dup pairs are ordered and honor the 0.4 threshold") {
+    import spark.implicits._
+    val nd = Embeddings.lshNearDup(spark, sfDir).cache()
+    assert(nd.filter($"va" >= $"vb").isEmpty)
+    assert(nd.filter($"sim" < 0.4).isEmpty)
+    nd.unpersist()
+  }
+
+  test("fingerprint: identical texts share fp; quality ratios in [0,1]") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val fp = TextAnalysis.fingerprint(spark, sfDir).join(docs, "doc_id")
+    val clash = fp.as("x").join(fp.as("y"),
+        $"x.text" === $"y.text" && $"x.doc_id" < $"y.doc_id")
+      .filter($"x.fp" =!= $"y.fp")
+    assert(clash.isEmpty, "identical text produced different fingerprints")
+    val q = TextAnalysis.qualityScore(spark, sfDir)
+    assert(q.filter($"stop_ratio" < 0 || $"stop_ratio" > 1).isEmpty)
+    assert(q.filter($"alpha_ratio" < 0 || $"alpha_ratio" > 1).isEmpty)
+    assert(q.filter($"quality" < 0 || $"quality" > 1).isEmpty)
+  }
+
+  test("langid confusion matrix covers every document exactly once") {
+    import spark.implicits._
+    val total = Tables.documents(spark, sfDir).count()
+    val covered = TextAnalysis.langId(spark, sfDir).agg(sum($"n_docs")).head.getLong(0)
+    assert(covered === total)
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-style checks driven by scalacheck generators with fixed seeds
+  * (no scalatestplus bridge in the offline cache; each case spins real
+  * Spark jobs so 5 seeded cases per property is the right budget).
+  */
+class PropertiesSpec extends SparkSpec {
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  private val pathGen: Gen[List[String]] =
+    Gen.listOfN(8, Gen.oneOf("f1", "f2", "f3", "f4", "f5"))
+
+  test("property: S5 incremental anti-join = set difference, any multiset input") {
+    import spark.implicits._
+    for (seed <- 1L to 5L) {
+      val incoming = sample(pathGen, seed)
+      val loaded = sample(pathGen, seed + 100)
+      val got = weather.Staging.incrementalNew(incoming.toDF("file_path"), loaded.toDF("file_path"))
+        .collect().map(_.getString(0)).toSet
+      assert(got === incoming.toSet -- loaded.toSet, s"seed=$seed")
+    }
+  }
+
+  private val rowGen: Gen[List[(String, Int, Int)]] = Gen.listOfN(12, for {
+    key <- Gen.oneOf("a", "b", "c")
+    gen <- Gen.choose(1, 5)
+    v   <- Gen.choose(0, 100)
+  } yield (key, gen, v))
+
+  test("property: W1 latest-per-key is idempotent and order-insensitive") {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"key").orderBy($"gen".desc, $"v".desc)
+    def pick(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+    for (seed <- 1L to 5L) {
+      val df = sample(rowGen, seed).toDF("key", "gen", "v")
+      val once = pick(df).collect().toSet
+      val twice = pick(pick(df)).collect().toSet
+      val shuffled = pick(df.orderBy(rand(7))).collect().toSet
+      assert(once === twice, s"seed=$seed idempotence")
+      assert(once === shuffled, s"seed=$seed order-insensitivity")
+    }
+  }
+
+  test("property: F1 surrogate keys are equal iff coalesced inputs are equal") {
+    import spark.implicits._
+    val cellGen = Gen.option(Gen.oneOf("x", "y", ""))
+    val listGen = Gen.listOfN(6, Gen.zip(cellGen, cellGen))
+    val sentinel = "_dbt_utils_surrogate_key_null_"
+    for (seed <- 1L to 5L) {
+      val rows = sample(listGen, seed)
+      val keyed = rows.toDF("a", "b")
+        .select($"a", $"b", ops.ScalarFuncs.surrogateKey($"a", $"b").as("k"))
+        .collect()
+      for (r <- keyed; s <- keyed) {
+        val rc = (Option(r.getString(0)).getOrElse(sentinel), Option(r.getString(1)).getOrElse(sentinel))
+        val sc = (Option(s.getString(0)).getOrElse(sentinel), Option(s.getString(1)).getOrElse(sentinel))
+        assert((r.getString(2) == s.getString(2)) === (rc == sc), s"seed=$seed $rc vs $sc")
+      }
+    }
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{EventWindows, Relational}
+
+/** Engine-capability operators (§2.6/§2.7) checked against independent
+  * recomputations on sf0.001.
+  */
+class RelationalSpec extends SparkSpec {
+
+  test("J5 as-of join matches the brute-force non-equi definition") {
+    import spark.implicits._
+    val got = Relational.j5AsOf(spark, sfDir)
+    // brute force: max orderdate <= ts per user, then max orderkey there
+    val ev = Tables.events(spark, sfDir)
+    val od = Tables.orders(spark, sfDir)
+      .groupBy($"o_custkey", $"o_orderdate").agg(max($"o_orderkey").as("o_orderkey"))
+    val brute = ev.as("e").join(od.as("o"),
+        $"e.user_id" === $"o.o_custkey" && $"o.o_orderdate" <= $"e.ts", "left")
+      .groupBy($"e.event_id", $"e.user_id")
+      .agg(max_by(struct($"o.o_orderdate", $"o.o_orderkey"), $"o.o_orderdate").getField("o_orderkey").as("matched_orderkey"))
+      .select($"event_id", $"user_id", $"matched_orderkey")
+    assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty)
+  }
+
+  test("J3 semi + anti partition the customer set") {
+    import spark.implicits._
+    val res = Relational.j3SemiAnti(spark, sfDir)
+      .agg(sum($"with_orders" + $"without_orders")).head.getLong(0)
+    assert(res === Tables.customer(spark, sfDir).count())
+  }
+
+  test("SO1 set-op counts satisfy inclusion-exclusion") {
+    import spark.implicits._
+    val m = Relational.so1SetOps(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ev = Tables.events(spark, sfDir)
+    val buyers = ev.filter($"event_type" === "purchase").select("user_id").distinct().count()
+    val clickers = ev.filter($"event_type" === "click").select("user_id").distinct().count()
+    assert(m("except") === buyers - m("intersect"))
+    assert(m("union") === buyers + clickers - m("intersect"))
+  }
+
+  test("O1 top-k is ordered and bounded") {
+    val rows = Relational.o1TopK(spark, sfDir).collect()
+    assert(rows.length === 10)
+    val revs = rows.map(_.getDouble(1))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("tumbling windows tile the event stream; sliding double-covers it") {
+    import spark.implicits._
+    val total = Tables.events(spark, sfDir).count()
+    val tumbled = EventWindows.tumbling(spark, sfDir).agg(sum($"n_events")).head.getLong(0)
+    val slid = EventWindows.sliding(spark, sfDir).agg(sum($"n_events")).head.getLong(0)
+    assert(tumbled === total)
+    assert(slid === 2 * total)
+  }
+
+  test("session windows cover every event with no user crossing sessions") {
+    import spark.implicits._
+    val total = Tables.events(spark, sfDir).count()
+    val sess = EventWindows.session(spark, sfDir)
+    assert(sess.agg(sum($"n_events")).head.getLong(0) === total)
+    // session starts are strictly increasing per user by >= gap from the
+    // previous session's last event — starts must at least be distinct
+    val dupStarts = sess.groupBy($"user_id", $"session_start").count().filter($"count" > 1)
+    assert(dupStarts.isEmpty)
+  }
+
+  test("A3 cube emits all four grouping combinations consistently") {
+    import spark.implicits._
+    val cube = Relational.a3Cube(spark, sfDir).cache()
+    val grand = cube.filter($"g_status" === 1 && $"g_prio" === 1)
+    assert(grand.count() === 1)
+    val nOrders = Tables.orders(spark, sfDir).count()
+    assert(grand.head.getAs[Long]("n_orders") === nOrders)
+    // each grouping level sums to the grand total
+    for ((gs, gp) <- Seq((0, 0), (0, 1), (1, 0))) {
+      val lvl = cube.filter($"g_status" === gs && $"g_prio" === gp)
+        .agg(sum($"n_orders")).head.getLong(0)
+      assert(lvl === nOrders, s"level ($gs,$gp)")
+    }
+    cube.unpersist()
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+import graft.weather.{Staging, WeatherGen, WeatherSchema}
+
+/** File-based ingest path: U1 flatten inversion, S5 incremental, S6 merge,
+  * S3/S4 roundtrip with real file metadata, V1 schema gates.
+  */
+class StagingSpec extends SparkSpec {
+
+  test("U1 flatten exactly inverts the doc nesting (counts + values)") {
+    import spark.implicits._
+    val flatTruth = WeatherGen.flatReadings(spark)
+    val docs = WeatherGen.docs(spark)
+    val flat = Staging.flatten(docs)
+    assert(flat.count() === flatTruth.count())
+    // spot-check a full reading row survives the nest→flatten roundtrip
+    val k = flat.filter($"city" === "city_1" && $"parameter" === "t_2m:C")
+      .agg(sum($"reading_value".cast("double")).as("s")).head.getDouble(0)
+    val kTruth = flatTruth.filter($"city" === "city_1" && $"parameter" === "t_2m:C")
+      .agg(sum($"value".cast("double")).as("s")).head.getDouble(0)
+    assert(math.abs(k - kTruth) < 1e-9)
+  }
+
+  test("S5 incremental anti-join equals set difference on file_path") {
+    import spark.implicits._
+    val all = Seq("f1", "f2", "f3", "f4").toDF("file_path")
+    val loaded = Seq("f2", "f4", "f4").toDF("file_path") // dup in target: still one skip
+    val fresh = Staging.incrementalNew(all, loaded)
+      .collect().map(_.getString(0)).toSet
+    assert(fresh === Set("f1", "f3"))
+  }
+
+  test("S6 mergeStaging keeps the freshest file_modified per unique key") {
+    import spark.implicits._
+    val old = Seq(
+      ("f1", "t_2m:C", "2025-03-25 00:00:00", "2025-03-25 02:00:00", "1.0"),
+      ("f1", "t_2m:C", "2025-03-25 01:00:00", "2025-03-25 02:00:00", "2.0")
+    ).toDF("file_path", "parameter", "reading_datetime", "file_modified", "reading_value")
+      .withColumn("reading_datetime", to_timestamp($"reading_datetime"))
+      .withColumn("file_modified", to_timestamp($"file_modified"))
+    val incoming = Seq(
+      ("f1", "t_2m:C", "2025-03-25 00:00:00", "2025-03-26 02:00:00", "9.9") // corrects slot 00:00
+    ).toDF("file_path", "parameter", "reading_datetime", "file_modified", "reading_value")
+      .withColumn("reading_datetime", to_timestamp($"reading_datetime"))
+      .withColumn("file_modified", to_timestamp($"file_modified"))
+    val merged = Staging.mergeStaging(old, incoming)
+    assert(merged.count() === 2)
+    val slot0 = merged.filter($"reading_datetime" === "2025-03-25 00:00:00")
+      .select("reading_value").head.getString(0)
+    assert(slot0 === "9.9") // freshest won
+    // idempotence: merging the same increment again changes nothing
+    val again = Staging.mergeStaging(merged, incoming)
+    assert(again.count() === 2)
+    assert(again.filter($"reading_value" === "9.9").count() === 1)
+  }
+
+  test("S3+S4 roundtrip: partitioned JSON write, read back with real _metadata paths") {
+    val root = Files.createTempDirectory("graft_rt_").toString
+    val docs = WeatherGen.docs(spark)
+    Staging.writeRaw(docs.drop("file_path"), root)
+    val back = Staging.readRawJson(spark, root)
+    assert(back.count() === WeatherGen.nCities.toLong * WeatherGen.nRuns)
+    val paths = back.select("file_path").collect().map(_.getString(0))
+    assert(paths.forall(_.contains("country=")), "hive layout carries country")
+    assert(paths.forall(_.contains("city=")), "hive layout carries city")
+    assert(back.filter(col("file_modified").isNull).count() === 0)
+  }
+
+  test("V1 FAILFAST raises on a malformed doc; PERMISSIVE side-outputs it") {
+    val dir = Files.createTempDirectory("graft_v1_").toString
+    val good = """{"city":"a","country":"b","latitude":1.0,"longitude":2.0,"weather":{"version":"3.0","user":"u","dateGenerated":"2025-03-26T02:00:00Z","status":"OK","data":[]}}"""
+    val bad = """{"city":"a","country":"b","latitude":"NOT_A_NUMBER_{","""
+    Files.writeString(Paths.get(dir, "docs.json"), good + "\n" + bad + "\n")
+    // pydantic behavior: the load halts (helper_validate_response.py:36-43)
+    val e = intercept[Exception] {
+      Staging.readStrict(spark, dir).collect()
+    }
+    assert(e.isInstanceOf[AnalysisException] || e.getCause != null)
+    // scalable flavor: good rows load, bad rows land in _corrupt_record
+    val parsed = Staging.readWithCorrupt(spark, dir).cache()
+    assert(parsed.filter(col("_corrupt_record").isNotNull).count() === 1)
+    assert(parsed.filter(col("_corrupt_record").isNull).count() === 1)
+    parsed.unpersist()
+  }
+
+  test("V1 Dataset[EnrichedDoc] parse-as-validation accepts the generated docs") {
+    import spark.implicits._
+    val ds = WeatherGen.docs(spark).drop("file_path").as[WeatherSchema.EnrichedDoc]
+    val d = ds.collect()
+    assert(d.length === 9)
+    assert(d.forall(_.weather.data.length === WeatherGen.params.length))
+  }
+}
