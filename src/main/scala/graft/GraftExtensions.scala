@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.DotProduct
+
+/** Engine extensions: registers the native expressions with Catalyst.
+  * Production path: `.config("spark.sql.extensions", "graft.GraftExtensions")`
+  * (or `.withExtensions(new GraftExtensions)`); `GraftExtensions.ensure`
+  * is the defensive same-JVM path for sessions built without the config.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+  }
+}
+
+object GraftExtensions {
+  /** Idempotent late registration for an already-built session. */
+  def ensure(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot",
+      (children: Seq[Expression]) => DotProduct(children.head, children(1)),
+      "built-in")
+}

@@ -30,12 +30,14 @@ import graft.Tables
   */
 object Embeddings {
 
-  /** Element-wise double view of a float vector column. */
-  private def vd(c: Column): Column = transform(c, x => x.cast("double"))
-  /** Sequential-fold dot product (both engines: per-element double products,
-    * then an ordered sum — see determinism note above). */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential-fold dot product via the native codegen'd expression
+    * (graft.functions.DotProduct — same per-element double products and
+    * left-to-right sum as the `aggregate(zip_with(...))` formulation it
+    * replaced, so oracle results are unchanged; see its scaladoc for the
+    * profiling rationale). Works directly on the float arrays — no
+    * cast-copy of the vector.
+    */
+  private def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
   private def norm(c: Column): Column = sqrt(dot(c, c))
 
   /** Shared oracle CTE: vectors with double view + norm. */
@@ -51,9 +53,10 @@ object Embeddings {
   // parallel; the final per-query top-k is a window over a tiny
   // (n_queries × k × n_partitions)-bounded set — here plain row_number.
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.ensure(spark)
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
-      .select($"vec_id", vd($"embedding").as("v"))
+      .select($"vec_id", $"embedding".as("v"))
       .withColumn("nrm", norm($"v"))
     val q = e.filter($"vec_id" < 5)
       .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
@@ -92,9 +95,10 @@ object Embeddings {
   // doubles); the corpus is written bucketed by `cell`, so a probe scans
   // nprobe/k of the data and the top-k never sees the rest.
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.ensure(spark)
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"label", vd($"embedding").as("v"))
+      .select($"vec_id", $"label", $"embedding".as("v"))
       .withColumn("nrm", norm($"v"))
     // centroids: element-wise mean per label, rounded (see scaladoc)
     val cents = e
@@ -178,9 +182,10 @@ object Embeddings {
   // signatures are one corpus scan + a (vec, plane)-grouped sum, and the
   // candidate join shuffles on (band, chunk) — never all-pairs.
   def lshNearDup(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.ensure(spark)
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
-      .select($"vec_id", vd($"embedding").as("v"))
+      .select($"vec_id", $"embedding".as("v"))
       .withColumn("nrm", norm($"v"))
     // hyperplane weights: w(h, d) = +1 if first hex digit of md5("h|d") < 8
     val planes = broadcast(

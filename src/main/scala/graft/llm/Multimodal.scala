@@ -18,9 +18,8 @@ import graft.Tables
   */
 object Multimodal {
 
-  private def vd(c: Column): Column = transform(c, x => x.cast("double"))
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Native codegen'd dot product (graft.functions.DotProduct). */
+  private def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
   private def norm(c: Column): Column = sqrt(dot(c, c))
 
   // ---------------------------------------------------------------------
@@ -31,6 +30,7 @@ object Multimodal {
   // cosmetic). 100 TB: documents⋈embeddings is a key-equi join on the
   // shared id — co-partitioned/bucketed storage makes it shuffle-free.
   def structJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.ensure(spark)
     import spark.implicits._
     val d = Tables.documents(spark, dir)
     val e = Tables.embeddings(spark, dir)
@@ -41,7 +41,7 @@ object Multimodal {
         $"text",
         struct($"label", $"embedding").as("vec"))
     rec
-      .withColumn("rnrm", round(norm(vd($"vec.embedding")), 6))
+      .withColumn("rnrm", round(norm($"vec.embedding"), 6))
       .groupBy($"meta.source".as("source"))
       .agg(
         count(lit(1)).as("n_recs"),

@@ -106,20 +106,23 @@ object TextAnalysis {
   def langId(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    val bigrams = docs
+    // one heavy explode, immediately reduced to per-doc bigram counts;
+    // profile building and scoring both reuse this small relation
+    val docBg = docs
       .select($"doc_id", $"lang",
         explode(expr("transform(sequence(1, length(text) - 1), i -> substr(text, i, 2))")).as("bg"))
+      .groupBy($"doc_id", $"lang", $"bg").agg(count(lit(1)).as("n"))
     val wProf = Window.partitionBy($"lang").orderBy($"cnt".desc, $"bg".asc)
-    val profile = bigrams
-      .groupBy($"lang", $"bg").agg(count(lit(1)).as("cnt"))
+    val profile = docBg
+      .groupBy($"lang", $"bg").agg(sum($"n").as("cnt"))
       .withColumn("rk", row_number().over(wProf))
       .filter($"rk" <= 20)
       .select($"lang".as("profile_lang"), $"bg")
     val wPred = Window.partitionBy($"doc_id").orderBy($"hits".desc, $"profile_lang".asc)
-    val scored = bigrams
+    val scored = docBg
       .join(broadcast(profile), Seq("bg"))
       .groupBy($"doc_id", $"lang", $"profile_lang")
-      .agg(count(lit(1)).as("hits"))
+      .agg(sum($"n").as("hits"))
       .withColumn("rk", row_number().over(wPred))
       .filter($"rk" === 1)
     scored
