@@ -22,15 +22,32 @@ object EventWindows {
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
   private def d2(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
 
+  /** The tumbling aggregation as a mode-agnostic transform: applied to a
+    * batch read below, and to a watermarked `readStream` in
+    * graft.streaming.EventStreams — the SAME declarative plan drives both
+    * execution modes (proven equivalent in StreamingSpec).
+    */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), d2(sum(dec(col("value")))).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Session aggregation as a mode-agnostic transform (see tumblingAgg). */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), d2(sum(dec(col("value")))).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+
   // ---------------------------------------------------------------------
   // EV1 tumbling window: 1-hour buckets per event_type. One shuffle on
   // (bucket, type) with partial aggregation — the scale-canonical shape.
   def tumbling(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.events(spark, dir)
-      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
-      .agg(count(lit(1)).as("n_events"), d2(sum(dec($"value"))).as("sum_value"))
-      .select($"w.start".as("window_start"), $"event_type", $"n_events", $"sum_value")
+    tumblingAgg(Tables.events(spark, dir))
       .orderBy($"window_start", $"event_type")
   }
 
@@ -74,10 +91,7 @@ object EventWindows {
   // 100 TB: one shuffle on user_id; state per key is bounded by the gap.
   def session(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.events(spark, dir)
-      .groupBy(session_window($"ts", "10 minutes").as("w"), $"user_id")
-      .agg(count(lit(1)).as("n_events"), d2(sum(dec($"value"))).as("sum_value"))
-      .select($"user_id", $"w.start".as("session_start"), $"n_events", $"sum_value")
+    sessionAgg(Tables.events(spark, dir))
       .orderBy($"user_id", $"session_start")
   }
 
