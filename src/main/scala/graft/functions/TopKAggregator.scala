@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** A scored candidate flowing into the top-k aggregation. */
+case class Scored(cid: Long, sim: Double)
+
+/** Bounded top-k aggregator: keeps the k best (sim DESC, cid ASC) rows per
+  * group with map-side partial aggregation.
+  *
+  * Why (SURVEY.md §2.8): per-query top-k via
+  * `row_number().over(Window.partitionBy(qid))` shuffles EVERY candidate
+  * row to the handful of query partitions — with few queries and a huge
+  * corpus that is maximal skew. As an Aggregator the buffer is a k-element
+  * list, partials combine associatively on the map side, and only
+  * n_partitions × k rows cross the exchange. Deterministic: the ordering
+  * (sim desc, cid asc) is total, so the result is input-order-independent.
+  */
+class TopKAggregator(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+
+  private def best(xs: Seq[Scored]): Seq[Scored] =
+    xs.sortBy(s => (-s.sim, s.cid)).take(k)
+
+  override def zero: Seq[Scored] = Seq.empty
+  override def reduce(buf: Seq[Scored], a: Scored): Seq[Scored] = best(buf :+ a)
+  override def merge(b1: Seq[Scored], b2: Seq[Scored]): Seq[Scored] = best(b1 ++ b2)
+  override def finish(reduction: Seq[Scored]): Seq[Scored] = reduction
+  override def bufferEncoder: Encoder[Seq[Scored]] = ExpressionEncoder[Seq[Scored]]()
+  override def outputEncoder: Encoder[Seq[Scored]] = bufferEncoder
+}

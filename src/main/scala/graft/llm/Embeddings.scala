@@ -50,11 +50,15 @@ object Embeddings {
   // ---------------------------------------------------------------------
   // E1 brute-force cosine top-k: queries vec_id < 5 vs the rest of the
   // corpus. 100 TB: broadcast(query) × corpus scan is embarrassingly
-  // parallel; the final per-query top-k is a window over a tiny
-  // (n_queries × k × n_partitions)-bounded set — here plain row_number.
+  // parallel, and the per-query top-k is the bounded TopKAggregator
+  // (map-side partial top-k; only n_partitions × k rows cross the
+  // exchange) — a row_number window here would shuffle the WHOLE scored
+  // corpus onto n_queries partitions, maximal skew at scale.
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
     graft.GraftExtensions.ensure(spark)
     import spark.implicits._
+    val topk = udaf(new graft.functions.TopKAggregator(5),
+      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
     val e = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding".as("v"))
       .withColumn("nrm", norm($"v"))
@@ -62,12 +66,12 @@ object Embeddings {
       .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
     val c = e.filter($"vec_id" >= 5)
       .select($"vec_id".as("cid"), $"v".as("cv"), $"nrm".as("cn"))
-    val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid".asc)
     c.join(broadcast(q))
       .withColumn("sim", round(dot($"qv", $"cv") / ($"qn" * $"cn"), 6))
-      .withColumn("rnk", row_number().over(w))
-      .filter($"rnk" <= 5)
-      .select($"qid", $"rnk", $"cid", $"sim")
+      .groupBy($"qid")
+      .agg(topk($"cid", $"sim").as("top"))
+      .select($"qid", posexplode($"top").as(Seq("pos", "s")))
+      .select($"qid", ($"pos" + 1).as("rnk"), $"s.cid".as("cid"), $"s.sim".as("sim"))
       .orderBy($"qid", $"rnk")
   }
 

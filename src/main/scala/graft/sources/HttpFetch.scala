@@ -1,0 +1,64 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.time.{Duration, Instant}
+import java.time.format.DateTimeFormatter
+import java.util.Base64
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** S1 http-source (reference meteomatics_get_data.py:63-99): the
+  * Meteomatics-style REST fetch — URL template
+  * `base/{start--end:PT1H}/{params}/{lat},{lon}/json` (:66-70) with basic
+  * auth, non-2xx → raise (:72-78).
+  *
+  * At the reference's volume (3 calls/day) this runs on the driver; the
+  * `fetchMany` fan-out is the 100 TB shape — URLs distributed to executors
+  * via mapPartitions, one HttpClient per partition, results landing as a
+  * Dataset[String] that `spark.read.schema(...).json(ds)` parses with the
+  * V1 gate. Zero-egress container: exercised against a loopback server in
+  * HttpFetchSpec.
+  */
+object HttpFetch extends Serializable {
+
+  private val fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
+    .withZone(java.time.ZoneOffset.UTC)
+
+  /** URL template of meteomatics_get_data.py:66-70. */
+  def buildUrl(base: String, start: Instant, end: Instant,
+               params: Seq[String], lat: Double, lon: Double): String =
+    s"$base/${fmt.format(start)}--${fmt.format(end)}:PT1H/${params.mkString(",")}/$lat,$lon/json"
+
+  def basicAuth(user: String, password: String): String =
+    "Basic " + Base64.getEncoder.encodeToString(
+      s"$user:$password".getBytes(StandardCharsets.UTF_8))
+
+  /** One GET; non-2xx raises like the reference's response check. */
+  def fetchJson(url: String, user: String, password: String,
+                timeoutSec: Long = 10): String = {
+    val client = HttpClient.newBuilder()
+      .connectTimeout(Duration.ofSeconds(timeoutSec)).build()
+    val req = HttpRequest.newBuilder(URI.create(url))
+      .header("Authorization", basicAuth(user, password))
+      .timeout(Duration.ofSeconds(timeoutSec))
+      .GET().build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2)
+      throw new RuntimeException(s"HTTP ${resp.statusCode()} fetching $url")
+    resp.body()
+  }
+
+  /** Executor-side fan-out: each partition fetches its slice of URLs.
+    * Partition count bounds fetch concurrency (rate limiting by
+    * repartition(n)); a failed URL fails its task → Spark retry semantics.
+    */
+  def fetchMany(spark: SparkSession, urls: Seq[String],
+                user: String, password: String): Dataset[String] = {
+    import spark.implicits._
+    spark.createDataset(urls).mapPartitions { it =>
+      it.map(u => fetchJson(u, user, password))
+    }
+  }
+}
