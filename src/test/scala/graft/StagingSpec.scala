@@ -69,6 +69,22 @@ class StagingSpec extends SparkSpec {
     assert(back.filter(col("file_modified").isNull).count() === 0)
   }
 
+  test("S7 clustered write: date layout gives the facts partition pruning") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_s7_").toString
+    val stg = Staging.flatten(WeatherGen.docs(spark))
+    Staging.writeStaging(stg, root)
+    val back = spark.read.parquet(root)
+    assert(back.count() === stg.count())
+    // P4-style date filter must prune partitions, not scan them
+    val pruned = back.filter($"reading_date" === "2025-03-26")
+    val scan = pruned.queryExecution.executedPlan.toString
+    val partFilters = scan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(partFilters.contains("reading_date"), scan.take(1500))
+    assert(pruned.count() ===
+      stg.filter(to_date($"reading_datetime") === "2025-03-26").count())
+  }
+
   test("V1 FAILFAST raises on a malformed doc; PERMISSIVE side-outputs it") {
     val dir = Files.createTempDirectory("graft_v1_").toString
     val good = """{"city":"a","country":"b","latitude":1.0,"longitude":2.0,"weather":{"version":"3.0","user":"u","dateGenerated":"2025-03-26T02:00:00Z","status":"OK","data":[]}}"""
