@@ -84,6 +84,21 @@ object Staging {
   def writeRaw(docs: DataFrame, path: String): Unit =
     docs.write.mode("overwrite").partitionBy("country", "city").json(path)
 
+  /** S3 raw sink at the reference's OBJECT granularity: one file per
+    * (location, run date) — meteomatics_get_data.py:108 names each upload
+    * weather_raw_{city}_{country}_{date}.json. The repartition gives each
+    * (country, city, run) exactly one part file, which keeps file_path a
+    * valid unique-key component downstream (SURVEY §1.2 note).
+    */
+  def writeRawByRun(docs: DataFrame, path: String): Unit = {
+    val withRun = docs.withColumn("run_date",
+      substring(col("weather.dateGenerated"), 1, 10))
+    withRun
+      .repartition(col("country"), col("city"), col("run_date"))
+      .write.mode("overwrite")
+      .partitionBy("country", "city", "run_date").json(path)
+  }
+
   /** S6 incremental upsert on the staging unique_key (file_path, parameter,
     * reading_datetime — stg_weather_raw.sql:5): union existing + incoming
     * and keep the freshest `file_modified` per key (the W1 shape again).
