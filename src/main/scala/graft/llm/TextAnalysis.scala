@@ -184,15 +184,68 @@ object TextAnalysis {
       |SELECT doc_id, n_tok, fp, COUNT(*) OVER (PARTITION BY fp) AS fp_dupes
       |FROM h ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // T5 TF-IDF: term scoring against corpus document frequencies — the
+  // classic retrieval/featurization primitive (tf = term count / doc
+  // tokens; idf = ln(N/df); top-3 terms per doc by rounded score).
+  // Determinism: tf and N/df are exact-int ratios, ln is IEEE libm in both
+  // engines (round 6 absorbs last-ulp variance), ranking is on the
+  // ROUNDED score with a term-text tiebreak. 100 TB: df is a tiny
+  // (vocab-sized) broadcast dim; everything else is per-doc map work +
+  // one bounded top-k per doc.
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count()
+    val terms = docs
+      .select($"doc_id", size(split($"text", " ")).as("n_tok"),
+        explode(split($"text", " ")).as("term"))
+      .groupBy($"doc_id", $"n_tok", $"term").agg(count(lit(1)).as("tf_count"))
+    val df = terms.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
+    val wTop = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term".asc)
+    terms.join(broadcast(df), Seq("term"))
+      .withColumn("score", round(
+        ($"tf_count".cast("double") / $"n_tok")
+          * log(lit(n).cast("double") / $"df"), 6))
+      .withColumn("rk", row_number().over(wTop))
+      .filter($"rk" <= 3)
+      .select($"doc_id", $"rk", $"term", $"tf_count", $"df", $"score")
+      .orderBy($"doc_id", $"rk")
+  }
+
+  val tfidfSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+      |    unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tc AS (
+      |  SELECT doc_id, n_tok, term, COUNT(*) AS tf_count
+      |  FROM terms GROUP BY 1, 2, 3),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tc GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT tc.doc_id, tc.term, tc.tf_count, df.df,
+      |    round((tc.tf_count::DOUBLE / tc.n_tok) * ln(n.n::DOUBLE / df.df), 6) AS score
+      |  FROM tc JOIN df USING (term) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT doc_id, term, tf_count, df, score,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+      |  FROM scored)
+      |SELECT doc_id, rk, term, tf_count, df, score
+      |FROM ranked WHERE rk <= 3
+      |ORDER BY doc_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_tokens"      -> (tokenCounts _),
     "ta_quality"     -> (qualityScore _),
     "ta_langid"      -> (langId _),
-    "ta_fingerprint" -> (fingerprint _))
+    "ta_fingerprint" -> (fingerprint _),
+    "ta_tfidf"       -> (tfidf _))
 
   val oracles: Map[String, String] = Map(
     "ta_tokens"      -> tokenCountsSql,
     "ta_quality"     -> qualityScoreSql,
     "ta_langid"      -> langIdSql,
-    "ta_fingerprint" -> fingerprintSql)
+    "ta_fingerprint" -> fingerprintSql,
+    "ta_tfidf"       -> tfidfSql)
 }

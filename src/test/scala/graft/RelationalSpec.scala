@@ -68,6 +68,47 @@ class RelationalSpec extends SparkSpec {
     assert(dupStarts.isEmpty)
   }
 
+  test("salted join and salted aggregation equal their plain counterparts") {
+    import spark.implicits._
+    // decimal money values: sums must be exact so plain vs salted grouping
+    // order cannot produce last-ulp differences
+    val o = Tables.orders(spark, sfDir)
+      .select($"o_custkey", $"o_totalprice".cast("decimal(12,2)").as("o_totalprice"))
+    val c = Tables.customer(spark, sfDir).select($"c_custkey".as("o_custkey"), $"c_mktsegment")
+    val plainJ = o.join(c, Seq("o_custkey"))
+    val saltedJ = graft.ops.Skew.saltedJoin(o, c, "o_custkey", buckets = 8)
+    assert(saltedJ.count() === plainJ.count())
+    assert(saltedJ.exceptAll(plainJ).isEmpty && plainJ.exceptAll(saltedJ).isEmpty)
+    val plainA = o.groupBy($"o_custkey")
+      .agg(sum($"o_totalprice").as("sum_value"), count(lit(1)).as("n_rows"))
+    val saltedA = graft.ops.Skew.saltedSumCount(o, "o_custkey", "o_totalprice", buckets = 8)
+    assert(saltedA.exceptAll(plainA).isEmpty && plainA.exceptAll(saltedA).isEmpty)
+  }
+
+  test("bucketed co-located join plans no shuffle exchange") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Tables.orders(spark, sfDir).write.mode("overwrite")
+        .bucketBy(4, "o_orderkey").sortBy("o_orderkey").saveAsTable("orders_bkt")
+      Tables.lineitem(spark, sfDir).select($"l_orderkey", $"l_quantity")
+        .write.mode("overwrite")
+        .bucketBy(4, "l_orderkey").sortBy("l_orderkey").saveAsTable("lineitem_bkt")
+      val j = spark.table("lineitem_bkt")
+        .join(spark.table("orders_bkt"), $"l_orderkey" === $"o_orderkey")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "bucketed-by-join-key tables must co-locate without a shuffle:\n" + plan.take(1500))
+      assert(j.count() === Tables.lineitem(spark, sfDir).count())
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+    }
+  }
+
   test("A3 cube emits all four grouping combinations consistently") {
     import spark.implicits._
     val cube = Relational.a3Cube(spark, sfDir).cache()
