@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout}
 import org.apache.spark.sql.Row
 
 import graft.ops.EventWindows
@@ -45,4 +45,27 @@ object EventStreams {
       .option("path", path)
       .option("checkpointLocation", checkpoint)
       .format("parquet")
+
+  /** Custom streaming state via mapGroupsWithState (the escape hatch the
+    * built-in windows can't express): per-user running count + max value,
+    * carried across micro-batches in GroupState. The reference needs no
+    * custom state (SURVEY §2.7); this is the extension point, with state
+    * bounded at one tiny record per user key.
+    */
+  def runningUserStats(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), (Long, Long, Double)](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          val (n0, max0) = state.getOption.getOrElse((0L, Double.MinValue))
+          var n = n0
+          var mx = max0
+          rows.foreach { case (_, v) => n += 1; mx = math.max(mx, v) }
+          state.update((n, mx))
+          (uid, n, mx)
+      }
+      .toDF("user_id", "n_events", "max_value")
+  }
 }

@@ -39,6 +39,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState carries per-user state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val stream = EventStreams.runningUserStats(
+      input.toDF.toDF("ts", "user_id", "value"))
+    val q = stream.writeStream.format("memory")
+      .queryName("stream_state").outputMode("update").start()
+    try {
+      input.addData((ts("2024-01-01 10:00:00"), 1L, 5.0), (ts("2024-01-01 10:01:00"), 1L, 3.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 10:02:00"), 1L, 4.0)) // smaller than batch-1 max
+      q.processAllAvailable()
+      // update mode: latest row per key is the live state
+      val last = spark.table("stream_state").collect()
+        .filter(_.getLong(0) == 1L).maxBy(_.getLong(1))
+      assert(last.getLong(1) === 3L, "count accumulated across batches")
+      assert(last.getDouble(2) === 5.0, "max remembered from the earlier batch")
+    } finally q.stop()
+  }
+
+  test("file-source stream: watermark finalizes windows into the parquet sink") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_fs_").toString
+    val srcDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    new java.io.File(srcDir).mkdirs()
+    val schemaDf = Seq((ts("2024-01-01 10:05:00"), "click", 1.0))
+      .toDF("ts", "event_type", "value")
+    // batch 1: one early window
+    schemaDf.write.mode("append").parquet(srcDir)
+    val src = spark.readStream.schema(schemaDf.schema).parquet(srcDir)
+    val q = EventStreams.toParquetSink(
+      EventStreams.tumblingStream(src), outDir, ckpt).start()
+    try {
+      q.processAllAvailable()
+      // batch 2: events 3 hours later push the watermark past window 1
+      Seq((ts("2024-01-01 13:30:00"), "click", 2.0))
+        .toDF("ts", "event_type", "value").write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      val out = spark.read.parquet(outDir)
+      assert(out.count() === 1, "exactly the finalized 10:00 window is emitted")
+      assert(out.head.getAs[Long]("n_events") === 1L)
+    } finally q.stop()
+  }
+
   test("session aggregation: streaming equals batch, gap closes sessions") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
