@@ -112,6 +112,7 @@ object TextAnalysis {
       .select($"doc_id", $"lang",
         explode(expr("transform(sequence(1, length(text) - 1), i -> substr(text, i, 2))")).as("bg"))
       .groupBy($"doc_id", $"lang", $"bg").agg(count(lit(1)).as("n"))
+      .cache() // consumed twice (profile build + scoring) — one explode, not two
     val wProf = Window.partitionBy($"lang").orderBy($"cnt".desc, $"bg".asc)
     val profile = docBg
       .groupBy($"lang", $"bg").agg(sum($"n").as("cnt"))
@@ -201,6 +202,7 @@ object TextAnalysis {
       .select($"doc_id", size(split($"text", " ")).as("n_tok"),
         explode(split($"text", " ")).as("term"))
       .groupBy($"doc_id", $"n_tok", $"term").agg(count(lit(1)).as("tf_count"))
+      .cache() // consumed twice (df computation + scoring join)
     val df = terms.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
     val wTop = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term".asc)
     terms.join(broadcast(df), Seq("term"))
