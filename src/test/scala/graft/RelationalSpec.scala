@@ -109,6 +109,22 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("sketch aggregates track exact answers within tolerance (HLL, quantiles)") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val exact = ev.select(countDistinct($"user_id")).head.getLong(0)
+    val approx = ev.select(approx_count_distinct($"user_id", rsd = 0.02)).head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"HLL estimate $approx vs exact $exact")
+    val Array(p50, p95) = ev.select(percentile_approx($"value",
+      array(lit(0.5), lit(0.95)), lit(10000))).head.getSeq[Double](0).toArray
+    val n = ev.count()
+    val below50 = ev.filter($"value" <= p50).count().toDouble / n
+    val below95 = ev.filter($"value" <= p95).count().toDouble / n
+    assert(math.abs(below50 - 0.5) < 0.02, s"p50=$p50 covers $below50")
+    assert(math.abs(below95 - 0.95) < 0.02, s"p95=$p95 covers $below95")
+  }
+
   test("A3 cube emits all four grouping combinations consistently") {
     import spark.implicits._
     val cube = Relational.a3Cube(spark, sfDir).cache()
