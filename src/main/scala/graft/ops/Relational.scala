@@ -296,6 +296,44 @@ object Relational {
       |ORDER BY e.event_id""".stripMargin
 
   // -------------------------------------------------------------------------
+  // J6 band (range) join: events within 3 days after the same user's order.
+  // Spark-first shape: the EQUI key (user_id) drives a hash/SMJ join and
+  // the band predicate is a post-join filter — never a broadcast-nested-
+  // loop. At 100 TB add bucketing on the equi key; for band-only joins
+  // (no equi key) the technique is bucketizing the range into epochs and
+  // joining on the epoch (same banding shape as the LSH operators).
+  def j6BandJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
+    val buys = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("buy_id"), $"ts".as("buy_ts"))
+    buys.join(clicks,
+        Seq("user_id"))
+      .filter($"click_ts" >= $"buy_ts" - expr("INTERVAL 1 HOUR") && $"click_ts" < $"buy_ts")
+      .groupBy($"user_id")
+      .agg(
+        countDistinct($"buy_id").as("n_attributed_buys"),
+        countDistinct($"click_id").as("n_attributing_clicks"),
+        count(lit(1)).as("n_pairs"))
+      .orderBy($"user_id")
+  }
+
+  val j6BandJoinSql: String =
+    """SELECT b.user_id,
+      |  COUNT(DISTINCT b.event_id) AS n_attributed_buys,
+      |  COUNT(DISTINCT c.event_id) AS n_attributing_clicks,
+      |  COUNT(*) AS n_pairs
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') b
+      |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON b.user_id = c.user_id
+      | AND c.ts >= b.ts - INTERVAL 1 HOUR
+      | AND c.ts < b.ts
+      |GROUP BY b.user_id
+      |ORDER BY b.user_id""".stripMargin
+
+  // -------------------------------------------------------------------------
   // O1 top-k (TakeOrderedAndProject — no global sort at scale).
   def o1TopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -427,6 +465,7 @@ object Relational {
     "j3_semi_anti"  -> (j3SemiAnti _),
     "j4_outer"      -> (j4Outer _),
     "j5_asof"       -> (j5AsOf _),
+    "j6_band_join"  -> (j6BandJoin _),
     "o1_topk"       -> (o1TopK _),
     "so1_setops"    -> (so1SetOps _),
     "w1_latest_per_key" -> (w1LatestPerKey _),
@@ -444,6 +483,7 @@ object Relational {
     "j3_semi_anti"  -> j3SemiAntiSql,
     "j4_outer"      -> j4OuterSql,
     "j5_asof"       -> j5AsOfSql,
+    "j6_band_join"  -> j6BandJoinSql,
     "o1_topk"       -> o1TopKSql,
     "so1_setops"    -> so1SetOpsSql,
     "w1_latest_per_key" -> w1LatestPerKeySql,
