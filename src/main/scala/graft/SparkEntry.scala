@@ -26,7 +26,8 @@ object SparkEntry {
     llm.TextDedup.queries ++
     llm.Embeddings.queries ++
     llm.TextAnalysis.queries ++
-    llm.Multimodal.queries
+    llm.Multimodal.queries ++
+    llm.Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -40,5 +41,6 @@ object SparkEntry {
     llm.TextDedup.oracles ++
     llm.Embeddings.oracles ++
     llm.TextAnalysis.oracles ++
-    llm.Multimodal.oracles
+    llm.Multimodal.oracles ++
+    llm.Curation.oracles
 }

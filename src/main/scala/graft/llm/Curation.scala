@@ -1,0 +1,198 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-curation operators: the decisions a training-data pipeline makes
+  * AFTER analysis/dedup — splitting, winner selection, duplicate-cluster
+  * resolution, and sequence packing.
+  *
+  * Determinism contract: md5-derived bucketing (identical in DuckDB),
+  * integer window arithmetic, and the same 6-dp rounding discipline as the
+  * sibling modules.
+  */
+object Curation {
+
+  // ---------------------------------------------------------------------
+  // C1 deterministic train/val/test split: hash-mod bucketing on doc_id
+  // (md5 → int64 → mod 100; 80/10/10). Content-independent and stable
+  // across runs/engines — the property a reproducible pipeline needs.
+  // 100 TB: pure map-side; the split column also serves as a partition key
+  // for the output layout.
+  def splitCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("bucket",
+        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+      .withColumn("split",
+        when($"bucket" < 80, "train").when($"bucket" < 90, "val").otherwise("test"))
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      .orderBy($"split", $"lang")
+  }
+
+  val splitSql: String =
+    """WITH b AS (
+      |  SELECT lang, n_chars,
+      |    CAST(list_sum(list_transform([1,2,3,4,5,6,7,8], i ->
+      |      CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+      |        * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT) % 100 AS bucket
+      |  FROM documents)
+      |SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+      |  lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+      |FROM b GROUP BY split, lang ORDER BY split, lang""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // C2 quality-aware dedup winner: within each exact-duplicate group keep
+  // the HIGHEST-quality copy (not the lowest id) — composition of the
+  // exact-dedup shape (L1) with the quality signal (T2). Ties break on
+  // doc_id, so the winner is total-order deterministic.
+  def dedupBest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = Tables.documents(spark, dir)
+      .withColumn("toks", split($"text", " "))
+      .withColumn("n_tok", size($"toks"))
+      .withColumn("n_stop", size(filter($"toks", t => t === "the" || t === "a")))
+      .withColumn("n_alpha", length(regexp_replace($"text", "[^a-z]", "")))
+      .withColumn("quality", round(
+        lit(0.4) * (lit(1.0) - $"n_stop".cast("double") / $"n_tok")
+          + lit(0.3) * ($"n_alpha".cast("double") / $"n_chars")
+          + lit(0.3) * least($"n_tok".cast("double") / 100.0, lit(1.0)), 6))
+    val w = Window.partitionBy(md5($"text")).orderBy($"quality".desc, $"doc_id".asc)
+    q.withColumn("rn", row_number().over(w))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"rn" === 1, 1L).otherwise(0L)).as("n_survivors"),
+        round(avg(when($"rn" === 1, $"quality")), 6).as("avg_survivor_quality"))
+      .orderBy($"source")
+  }
+
+  val dedupBestSql: String =
+    """WITH q AS (
+      |  SELECT doc_id, source, text,
+      |    round(0.4 * (1.0 - len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a'))::DOUBLE
+      |                        / len(string_split(text, ' ')))
+      |        + 0.3 * (len(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / n_chars)
+      |        + 0.3 * least(len(string_split(text, ' '))::DOUBLE / 100.0, 1.0), 6) AS quality
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, quality,
+      |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY quality DESC, doc_id ASC) AS rn
+      |  FROM q)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_survivors,
+      |  round(AVG(CASE WHEN rn = 1 THEN quality END), 6) AS avg_survivor_quality
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // C3 duplicate-cluster connected components: the near-dup PAIRS from the
+  // MinHash/LSH pass form a graph whose components are the real "document
+  // families"; resolution = iterative min-label propagation (the Pregel/
+  // GraphX connected-components algorithm expressed relationally). The
+  // driver loop only coordinates ROUNDS and checks a converged COUNT — no
+  // data is collected; rounds needed = graph diameter (tiny for dup
+  // cliques). The DuckDB oracle computes the same components with a
+  // recursive CTE.
+  // 100 TB: each round is one shuffle join on doc_id; label frames stay
+  // node-sized (not edge-sized).
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = TextDedup.minhashLsh(spark, dir)
+      .select($"doc_a", $"doc_b").cache()
+    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .unionByName(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .cache()
+    val nodes = edges.select($"src".as("doc_id")).distinct()
+    var labels = nodes.withColumn("lbl", $"doc_id").cache()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("lbl", "dst_lbl"), Seq("dst"))
+        .groupBy($"src".as("doc_id")).agg(min($"dst_lbl").as("nb_lbl"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select($"doc_id", least($"lbl", coalesce($"nb_lbl", $"lbl")).as("lbl"))
+        .cache()
+      converged = next.join(labels.withColumnRenamed("lbl", "old"), Seq("doc_id"))
+        .filter($"lbl" =!= $"old").isEmpty
+      labels = next
+      rounds += 1
+    }
+    labels
+      .groupBy($"lbl".as("cluster_root"))
+      .agg(count(lit(1)).as("n_members"), max($"doc_id").as("max_doc"))
+      .filter($"n_members" >= 2)
+      .orderBy($"cluster_root")
+  }
+
+  val dupClustersSql: String =
+    "WITH RECURSIVE pairs AS (\n" +
+      // the minhash query keeps its own inner WITH — a parenthesized
+      // subquery may carry one; only its final ORDER BY must go
+      TextDedup.minhashLshSql.replace("ORDER BY doc_a, doc_b", "") +
+    """
+      |),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION
+      |  SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |lbl AS (
+      |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS root
+      |  FROM reach GROUP BY src)
+      |SELECT root AS cluster_root, COUNT(*) AS n_members, MAX(doc_id) AS max_doc
+      |FROM lbl GROUP BY root HAVING COUNT(*) >= 2
+      |ORDER BY cluster_root""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // C4 sequence packing: fill fixed token-budget bins (context windows) in
+  // doc_id order within each source — bin = floor(start_offset / budget)
+  // over a running token count, the relational form of greedy sequential
+  // packing. Per-source windows keep it parallel (one global window would
+  // single-thread the cumsum at scale).
+  def pack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val budget = 2048L
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .withColumn("n_tok", size(split($"text", " ")).cast("long"))
+      .withColumn("cum", sum($"n_tok").over(w))
+      .withColumn("bin", (($"cum" - $"n_tok") / budget).cast("long"))
+      .groupBy($"source", $"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("sum_tokens"))
+      .orderBy($"source", $"bin")
+  }
+
+  val packSql: String =
+    """WITH t AS (
+      |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, n_tok,
+      |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |                     ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM t)
+      |SELECT source, (cum - n_tok) // 2048 AS bin,
+      |  COUNT(*) AS n_docs, SUM(n_tok) AS sum_tokens
+      |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_split"        -> (splitCorpus _),
+    "cur_dedup_best"   -> (dedupBest _),
+    "cur_dup_clusters" -> (dupClusters _),
+    "cur_pack"         -> (pack _))
+
+  val oracles: Map[String, String] = Map(
+    "cur_split"        -> splitSql,
+    "cur_dedup_best"   -> dedupBestSql,
+    "cur_dup_clusters" -> dupClustersSql,
+    "cur_pack"         -> packSql)
+}

@@ -103,6 +103,39 @@ class LlmSpec extends SparkSpec {
     assert(q.filter($"quality" < 0 || $"quality" > 1).isEmpty)
   }
 
+  test("corpus split covers every doc once with ~80/10/10 proportions") {
+    import spark.implicits._
+    val s = llm.Curation.splitCorpus(spark, sfDir).cache()
+    val total = Tables.documents(spark, sfDir).count()
+    assert(s.agg(sum($"n_docs")).head.getLong(0) === total)
+    val train = s.filter($"split" === "train").agg(sum($"n_docs")).head.getLong(0)
+    assert(math.abs(train.toDouble / total - 0.8) < 0.08, s"train frac ${train.toDouble / total}")
+    s.unpersist()
+  }
+
+  test("dup clusters: every minhash pair lands in one cluster; sizes >= 2") {
+    import spark.implicits._
+    val pairs = llm.TextDedup.minhashLsh(spark, sfDir).select($"doc_a", $"doc_b")
+    val clusters = llm.Curation.dupClusters(spark, sfDir).cache()
+    assert(clusters.filter($"n_members" < 2).isEmpty)
+    // members across clusters = distinct docs in the pair graph
+    val nodes = pairs.select($"doc_a".as("d")).unionByName(pairs.select($"doc_b".as("d")))
+      .distinct().count()
+    assert(clusters.agg(sum($"n_members")).head.getLong(0) === nodes)
+    clusters.unpersist()
+  }
+
+  test("sequence packing: bins respect the budget start-offsets, all docs packed") {
+    import spark.implicits._
+    val packed = llm.Curation.pack(spark, sfDir).cache()
+    val total = Tables.documents(spark, sfDir).count()
+    assert(packed.agg(sum($"n_docs")).head.getLong(0) === total)
+    // bins are dense per source starting at 0
+    val firstBins = packed.groupBy($"source").agg(min($"bin").as("b0"))
+    assert(firstBins.filter($"b0" =!= 0).isEmpty)
+    packed.unpersist()
+  }
+
   test("langid confusion matrix covers every document exactly once") {
     import spark.implicits._
     val total = Tables.documents(spark, sfDir).count()
