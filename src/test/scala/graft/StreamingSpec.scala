@@ -84,6 +84,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpointed file source IS the S5 incremental: reruns skip seen files") {
+    import graft.streaming.WeatherIngestStream
+    import graft.weather.{Staging, WeatherGen}
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_ing_").toString
+    val raw = s"$base/raw"; val out = s"$base/staging"; val ckpt = s"$base/ckpt"
+    val all = WeatherGen.docs(spark)
+    val firstTwo = all.filter(substring(col("weather.dateGenerated"), 1, 10) =!= "2025-03-28")
+
+    // day 1: 6 docs land; stream drains them
+    Staging.writeRawByRun(firstTwo.drop("file_path"), raw)
+    def drain(): Unit = {
+      val q = WeatherIngestStream.incrementalLoad(
+        WeatherIngestStream.stagingStream(
+          WeatherIngestStream.rawStream(spark, raw)), out, ckpt).start()
+      q.awaitTermination()
+    }
+    drain()
+    val day1 = spark.read.parquet(out).count()
+    assert(day1 === 6L * 4 * 73, "6 docs x 4 params x 73 hours")
+
+    // day 2: append-land run 2's docs (no overwrite — the landing zone
+    // accumulates like the reference's S3 bucket); rerun processes ONLY them
+    all.filter(substring(col("weather.dateGenerated"), 1, 10) === "2025-03-28")
+      .drop("file_path")
+      .withColumn("run_date", substring(col("weather.dateGenerated"), 1, 10))
+      .repartition(col("country"), col("city"), col("run_date"))
+      .write.mode("append").partitionBy("country", "city", "run_date").json(raw)
+    spark.catalog.refreshByPath(raw)
+    drain()
+    val day2 = spark.read.parquet(out)
+    assert(day2.count() === 9L * 4 * 73, "only run 2 was added — no reprocessing")
+    assert(day2.select("file_path").distinct().count() === 9L)
+  }
+
   test("session aggregation: streaming equals batch, gap closes sessions") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
