@@ -237,17 +237,46 @@ object TextAnalysis {
       |FROM ranked WHERE rk <= 3
       |ORDER BY doc_id, rk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // T6 BPE merge counting: frequencies of ADJACENT token pairs — the
+  // statistic the first iteration of byte-pair-encoding tokenizer training
+  // maximizes (each merge round = recount + pick argmax; one round shown,
+  // the loop is a driver iteration like Curation.dupClusters). Top-20 by
+  // (count desc, pair asc). 100 TB: per-doc map work + one vocab²-bounded
+  // aggregation.
+  def bpePairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(explode(expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1), " +
+          "i -> concat(element_at(split(text, ' '), i), ' ', element_at(split(text, ' '), i + 1)))")).as("pair"))
+      .groupBy($"pair").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"pair".asc)
+      .limit(20)
+  }
+
+  val bpePairsSql: String =
+    """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+      |p AS (
+      |  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i + 1])) AS pair
+      |  FROM t)
+      |SELECT pair, COUNT(*) AS n FROM p GROUP BY pair
+      |ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_tokens"      -> (tokenCounts _),
     "ta_quality"     -> (qualityScore _),
     "ta_langid"      -> (langId _),
     "ta_fingerprint" -> (fingerprint _),
-    "ta_tfidf"       -> (tfidf _))
+    "ta_tfidf"       -> (tfidf _),
+    "ta_bpe_pairs"   -> (bpePairs _))
 
   val oracles: Map[String, String] = Map(
     "ta_tokens"      -> tokenCountsSql,
     "ta_quality"     -> qualityScoreSql,
     "ta_langid"      -> langIdSql,
     "ta_fingerprint" -> fingerprintSql,
-    "ta_tfidf"       -> tfidfSql)
+    "ta_tfidf"       -> tfidfSql,
+    "ta_bpe_pairs"   -> bpePairsSql)
 }

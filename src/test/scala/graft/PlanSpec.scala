@@ -73,6 +73,15 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan.take(2000))
   }
 
+  test("cosine top-k partially aggregates map-side; no window in the plan") {
+    val df = llm.Embeddings.cosineTopK(spark, sfDir)
+    df.count()
+    val plan = planString(df)
+    assert(plan.toLowerCase.contains("partial_topkaggregator"),
+      "the TopKAggregator must run as a partial (map-side) aggregate:\n" + plan.take(1500))
+    assert(!plan.contains("WindowExec"), "no window shuffle in the top-k path")
+  }
+
   test("as-of join plans a single exchange, no broadcast-nested-loop") {
     val df = Relational.j5AsOf(spark, sfDir)
     val plan = planString(df)
