@@ -247,9 +247,10 @@ object TextAnalysis {
   def bpePairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
+      .select(split($"text", " ").as("toks")) // tokenize once, not per lambda element
       .select(explode(expr(
-        "transform(sequence(1, size(split(text, ' ')) - 1), " +
-          "i -> concat(element_at(split(text, ' '), i), ' ', element_at(split(text, ' '), i + 1)))")).as("pair"))
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")).as("pair"))
       .groupBy($"pair").agg(count(lit(1)).as("n"))
       .orderBy($"n".desc, $"pair".asc)
       .limit(20)
