@@ -114,8 +114,14 @@ object Curation {
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("lbl", "dst_lbl"), Seq("dst"))
         .groupBy($"src".as("doc_id")).agg(min($"dst_lbl").as("nb_lbl"))
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+      val prop = labels.join(neighborMin, Seq("doc_id"), "left")
         .select($"doc_id", least($"lbl", coalesce($"nb_lbl", $"lbl")).as("lbl"))
+      // pointer jumping: also adopt the label OF my label — path lengths
+      // halve each round, so convergence is O(log n) rounds instead of
+      // O(diameter) (long dup chains at scale would otherwise dominate)
+      val next = prop.as("x")
+        .join(prop.select($"doc_id".as("lbl"), $"lbl".as("lbl2")).as("m"), Seq("lbl"), "left")
+        .select($"doc_id", least($"lbl", coalesce($"lbl2", $"lbl")).as("lbl"))
         .cache()
       converged = next.join(labels.withColumnRenamed("lbl", "old"), Seq("doc_id"))
         .filter($"lbl" =!= $"old").isEmpty
