@@ -31,6 +31,19 @@ class DotProductSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("graft_dot codegen path compiles — no silent interpreted fallback") {
+    import spark.implicits._
+    GraftExtensions.ensure(spark)
+    // CODEGEN_ONLY turns the silent fallback-to-interpreted into an error,
+    // so a broken doGenCode fails here instead of hiding behind eval()
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val v = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+        .select(call_function("graft_dot", $"a", $"b")).head.getDouble(0)
+      assert(v === 11.0)
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
   test("graft_dot is available via SparkSessionExtensions injection") {
     // a fresh session with the production config path resolves the function
     val s2 = spark.newSession()

@@ -84,6 +84,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: dropDuplicatesWithinWatermark removes cross-batch dupes") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val deduped = input.toDF.toDF("ts", "event_id", "value")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.format("memory")
+      .queryName("stream_dedup").outputMode("append").start()
+    try {
+      input.addData((ts("2024-01-01 10:00:00"), 1L, 5.0), (ts("2024-01-01 10:01:00"), 2L, 1.0))
+      q.processAllAvailable()
+      // same event_id arrives again in a later batch, inside the watermark
+      input.addData((ts("2024-01-01 10:02:00"), 1L, 9.0), (ts("2024-01-01 10:03:00"), 3L, 2.0))
+      q.processAllAvailable()
+      val ids = spark.table("stream_dedup").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L), "the duplicate id=1 arrival was dropped")
+    } finally q.stop()
+  }
+
   test("checkpointed file source IS the S5 incremental: reruns skip seen files") {
     import graft.streaming.WeatherIngestStream
     import graft.weather.{Staging, WeatherGen}
