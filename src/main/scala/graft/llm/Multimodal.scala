@@ -83,6 +83,17 @@ object Multimodal {
         lit("bin16").as("format")))
     val features = decodeStub(media)
     features
+      // resize: aspect-preserving fit into 224x224 — pure integer
+      // arithmetic on the metadata (the pixel work would live in the
+      // decodeStub boundary); guards the degenerate 0-dimension case
+      .withColumn("fit_w", expr(
+        "CASE WHEN mmeta.width >= mmeta.height " +
+          "THEN least(mmeta.width, 224) " +
+          "ELSE CAST(mmeta.width * 224 / greatest(mmeta.height, 1) AS INT) END"))
+      .withColumn("fit_h", expr(
+        "CASE WHEN mmeta.height >= mmeta.width " +
+          "THEN least(mmeta.height, 224) " +
+          "ELSE CAST(mmeta.height * 224 / greatest(mmeta.width, 1) AS INT) END"))
       .withColumn("frames", sequence(lit(0), $"n_chars" % 10))  // fake frame index list
       .withColumn("n_sampled", size(filter($"frames", f => f % 3 === 0)))
       .groupBy($"source")
@@ -91,6 +102,8 @@ object Multimodal {
         sum($"n_bytes").as("sum_bytes"),
         sum($"checksum").as("sum_checksum"),
         max($"mmeta.width").as("max_width"),
+        sum($"fit_w").as("sum_fit_w"),
+        sum($"fit_h").as("sum_fit_h"),
         sum($"n_sampled").as("sum_sampled_frames"))
       .orderBy($"source")
   }
@@ -118,14 +131,25 @@ object Multimodal {
       |    list_sum(list_transform(generate_series(1, 32), i ->
       |      strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1)) AS checksum,
       |    len(list_filter(generate_series(0, n_chars % 10), f -> f % 3 = 0)) AS n_sampled
-      |  FROM documents)
+      |  FROM documents),
+      |fit AS (
+      |  SELECT *,
+      |    CASE WHEN mmeta.width >= mmeta.height
+      |      THEN least(mmeta.width, 224)
+      |      ELSE CAST(mmeta.width * 224 // greatest(mmeta.height, 1) AS INT) END AS fit_w,
+      |    CASE WHEN mmeta.height >= mmeta.width
+      |      THEN least(mmeta.height, 224)
+      |      ELSE CAST(mmeta.height * 224 // greatest(mmeta.width, 1) AS INT) END AS fit_h
+      |  FROM media)
       |SELECT source,
       |  COUNT(*) AS n_media,
       |  SUM(n_bytes) AS sum_bytes,
       |  SUM(checksum) AS sum_checksum,
       |  MAX(mmeta.width) AS max_width,
+      |  SUM(fit_w) AS sum_fit_w,
+      |  SUM(fit_h) AS sum_fit_h,
       |  SUM(n_sampled) AS sum_sampled_frames
-      |FROM media GROUP BY source ORDER BY source""".stripMargin
+      |FROM fit GROUP BY source ORDER BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_struct_join"   -> (structJoin _),
