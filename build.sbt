@@ -14,6 +14,10 @@ Test / fork := true
 // confs (AQE, broadcast threshold) — parallel suites would race on them
 Test / parallelExecution := false
 run / fork := true
+// Forked-run output goes straight to stdout WITHOUT the sbt logger's
+// "[info] " prefix — the driver parses Bench's one-line JSON from stdout
+// and the prefix has broken that parse three rounds running.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

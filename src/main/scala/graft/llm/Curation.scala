@@ -42,7 +42,7 @@ object Curation {
       |        * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT) % 100 AS bucket
       |  FROM documents)
       |SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
-      |  lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+      |  lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM b GROUP BY split, lang ORDER BY split, lang""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -84,7 +84,7 @@ object Curation {
       |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY quality DESC, doc_id ASC) AS rn
       |  FROM q)
       |SELECT source, COUNT(*) AS n_docs,
-      |  SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_survivors,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
       |  round(AVG(CASE WHEN rn = 1 THEN quality END), 6) AS avg_survivor_quality
       |FROM r GROUP BY source ORDER BY source""".stripMargin
 
@@ -101,18 +101,27 @@ object Curation {
   // node-sized (not edge-sized).
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // localCheckpoint (eager) materializes the candidate pairs ONCE and
+    // truncates the minhash lineage — without it every loop round re-plans
+    // the whole LSH pipeline and the plan snowballs.
     val pairs = TextDedup.minhashLsh(spark, dir)
-      .select($"doc_a", $"doc_b").cache()
+      .select($"doc_a", $"doc_b").localCheckpoint()
     val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .unionByName(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
-      .cache()
-    val nodes = edges.select($"src".as("doc_id")).distinct()
-    var labels = nodes.withColumn("lbl", $"doc_id").cache()
+    var labels = edges.select($"src".as("doc_id")).distinct()
+      .withColumn("lbl", $"doc_id").localCheckpoint()
+    // Min-propagation is monotone: a node's label only ever decreases, so
+    // sum(lbl) strictly decreases until the fixed point. One cheap aggregate
+    // per round replaces the old join-based change detection (which was a
+    // full extra shuffle + job every round).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum($"lbl".cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) {
       val neighborMin = edges
-        .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("lbl", "dst_lbl"), Seq("dst"))
+        .join(labels.select($"doc_id".as("dst"), $"lbl".as("dst_lbl")), Seq("dst"))
         .groupBy($"src".as("doc_id")).agg(min($"dst_lbl").as("nb_lbl"))
       val prop = labels.join(neighborMin, Seq("doc_id"), "left")
         .select($"doc_id", least($"lbl", coalesce($"nb_lbl", $"lbl")).as("lbl"))
@@ -122,9 +131,10 @@ object Curation {
       val next = prop.as("x")
         .join(prop.select($"doc_id".as("lbl"), $"lbl".as("lbl2")).as("m"), Seq("lbl"), "left")
         .select($"doc_id", least($"lbl", coalesce($"lbl2", $"lbl")).as("lbl"))
-        .cache()
-      converged = next.join(labels.withColumnRenamed("lbl", "old"), Seq("doc_id"))
-        .filter($"lbl" =!= $"old").isEmpty
+        .localCheckpoint() // eager: one job; each round starts from stored blocks
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       rounds += 1
     }
@@ -186,8 +196,8 @@ object Curation {
       |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
       |                     ROWS UNBOUNDED PRECEDING) AS cum
       |  FROM t)
-      |SELECT source, (cum - n_tok) // 2048 AS bin,
-      |  COUNT(*) AS n_docs, SUM(n_tok) AS sum_tokens
+      |SELECT source, CAST((cum - n_tok) // 2048 AS BIGINT) AS bin,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
       |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -60,7 +60,7 @@ object Multimodal {
       |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)
       |SELECT meta.source AS source,
       |  COUNT(*) AS n_recs,
-      |  SUM(meta.n_chars) AS sum_chars,
+      |  CAST(SUM(meta.n_chars) AS BIGINT) AS sum_chars,
       |  COUNT(DISTINCT vec.label) AS n_labels,
       |  round(AVG(round(sqrt(list_sum(list_transform(vec.embedding, x -> x::DOUBLE * x))), 6)), 6) AS avg_norm
       |FROM rec GROUP BY source ORDER BY source""".stripMargin
@@ -143,12 +143,12 @@ object Multimodal {
       |  FROM media)
       |SELECT source,
       |  COUNT(*) AS n_media,
-      |  SUM(n_bytes) AS sum_bytes,
-      |  SUM(checksum) AS sum_checksum,
-      |  MAX(mmeta.width) AS max_width,
-      |  SUM(fit_w) AS sum_fit_w,
-      |  SUM(fit_h) AS sum_fit_h,
-      |  SUM(n_sampled) AS sum_sampled_frames
+      |  CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes,
+      |  CAST(SUM(checksum) AS BIGINT) AS sum_checksum,
+      |  CAST(MAX(mmeta.width) AS BIGINT) AS max_width,
+      |  CAST(SUM(fit_w) AS BIGINT) AS sum_fit_w,
+      |  CAST(SUM(fit_h) AS BIGINT) AS sum_fit_h,
+      |  CAST(SUM(n_sampled) AS BIGINT) AS sum_sampled_frames
       |FROM fit GROUP BY source ORDER BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

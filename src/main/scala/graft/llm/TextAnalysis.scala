@@ -41,10 +41,10 @@ object TextAnalysis {
   val tokenCountsSql: String =
     """SELECT lang,
       |  COUNT(*) AS n_docs,
-      |  SUM(len(string_split(text, ' '))) AS n_ws_tokens,
-      |  SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS n_re_tokens,
-      |  SUM(len(list_distinct(string_split(text, ' ')))) AS n_distinct_tokens,
-      |  SUM(n_chars) AS n_chars
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_ws_tokens,
+      |  CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS n_re_tokens,
+      |  CAST(SUM(len(list_distinct(string_split(text, ' ')))) AS BIGINT) AS n_distinct_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS n_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------------

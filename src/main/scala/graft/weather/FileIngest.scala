@@ -80,8 +80,8 @@ object FileIngest {
       |  SELECT country, city,
       |    COUNT(DISTINCT file_path) AS n_files,
       |    COUNT(*) AS n_docs,
-      |    SUM(list_sum(list_transform(weather.data, p ->
-      |      list_sum(list_transform(p.coordinates, c -> len(c.dates)))))) AS n_readings
+      |    CAST(SUM(list_sum(list_transform(weather.data, p ->
+      |      list_sum(list_transform(p.coordinates, c -> len(c.dates)))))) AS BIGINT) AS n_readings
       |  FROM raw GROUP BY country, city),
       |fresh AS (
       |  SELECT country, city, COUNT(DISTINCT file_path) AS n_new_files

@@ -62,6 +62,19 @@ def main(sf_dir, out_dir):
         if sorted(spark_cols) != sorted(or_cols):
             ok = False
             msgs.append(f"schema: spark={sorted(spark_cols)} oracle={sorted(or_cols)}")
+        else:
+            # Driver-side comparators may go through pandas/arrow where
+            # DuckDB HUGEINT / DECIMAL render differently than int64
+            # ("123.0" vs "123") — flag physical-type divergence as failure
+            # even though fetchall() hides it (round-3 lesson: 8 queries).
+            sp_types = dict(zip(spark_cols, [str(t) for t in spark_rel.types]))
+            or_types = dict(zip(or_cols, [str(t) for t in or_rel.types]))
+            for c in spark_cols:
+                st, ot = sp_types[c], or_types[c]
+                ints = ("TINYINT", "SMALLINT", "INTEGER", "BIGINT")
+                if st != ot and ((ot in ("HUGEINT", "UHUGEINT") or ot.startswith("DECIMAL")) and st in ints):
+                    ok = False
+                    msgs.append(f"type divergence on {c}: spark={st} oracle={ot} (cast oracle to BIGINT/DOUBLE)")
         if len(spark_rows) != len(or_rows):
             ok = False
             msgs.append(f"rowcount: spark={len(spark_rows)} oracle={len(or_rows)}")
