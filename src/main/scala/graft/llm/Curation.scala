@@ -200,15 +200,103 @@ object Curation {
       |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
       |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // C5 stratified deterministic downsampling: high-resource languages are
+  // kept at a reduced rate (en → 30%), everything else passes — the
+  // standard language-rebalancing step before pre-training. The keep
+  // decision is the same content-independent md5-mod bucket as C1, so the
+  // sample is reproducible across runs AND engines, and pure map-side
+  // (no shuffle until the audit aggregate).
+  def sampleCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("bucket",
+        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+      .withColumn("kept",
+        ($"bucket" < when($"lang" === "en", 30).otherwise(100)).cast("long"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"kept").as("n_kept"),
+        sum(when($"kept" === 1L, $"n_chars").otherwise(0L)).as("kept_chars"))
+      .orderBy($"lang")
+  }
+
+  val sampleSql: String =
+    """WITH b AS (
+      |  SELECT lang, n_chars,
+      |    CAST(list_sum(list_transform([1,2,3,4,5,6,7,8], i ->
+      |      CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+      |        * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT) % 100 AS bucket
+      |  FROM documents),
+      |k AS (
+      |  SELECT lang, n_chars,
+      |    CASE WHEN bucket < (CASE WHEN lang = 'en' THEN 30 ELSE 100 END) THEN 1 ELSE 0 END AS kept
+      |  FROM b)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN kept = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+      |FROM k GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // C6 benchmark decontamination: a corpus document is contaminated if it
+  // shares any word-8-gram with the probe/benchmark set (here: source
+  // 'src0' stands in for the eval benchmark). Implementation is an
+  // inverted-index LEFT SEMI join on the md5 of the 8-gram — the same
+  // bucketed shape as LSH, never an all-pairs comparison.
+  // 100 TB: probe grams are benchmark-sized (small) → Spark broadcasts the
+  // build side of the semi join; corpus grams stream map-side through it.
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val grams8 =
+      expr("""CASE WHEN size(split(text, ' ')) >= 8
+             |THEN transform(sequence(1, size(split(text, ' ')) - 7),
+             |               i -> md5(array_join(slice(split(text, ' '), i, 8), ' ')))
+             |ELSE CAST(array() AS array<string>) END""".stripMargin)
+    val probeGrams = docs.filter($"source" === "src0")
+      .select(explode(grams8).as("g")).distinct()
+    val contaminated = docs.filter($"source" =!= "src0")
+      .select($"doc_id", explode(grams8).as("g"))
+      .join(broadcast(probeGrams), Seq("g"), "left_semi")
+      .select($"doc_id").distinct()
+      .withColumn("hit", lit(1L))
+    docs.filter($"source" =!= "src0")
+      .join(contaminated, Seq("doc_id"), "left")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce($"hit", lit(0L))).as("n_contaminated"))
+      .orderBy($"source")
+  }
+
+  val decontaminateSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 7, 0)),
+      |      i -> md5(array_to_string(list_slice(string_split(text, ' '), i, i + 7), ' '))) AS grams
+      |  FROM documents),
+      |probe AS (SELECT DISTINCT unnest(grams) AS g FROM t WHERE source = 'src0'),
+      |corp AS (SELECT doc_id, source, unnest(grams) AS g FROM t WHERE source <> 'src0'),
+      |contam AS (SELECT DISTINCT doc_id FROM corp WHERE g IN (SELECT g FROM probe))
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM contam) THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+      |FROM documents WHERE source <> 'src0'
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cur_split"        -> (splitCorpus _),
     "cur_dedup_best"   -> (dedupBest _),
     "cur_dup_clusters" -> (dupClusters _),
-    "cur_pack"         -> (pack _))
+    "cur_pack"         -> (pack _),
+    "cur_sample"       -> (sampleCorpus _),
+    "cur_decontam"     -> (decontaminate _))
 
   val oracles: Map[String, String] = Map(
     "cur_split"        -> splitSql,
     "cur_dedup_best"   -> dedupBestSql,
     "cur_dup_clusters" -> dupClustersSql,
-    "cur_pack"         -> packSql)
+    "cur_pack"         -> packSql,
+    "cur_sample"       -> sampleSql,
+    "cur_decontam"     -> decontaminateSql)
 }

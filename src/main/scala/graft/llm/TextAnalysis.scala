@@ -265,7 +265,51 @@ object TextAnalysis {
       |SELECT pair, COUNT(*) AS n FROM p GROUP BY pair
       |ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // T7 repetition filter (Gopher-style): fraction of duplicated word
+  // bigrams per document — the standard "repetitious document" signal.
+  // Per-doc math is a pure array expression (no explode, no shuffle);
+  // only the per-source audit aggregates. dup_frac = 1 − distinct/total is
+  // one exact integer division per doc, so both engines agree bit-for-bit.
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.documents(spark, dir)
+      .withColumn("bi",
+        expr("""CASE WHEN size(split(text, ' ')) >= 2
+               |THEN transform(sequence(1, size(split(text, ' ')) - 1),
+               |               i -> array_join(slice(split(text, ' '), i, 2), ' '))
+               |ELSE CAST(array() AS array<string>) END""".stripMargin))
+      .withColumn("dup_frac",
+        when(size($"bi") > 0,
+          lit(1.0) - size(array_distinct($"bi")).cast("double") / size($"bi"))
+          .otherwise(lit(0.0)))
+    per.groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg($"dup_frac"), 6).as("avg_dup_frac"),
+        round(max($"dup_frac"), 6).as("max_dup_frac"),
+        sum(($"dup_frac" > 0.2).cast("long")).as("n_repetitious"))
+      .orderBy($"source")
+  }
+
+  val repetitionSql: String =
+    """WITH per AS (
+      |  SELECT source,
+      |    CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+      |      1.0 - CAST(len(list_distinct(list_transform(
+      |              generate_series(1, len(string_split(text, ' ')) - 1),
+      |              i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]))) AS DOUBLE)
+      |          / (len(string_split(text, ' ')) - 1)
+      |    ELSE 0.0 END AS dup_frac
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  round(AVG(dup_frac), 6) AS avg_dup_frac,
+      |  round(MAX(dup_frac), 6) AS max_dup_frac,
+      |  CAST(SUM(CASE WHEN dup_frac > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitious
+      |FROM per GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_repetition"  -> (repetition _),
     "ta_tokens"      -> (tokenCounts _),
     "ta_quality"     -> (qualityScore _),
     "ta_langid"      -> (langId _),
@@ -274,6 +318,7 @@ object TextAnalysis {
     "ta_bpe_pairs"   -> (bpePairs _))
 
   val oracles: Map[String, String] = Map(
+    "ta_repetition"  -> repetitionSql,
     "ta_tokens"      -> tokenCountsSql,
     "ta_quality"     -> qualityScoreSql,
     "ta_langid"      -> langIdSql,

@@ -454,7 +454,102 @@ object Relational {
       |  AND l_returnflag IN ('A', 'R')
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // -------------------------------------------------------------------------
+  // A4 exact percentiles (median / tail) per group. Money doubles are first
+  // quantized to integer cents so both engines interpolate over the SAME
+  // exact integers (linear interpolation of doubles straight off the column
+  // would be last-ulp order-sensitive). At 100 TB exact percentile means a
+  // per-group sort — swap in approx_percentile when the group is a fact
+  // table, keep exact for dimension-sized groups.
+  def a4Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(expr("percentile(cents, 0.25D)") / 100.0, 6).as("p25"),
+        round(expr("percentile(cents, 0.5D)") / 100.0, 6).as("p50"),
+        round(expr("percentile(cents, 0.95D)") / 100.0, 6).as("p95"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val a4PercentilesSql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(*) AS n_orders,
+      |  round(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.25) / 100.0, 6) AS p25,
+      |  round(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) / 100.0, 6) AS p50,
+      |  round(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.95) / 100.0, 6) AS p95
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // A5 pivot (long→wide reshape). Pivot values are passed as LITERALS —
+  // Spark otherwise runs an eager distinct job to discover them, which is
+  // an extra full scan at scale. Null cells (empty combos) coalesce to 0 so
+  // the wide table is dense.
+  def a5Pivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select($"o_orderpriority",
+        coalesce($"F", lit(0L)).as("n_f"),
+        coalesce($"O", lit(0L)).as("n_o"),
+        coalesce($"P", lit(0L)).as("n_p"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val a5PivotSql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+      |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+      |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // W3 ranking-window battery: rank / dense_rank / ntile / percent_rank /
+  // cume_dist / lag-delta / first_value in ONE window pass (single shuffle
+  // on the partition key; all eight functions share the sort).
+  def w3Ranking(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_nationkey")
+      .orderBy($"bal".desc, $"c_custkey".asc)
+    Tables.customer(spark, dir)
+      .withColumn("bal", dec($"c_acctbal"))
+      .select(
+        $"c_custkey", $"c_nationkey",
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        d2($"bal" - lag($"bal", 1).over(w)).as("delta_prev"),
+        d2(first($"bal").over(w)).as("top_bal"))
+      .filter($"c_custkey" <= 300)
+      .orderBy($"c_custkey")
+  }
+
+  val w3RankingSql: String =
+    """WITH r AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    RANK() OVER w AS rnk,
+      |    DENSE_RANK() OVER w AS drnk,
+      |    NTILE(4) OVER w AS quartile,
+      |    round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+      |    round(CUME_DIST() OVER w, 6) AS cume,
+      |    CAST(CAST(c_acctbal AS DECIMAL(12,2))
+      |         - LAG(CAST(c_acctbal AS DECIMAL(12,2)), 1) OVER w AS DOUBLE) AS delta_prev,
+      |    CAST(FIRST_VALUE(CAST(c_acctbal AS DECIMAL(12,2))) OVER w AS DOUBLE) AS top_bal
+      |  FROM customer
+      |  WINDOW w AS (PARTITION BY c_nationkey
+      |               ORDER BY CAST(c_acctbal AS DECIMAL(12,2)) DESC, c_custkey ASC))
+      |SELECT * FROM r WHERE c_custkey <= 300 ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a4_percentiles" -> (a4Percentiles _),
+    "a5_pivot"      -> (a5Pivot _),
+    "w3_ranking"    -> (w3Ranking _),
     "q1_agg"        -> (q1Agg _),
     "a2_distinct_agg" -> (a2DistinctAgg _),
     "a3_rollup"     -> (a3Rollup _),
@@ -473,6 +568,9 @@ object Relational {
     "p457_filter_distinct" -> (p457FilterDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "a4_percentiles" -> a4PercentilesSql,
+    "a5_pivot"      -> a5PivotSql,
+    "w3_ranking"    -> w3RankingSql,
     "q1_agg"        -> q1AggSql,
     "a2_distinct_agg" -> a2DistinctAggSql,
     "a3_rollup"     -> a3RollupSql,

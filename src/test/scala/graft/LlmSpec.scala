@@ -142,4 +142,56 @@ class LlmSpec extends SparkSpec {
     val covered = TextAnalysis.langId(spark, sfDir).agg(sum($"n_docs")).head.getLong(0)
     assert(covered === total)
   }
+
+  test("stratified sample: only 'en' is downsampled; counts bounded") {
+    import spark.implicits._
+    val s = llm.Curation.sampleCorpus(spark, sfDir).cache()
+    assert(s.filter($"lang" =!= "en").filter($"n_kept" =!= $"n_docs").isEmpty,
+      "non-en languages must be kept in full")
+    val en = s.filter($"lang" === "en").head()
+    assert(en.getAs[Long]("n_kept") <= en.getAs[Long]("n_docs"))
+    // deterministic: a second run returns the identical frame
+    val again = llm.Curation.sampleCorpus(spark, sfDir)
+    assert(s.exceptAll(again).isEmpty && again.exceptAll(s).isEmpty)
+    s.unpersist()
+  }
+
+  test("decontamination: probe source absent; exact copies of probe docs are flagged") {
+    import spark.implicits._
+    val d = llm.Curation.decontaminate(spark, sfDir).cache()
+    assert(d.filter($"source" === "src0").isEmpty)
+    assert(d.filter($"n_contaminated" > $"n_docs").isEmpty)
+    // any non-probe doc with text identical to a probe doc must be contaminated
+    val docs = Tables.documents(spark, sfDir)
+    val probeTexts = docs.filter($"source" === "src0")
+      .filter(size(split($"text", " ")) >= 8).select($"text").distinct()
+    val exactCopies = docs.filter($"source" =!= "src0")
+      .join(probeTexts, Seq("text"), "left_semi")
+      .groupBy($"source").agg(count(lit(1)).as("n_copies"))
+    val under = d.join(exactCopies, Seq("source"))
+      .filter($"n_contaminated" < $"n_copies")
+    assert(under.isEmpty, "an exact probe copy escaped decontamination")
+    d.unpersist()
+  }
+
+  test("repetition: dup_frac in [0,1]; a doc of one repeated token maxes out") {
+    import spark.implicits._
+    val r = TextAnalysis.repetition(spark, sfDir)
+    assert(r.filter($"avg_dup_frac" < 0 || $"avg_dup_frac" > 1).isEmpty)
+    assert(r.filter($"max_dup_frac" < 0 || $"max_dup_frac" > 1).isEmpty)
+    assert(r.filter($"n_repetitious" > $"n_docs").isEmpty)
+  }
+
+  test("edit distance: identical texts (same 3-token prefix) found at distance 0") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val dupPairs = docs.as("x").join(docs.as("y"),
+        $"x.text" === $"y.text" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+    val zero = TextDedup.editDistance(spark, sfDir)
+      .filter($"edit_dist" === 0).select("doc_a", "doc_b")
+    assert(dupPairs.exceptAll(zero).isEmpty)
+    // and the triangle-ish sanity: distance is symmetric-free and ordered
+    assert(TextDedup.editDistance(spark, sfDir).filter($"doc_a" >= $"doc_b").isEmpty)
+  }
 }

@@ -140,4 +140,33 @@ class RelationalSpec extends SparkSpec {
     }
     cube.unpersist()
   }
+
+  test("A4 percentiles are ordered and bracketed by min/max") {
+    import spark.implicits._
+    val p = Relational.a4Percentiles(spark, sfDir)
+    assert(p.filter($"p25" > $"p50" || $"p50" > $"p95").isEmpty)
+    val bounds = Tables.orders(spark, sfDir)
+      .agg(min($"o_totalprice").as("lo"), max($"o_totalprice").as("hi")).head()
+    val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+    assert(p.filter($"p25" < lo - 0.01 || $"p95" > hi + 0.01).isEmpty)
+  }
+
+  test("A5 pivot cells sum back to the order count") {
+    import spark.implicits._
+    val wide = Relational.a5Pivot(spark, sfDir)
+    val total = wide.agg(sum($"n_f" + $"n_o" + $"n_p")).head.getLong(0)
+    assert(total === Tables.orders(spark, sfDir).count())
+  }
+
+  test("W3 ranking: rank bounds, quartiles 1..4, percent_rank in [0,1]") {
+    import spark.implicits._
+    val r = Relational.w3Ranking(spark, sfDir).cache()
+    assert(r.filter($"rnk" < 1 || $"drnk" > $"rnk").isEmpty)
+    assert(r.filter($"quartile" < 1 || $"quartile" > 4).isEmpty)
+    assert(r.filter($"pct_rank" < 0 || $"pct_rank" > 1).isEmpty)
+    assert(r.filter($"cume" <= 0 || $"cume" > 1).isEmpty)
+    // the per-nation top row carries its own balance as top_bal
+    assert(r.filter($"rnk" === 1).filter($"delta_prev".isNotNull).isEmpty)
+    r.unpersist()
+  }
 }
