@@ -89,4 +89,33 @@ class PlanSpec extends SparkSpec {
       "as-of must use union+window, not a non-equi BNLJ")
     assert(plan.contains("Window"), plan.take(2000))
   }
+
+  test("decontamination semi-joins with a broadcast probe-gram build side") {
+    val df = llm.Curation.decontaminate(spark, sfDir)
+    df.count()
+    val plan = planString(df)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      "probe grams are benchmark-sized: the semi join must broadcast them\n" + plan.take(1500))
+  }
+
+  test("pivot with literal values plans no extra distinct job") {
+    // values passed explicitly → single aggregate, no value-discovery scan
+    val df = Relational.a5Pivot(spark, sfDir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    val scans = "Relation.*parquet".r.findAllIn(plan).length +
+      "FileScan".r.findAllIn(plan).length
+    assert(scans <= 1, s"pivot should scan orders exactly once:\n${plan.take(1500)}")
+  }
+
+  test("ranking battery shares one window sort (single Window over one Exchange)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Relational.w3Ranking(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val nWindows = plan.linesIterator.count(_.trim.startsWith("Window"))
+      val nExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(nWindows <= 2, s"expected a fused window stage, got $nWindows:\n${plan.take(1500)}")
+      assert(nExchanges == 1, s"all eight functions must share one shuffle, got $nExchanges")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
