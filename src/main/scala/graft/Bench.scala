@@ -32,7 +32,7 @@ object Bench {
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    // Measured: best of 2 passes per query — drops GC/compilation spikes
+    // Measured: best of 3 passes per query — drops GC/compilation spikes
     // that made earlier rounds' per-query deltas pure noise.
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -40,7 +40,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val results = ordered.map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
+      name -> Seq.fill(3)(timeOnce(fn)).min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
