@@ -546,7 +546,41 @@ object Relational {
       |               ORDER BY CAST(c_acctbal AS DECIMAL(12,2)) DESC, c_custkey ASC))
       |SELECT * FROM r WHERE c_custkey <= 300 ORDER BY c_custkey""".stripMargin
 
+  // -------------------------------------------------------------------------
+  // J7 multi-way star join (TPC-H Q9 shape): fact ⋈ two SF-scaling dims
+  // (part, supplier) ⋈ one fixed dim (nation). Only nation is pinned to
+  // broadcast — part/supplier grow with the data and join on the shuffle
+  // side (AQE may still elect to broadcast them at small SF). The p_size
+  // filter sits under the join so it prunes the build side first.
+  def j7Multiway(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val p  = Tables.part(spark, dir).filter($"p_size" <= 15)
+    val s  = Tables.supplier(spark, dir)
+    val n  = Tables.nation(spark, dir)
+    li.join(p, li("l_partkey") === p("p_partkey"))
+      .join(s, li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .groupBy($"n_name", $"p_brand")
+      .agg(
+        count(lit(1)).as("n_items"),
+        d2(sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(12, 2)) - dec($"l_discount")))).as("revenue"))
+      .orderBy($"n_name", $"p_brand")
+  }
+
+  val j7MultiwaySql: String =
+    """SELECT n_name, p_brand,
+      |  COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey AND p_size <= 15
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name, p_brand
+      |ORDER BY n_name, p_brand""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j7_multiway"   -> (j7Multiway _),
     "a4_percentiles" -> (a4Percentiles _),
     "a5_pivot"      -> (a5Pivot _),
     "w3_ranking"    -> (w3Ranking _),
@@ -568,6 +602,7 @@ object Relational {
     "p457_filter_distinct" -> (p457FilterDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "j7_multiway"   -> j7MultiwaySql,
     "a4_percentiles" -> a4PercentilesSql,
     "a5_pivot"      -> a5PivotSql,
     "w3_ranking"    -> w3RankingSql,

@@ -90,6 +90,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Window"), plan.take(2000))
   }
 
+  test("J7 multiway keeps part/supplier off the pinned-broadcast side") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, ResolvedHint}
+    val df = Relational.j7Multiway(spark, sfDir)
+    // only nation carries an explicit broadcast hint; part/supplier are
+    // free for AQE (shuffle at scale, broadcast at toy SF)
+    val hinted = df.queryExecution.analyzed.collect {
+      case ResolvedHint(child, hints) if hints.strategy.isDefined => child
+    }
+    assert(hinted.size == 1, s"exactly one pinned broadcast expected, got ${hinted.size}")
+    assert(hinted.head.toString.contains("n_nationkey"),
+      "the pinned broadcast must be the fixed-size nation dim")
+    assert(df.queryExecution.analyzed.collect { case j: Join => j }.size == 3)
+  }
+
   test("decontamination semi-joins with a broadcast probe-gram build side") {
     val df = llm.Curation.decontaminate(spark, sfDir)
     df.count()
