@@ -1,0 +1,30 @@
+package graft
+
+/** Fleet-wide physical-plan audit: every registered query is planned and
+  * scanned for scale antipatterns. BroadcastNestedLoopJoin is allowed only
+  * where the build side is constant-size BY DESIGN:
+  *  - emb_*: broadcast query set / centroid table / hyperplane weights
+  *    (fixed-k, corpus-independent);
+  *  - wx_*: the synthetic doc GENERATOR's range() cross-products (3 cities
+  *    × 3 runs × 4 params × 73 hours — a data source, not a data path).
+  * A CartesianProduct (non-broadcast cross) is never acceptable.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val bnljAllowed = Set(
+    "emb_cosine_topk", "emb_ivf_topk", "emb_lsh_neardup",
+    "wx_dim_condition", "wx_dim_location", "wx_staging", "wx_incremental",
+    "wx_fact_params_forecast", "wx_fact_params_history",
+    "wx_fact_sun_forecast", "wx_fact_sun_history")
+
+  test("no query plans a CartesianProduct; BNLJ only on the allowlist") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      val cart = if (plan.contains("CartesianProduct")) Some(s"$name: CartesianProduct") else None
+      val bnlj = if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
+        Some(s"$name: unexpected BroadcastNestedLoopJoin") else None
+      cart.toSeq ++ bnlj.toSeq
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
