@@ -18,6 +18,10 @@ run / fork := true
 // "[info] " prefix — the driver parses Bench's one-line JSON from stdout
 // and the prefix has broken that parse three rounds running.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and no trailing "[success] Total time" line either, so the JSON line
+// is the last thing on stdout even for a last-line parser.
+showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
