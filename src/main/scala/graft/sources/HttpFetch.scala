@@ -61,4 +61,23 @@ object HttpFetch extends Serializable {
       it.map(u => fetchJson(u, user, password))
     }
   }
+
+  /** Fetch pre-flight for one run date: the reference WeatherDataFetcher's
+    * init sequence (meteomatics_get_data.py:38-61) — V3 format guard →
+    * S2/V2 geocode → F11 time bounds → S1 URL template. Invalid locations
+    * come back as Lefts (the reference raises per-task; a Spark driver
+    * surfaces them as an error side-channel instead of dying mid-fan-out).
+    */
+  def fetchPlan(base: String, locations: Seq[String], params: Seq[String],
+                runDate: java.time.LocalDate): (Seq[String], Seq[String]) = {
+    import graft.weather.Guards
+    val (start, end) = Guards.timeBounds(runDate)
+    val (errs, urls) = locations.map { loc =>
+      for {
+        _      <- Guards.parseLocation(loc)
+        coords <- Guards.geocode(loc)
+      } yield buildUrl(base, start, end, params, coords._1, coords._2)
+    }.partitionMap(identity)
+    (errs, urls)
+  }
 }

@@ -73,4 +73,17 @@ class HttpFetchSpec extends SparkSpec with BeforeAndAfterAll {
     assert(flat.count() === 2) // 1 reading per doc
     assert(flat.select("reading_value").head.getString(0) === "4.2")
   }
+
+  test("fetch pre-flight: guards compose into URLs; bad locations become Lefts") {
+    val (errs, urls) = HttpFetch.fetchPlan(
+      "https://api.example.com",
+      Seq("Berlin, Germany", "Atlantis, Ocean", "nocomma"),
+      Seq("t_2m:C", "wind_speed_10m:ms"),
+      java.time.LocalDate.parse("2025-03-26"))
+    assert(urls.size === 1 && errs.size === 2)
+    assert(urls.head ===
+      "https://api.example.com/2025-03-25T00:00:00Z--2025-04-02T00:00:00Z:PT1H/" +
+      "t_2m:C,wind_speed_10m:ms/52.5170365,13.3888599/json")
+    assert(errs.exists(_.contains("geocode")) && errs.exists(_.contains("format")))
+  }
 }
