@@ -579,7 +579,85 @@ object Relational {
       |GROUP BY n_name, p_brand
       |ORDER BY n_name, p_brand""".stripMargin
 
+  // -------------------------------------------------------------------------
+  // A6 histogram: fixed-width bucketing by pure integer arithmetic (no
+  // width_bucket dependency — the arithmetic is engine-agnostic and the
+  // bucket id doubles as a partition key for a layout at scale).
+  def a6Histogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val step = 50
+    Tables.documents(spark, dir)
+      .withColumn("bucket", least(($"n_chars" / step).cast("long"), lit(11L)))
+      .groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"))
+      .orderBy($"lang", $"bucket")
+  }
+
+  val a6HistogramSql: String =
+    """SELECT lang, least(n_chars // 50, 11) AS bucket,
+      |  COUNT(*) AS n_docs,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM documents GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // A7 statistical aggregates: stddev / variance / correlation / covariance
+  // per group, one pass. 4-dp rounding absorbs summation-order last-ulp
+  // differences between engines (the inputs are ints, magnitudes ~1e2).
+  def a7Stats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("n_tok", size(split($"text", " ")).cast("double"))
+      .withColumn("nc", $"n_chars".cast("double"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(stddev_samp($"nc"), 4).as("sd_chars"),
+        round(var_samp($"n_tok"), 4).as("var_tok"),
+        round(corr($"nc", $"n_tok"), 4).as("corr_chars_tok"),
+        round(covar_samp($"nc", $"n_tok"), 4).as("cov_chars_tok"))
+      .orderBy($"lang")
+  }
+
+  val a7StatsSql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  round(stddev_samp(CAST(n_chars AS DOUBLE)), 4) AS sd_chars,
+      |  round(var_samp(CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS var_tok,
+      |  round(corr(CAST(n_chars AS DOUBLE), CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS corr_chars_tok,
+      |  round(covar_samp(CAST(n_chars AS DOUBLE), CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS cov_chars_tok
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // F12 null-semantics battery: nullif / coalesce / null-safe equality /
+  // count(col) vs count(*) / explicit null ordering — the engine-semantics
+  // corners that silently diverge between SQL dialects if untested.
+  def fNullFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .withColumn("rf", nullif($"l_returnflag", lit("N")))
+      .groupBy($"l_linestatus")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count($"rf").as("n_nonnull_rf"),      // count(col) skips nulls
+        countDistinct($"rf").as("n_distinct_rf"),
+        sum(when($"rf" <=> lit(null), 1L).otherwise(0L)).as("n_nullsafe_null"),
+        max(coalesce($"rf", lit("~"))).as("max_rf_coalesced"))
+      .orderBy($"l_linestatus".asc_nulls_first)
+  }
+
+  val fNullFuncsSql: String =
+    """SELECT l_linestatus,
+      |  COUNT(*) AS n_rows,
+      |  COUNT(nullif(l_returnflag, 'N')) AS n_nonnull_rf,
+      |  COUNT(DISTINCT nullif(l_returnflag, 'N')) AS n_distinct_rf,
+      |  CAST(SUM(CASE WHEN nullif(l_returnflag, 'N') IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_null,
+      |  MAX(coalesce(nullif(l_returnflag, 'N'), '~')) AS max_rf_coalesced
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus ASC NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a6_histogram"  -> (a6Histogram _),
+    "a7_stats"      -> (a7Stats _),
+    "f_null_funcs"  -> (fNullFuncs _),
     "j7_multiway"   -> (j7Multiway _),
     "a4_percentiles" -> (a4Percentiles _),
     "a5_pivot"      -> (a5Pivot _),
@@ -602,6 +680,9 @@ object Relational {
     "p457_filter_distinct" -> (p457FilterDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "a6_histogram"  -> a6HistogramSql,
+    "a7_stats"      -> a7StatsSql,
+    "f_null_funcs"  -> fNullFuncsSql,
     "j7_multiway"   -> j7MultiwaySql,
     "a4_percentiles" -> a4PercentilesSql,
     "a5_pivot"      -> a5PivotSql,
