@@ -108,19 +108,39 @@ object Multimodal {
       .orderBy($"source")
   }
 
-  /** STUB decoder — deterministic fake features standing in for a real
-    * codec. A real implementation would run an image/audio library inside
-    * `mapPartitions` (or `mapInPandas` from PySpark) over the binary
-    * column in executor-sized batches; this container has no codec libs,
-    * so the "decoded features" are the byte length and a hex-digit
-    * checksum of the payload — exact integers both engines can replicate.
+  /** STUB decoder behind a REAL `mapPartitions` batch boundary — the Scala
+    * analog of `mapInPandas`: rows stream through executor-sized partitions,
+    * the decoder sees the raw binary payload per item, and emits the input
+    * row widened with decoded features. A real codec (image/audio lib —
+    * absent in this container) would replace ONLY the per-item byte loop;
+    * the signature, schema handling, and batch shape are what a production
+    * decode stage uses. Deliberately a codegen/pruning boundary — decode is
+    * opaque to Catalyst by nature, which is why it runs before any shuffle
+    * (binaries never cross an exchange).
+    *
+    * Fake features: payload length + nibble sum of the payload bytes (=
+    * the hex-digit sum of md5(text), so the DuckDB oracle replicates it
+    * exactly without seeing binaries).
     */
-  private def decodeStub(media: DataFrame): DataFrame =
-    media
-      .withColumn("n_bytes", octet_length(col("media")))
-      .withColumn("checksum", expr(
-        "aggregate(transform(sequence(1, 32), i -> instr('0123456789abcdef', substr(md5(text), i, 1)) - 1), " +
-          "CAST(0 AS BIGINT), (a, b) -> a + b)"))
+  private def decodeStub(media: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val outSchema = media.schema.add("n_bytes", IntegerType).add("checksum", LongType)
+    val idx = media.schema.fieldIndex("media")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        var cs = 0L
+        var i = 0
+        while (i < bytes.length) {
+          val b = bytes(i) & 0xff
+          cs += (b >> 4) + (b & 0xf)
+          i += 1
+        }
+        Row.fromSeq(r.toSeq :+ bytes.length :+ cs)
+      }
+    }(Encoders.row(outSchema))
+  }
 
   val mediaPipelineSql: String =
     """WITH media AS (
