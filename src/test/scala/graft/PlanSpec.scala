@@ -104,6 +104,18 @@ class PlanSpec extends SparkSpec {
     assert(df.queryExecution.analyzed.collect { case j: Join => j }.size == 3)
   }
 
+  test("media pipeline crosses exactly one batch (mapPartitions) boundary, before the shuffle") {
+    val plan = llm.Multimodal.mediaPipeline(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions"),
+      "the decode stub must run behind a real mapPartitions boundary\n" + plan.take(1200))
+    // binaries never shuffle: the exchange sits ABOVE the decode boundary
+    val mapIdx = plan.indexOf("MapPartitions")
+    val exIdx = plan.indexOf("Exchange")
+    assert(exIdx >= 0 && exIdx < mapIdx,
+      "the only exchange must be the post-feature aggregate (printed above the map boundary)")
+  }
+
   test("decontamination semi-joins with a broadcast probe-gram build side") {
     val df = llm.Curation.decontaminate(spark, sfDir)
     df.count()

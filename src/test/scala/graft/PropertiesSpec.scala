@@ -49,6 +49,35 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: C1/C5 md5-mod bucket is uniform-ish and engine-stable") {
+    import spark.implicits._
+    // any Long id set: buckets land in [0,100) and the mapping is a pure
+    // function of the id (same id → same bucket, across frames)
+    val idGen = Gen.listOfN(50, Gen.choose(0L, 1000000L))
+    for (seed <- 1L to 5L) {
+      val ids = sample(idGen, seed)
+      val b = ids.toDF("doc_id").withColumn("bucket",
+        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+      val rows = b.collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.forall { case (_, bk) => bk >= 0 && bk < 100 }, s"seed=$seed range")
+      val m = rows.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size)
+      assert(m.values.forall(_ == 1), s"seed=$seed determinism")
+    }
+  }
+
+  test("property: A6 histogram buckets partition the value domain") {
+    import spark.implicits._
+    val vGen = Gen.listOfN(40, Gen.choose(0, 700))
+    for (seed <- 1L to 5L) {
+      val vs = sample(vGen, seed)
+      val df = vs.toDF("n_chars")
+        .withColumn("bucket", least(($"n_chars" / 50).cast("long"), lit(11L)))
+      val rows = df.collect().map(r => (r.getInt(0), r.getLong(1)))
+      // every value lands in exactly the bucket its range predicts
+      assert(rows.forall { case (v, b) => b == math.min(v / 50, 11).toLong }, s"seed=$seed")
+    }
+  }
+
   test("property: F1 surrogate keys are equal iff coalesced inputs are equal") {
     import spark.implicits._
     val cellGen = Gen.option(Gen.oneOf("x", "y", ""))
