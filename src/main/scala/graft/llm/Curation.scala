@@ -284,7 +284,75 @@ object Curation {
       |FROM documents WHERE source <> 'src0'
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // C7 end-to-end quality filter: the C4/Gopher-style keep/drop decision
+  // with REASONS, composed from the per-doc signals (token count, duplicate
+  // bigram fraction, stopword ratio). First matching rule wins, so the
+  // reason counts partition n_docs exactly — an auditable filter, which is
+  // what a production curation pass must emit. Entirely map-side until the
+  // per-source audit aggregate.
+  def filterCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.documents(spark, dir)
+      .withColumn("toks", split($"text", " "))
+      .withColumn("n_tok", size($"toks").cast("long"))
+      .withColumn("bi",
+        expr("""CASE WHEN size(split(text, ' ')) >= 2
+               |THEN transform(sequence(1, size(split(text, ' ')) - 1),
+               |               i -> array_join(slice(split(text, ' '), i, 2), ' '))
+               |ELSE CAST(array() AS array<string>) END""".stripMargin))
+      .withColumn("dup_frac",
+        when(size($"bi") > 0,
+          lit(1.0) - size(array_distinct($"bi")).cast("double") / size($"bi"))
+          .otherwise(lit(0.0)))
+      .withColumn("stop_ratio",
+        size(filter($"toks", t => t === "the" || t === "a")).cast("double") / $"n_tok")
+      .withColumn("verdict",
+        when($"n_tok" < 15, "drop_too_short")
+          .when($"dup_frac" > 0.2, "drop_repetitious")
+          .when($"stop_ratio" > 0.3, "drop_stopword_heavy")
+          .otherwise("keep"))
+    per.groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"verdict" === "drop_too_short", 1L).otherwise(0L)).as("n_too_short"),
+        sum(when($"verdict" === "drop_repetitious", 1L).otherwise(0L)).as("n_repetitious"),
+        sum(when($"verdict" === "drop_stopword_heavy", 1L).otherwise(0L)).as("n_stopword_heavy"),
+        sum(when($"verdict" === "keep", 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"verdict" === "keep", $"n_tok").otherwise(0L)).as("kept_tokens"))
+      .orderBy($"source")
+  }
+
+  val filterSql: String =
+    """WITH per AS (
+      |  SELECT source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+      |      1.0 - CAST(len(list_distinct(list_transform(
+      |              generate_series(1, len(string_split(text, ' ')) - 1),
+      |              i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]))) AS DOUBLE)
+      |          / (len(string_split(text, ' ')) - 1)
+      |    ELSE 0.0 END AS dup_frac,
+      |    CAST(len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS stop_ratio
+      |  FROM documents),
+      |v AS (
+      |  SELECT source, n_tok,
+      |    CASE WHEN n_tok < 15 THEN 'drop_too_short'
+      |         WHEN dup_frac > 0.2 THEN 'drop_repetitious'
+      |         WHEN stop_ratio > 0.3 THEN 'drop_stopword_heavy'
+      |         ELSE 'keep' END AS verdict
+      |  FROM per)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN verdict = 'drop_too_short' THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short,
+      |  CAST(SUM(CASE WHEN verdict = 'drop_repetitious' THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitious,
+      |  CAST(SUM(CASE WHEN verdict = 'drop_stopword_heavy' THEN 1 ELSE 0 END) AS BIGINT) AS n_stopword_heavy,
+      |  CAST(SUM(CASE WHEN verdict = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN verdict = 'keep' THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+      |FROM v GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_filter"       -> (filterCorpus _),
     "cur_split"        -> (splitCorpus _),
     "cur_dedup_best"   -> (dedupBest _),
     "cur_dup_clusters" -> (dupClusters _),
@@ -293,6 +361,7 @@ object Curation {
     "cur_decontam"     -> (decontaminate _))
 
   val oracles: Map[String, String] = Map(
+    "cur_filter"       -> filterSql,
     "cur_split"        -> splitSql,
     "cur_dedup_best"   -> dedupBestSql,
     "cur_dup_clusters" -> dupClustersSql,

@@ -182,6 +182,16 @@ class LlmSpec extends SparkSpec {
     assert(r.filter($"n_repetitious" > $"n_docs").isEmpty)
   }
 
+  test("quality filter: drop reasons partition the corpus exactly") {
+    import spark.implicits._
+    val f = llm.Curation.filterCorpus(spark, sfDir).cache()
+    val bad = f.filter(
+      $"n_too_short" + $"n_repetitious" + $"n_stopword_heavy" + $"n_kept" =!= $"n_docs")
+    assert(bad.isEmpty, "reason counts must sum to n_docs per source")
+    assert(f.agg(sum($"n_docs")).head.getLong(0) === Tables.documents(spark, sfDir).count())
+    f.unpersist()
+  }
+
   test("edit distance: identical texts (same 3-token prefix) found at distance 0") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
