@@ -114,13 +114,89 @@ object EventWindows {
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // EV4 funnel: ordered view → click → purchase conversion. One aggregation
+  // collapses each user to first-step timestamps (map-side partial, single
+  // shuffle on user_id), then one global roll-up — no self-joins, no
+  // windows; at scale this is the cheapest funnel shape there is.
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(
+        min(when($"event_type" === "view", $"ts")).as("t_view"),
+        min(when($"event_type" === "click", $"ts")).as("t_click"),
+        min(when($"event_type" === "purchase", $"ts")).as("t_purchase"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(when($"t_view".isNotNull, 1L).otherwise(0L)).as("n_viewed"),
+        sum(when($"t_view".isNotNull && $"t_click" > $"t_view", 1L).otherwise(0L)).as("n_clicked_after_view"),
+        sum(when($"t_view".isNotNull && $"t_click" > $"t_view" && $"t_purchase" > $"t_click", 1L)
+          .otherwise(0L)).as("n_full_funnel"))
+  }
+
+  val funnelSql: String =
+    """WITH per AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+      |    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      |  FROM events GROUP BY user_id)
+      |SELECT COUNT(*) AS n_users,
+      |  CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+      |  CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after_view,
+      |  CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+      |FROM per""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // EV5 cohort retention: users bucketed by first-activity week, retention
+  // = distinct activity in week k after the cohort week. The cohort frame
+  // is node-sized (one row per user) and joins back on user_id — the same
+  // single-shuffle shape as the funnel; week arithmetic is integer days/7
+  // so both engines agree exactly.
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val cohorts = ev.groupBy($"user_id")
+      .agg(date_trunc("week", min($"ts")).cast("date").as("cohort_week"))
+    ev.join(cohorts, Seq("user_id"))
+      .withColumn("week_n",
+        (datediff($"ts".cast("date"), $"cohort_week") / 7).cast("long"))
+      .groupBy($"cohort_week")
+      .agg(
+        countDistinct($"user_id").as("n_users"),
+        countDistinct(when($"week_n" === 1L, $"user_id")).as("n_week1"),
+        countDistinct(when($"week_n" === 2L, $"user_id")).as("n_week2"),
+        countDistinct(when($"week_n" >= 3L, $"user_id")).as("n_week3plus"))
+      .orderBy($"cohort_week")
+  }
+
+  val retentionSql: String =
+    """WITH cohorts AS (
+      |  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      |  FROM events GROUP BY user_id),
+      |j AS (
+      |  SELECT e.user_id, c.cohort_week,
+      |    date_diff('day', c.cohort_week, CAST(e.ts AS DATE)) // 7 AS week_n
+      |  FROM events e JOIN cohorts c ON e.user_id = c.user_id)
+      |SELECT cohort_week,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  COUNT(DISTINCT CASE WHEN week_n = 1 THEN user_id END) AS n_week1,
+      |  COUNT(DISTINCT CASE WHEN week_n = 2 THEN user_id END) AS n_week2,
+      |  COUNT(DISTINCT CASE WHEN week_n >= 3 THEN user_id END) AS n_week3plus
+      |FROM j GROUP BY cohort_week ORDER BY cohort_week""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ev_tumbling" -> (tumbling _),
-    "ev_sliding"  -> (sliding _),
-    "ev_session"  -> (session _))
+    "ev_tumbling"  -> (tumbling _),
+    "ev_sliding"   -> (sliding _),
+    "ev_session"   -> (session _),
+    "ev_funnel"    -> (funnel _),
+    "ev_retention" -> (retention _))
 
   val oracles: Map[String, String] = Map(
-    "ev_tumbling" -> tumblingSql,
-    "ev_sliding"  -> slidingSql,
-    "ev_session"  -> sessionSql)
+    "ev_tumbling"  -> tumblingSql,
+    "ev_sliding"   -> slidingSql,
+    "ev_session"   -> sessionSql,
+    "ev_funnel"    -> funnelSql,
+    "ev_retention" -> retentionSql)
 }
