@@ -113,11 +113,13 @@ object Curation {
     // Min-propagation is monotone: a node's label only ever decreases, so
     // sum(lbl) strictly decreases until the fixed point. One cheap aggregate
     // per round replaces the old join-based change detection (which was a
-    // full extra shuffle + job every round).
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum($"lbl".cast("decimal(38,0)"))).head().getDecimal(0)
+    // full extra shuffle + job every round). None = empty graph (sum of an
+    // empty frame is null): no pairs → nothing to propagate, loop skipped.
+    def labelSum(df: DataFrame): Option[BigInt] =
+      Option(df.agg(sum($"lbl".cast("decimal(38,0)"))).head().getDecimal(0))
+        .map(d => BigInt(d.toBigInteger))
     var prevSum = labelSum(labels)
-    var converged = false
+    var converged = prevSum.isEmpty
     var rounds = 0
     while (!converged && rounds < 20) {
       val neighborMin = edges
@@ -133,7 +135,7 @@ object Curation {
         .select($"doc_id", least($"lbl", coalesce($"lbl2", $"lbl")).as("lbl"))
         .localCheckpoint() // eager: one job; each round starts from stored blocks
       val s = labelSum(next)
-      converged = s.compareTo(prevSum) == 0
+      converged = s == prevSum
       prevSum = s
       labels = next
       rounds += 1
@@ -296,20 +298,12 @@ object Curation {
     val per = Tables.documents(spark, dir)
       .withColumn("toks", split($"text", " "))
       .withColumn("n_tok", size($"toks").cast("long"))
-      .withColumn("bi",
-        expr("""CASE WHEN size(split(text, ' ')) >= 2
-               |THEN transform(sequence(1, size(split(text, ' ')) - 1),
-               |               i -> array_join(slice(split(text, ' '), i, 2), ' '))
-               |ELSE CAST(array() AS array<string>) END""".stripMargin))
-      .withColumn("dup_frac",
-        when(size($"bi") > 0,
-          lit(1.0) - size(array_distinct($"bi")).cast("double") / size($"bi"))
-          .otherwise(lit(0.0)))
+      .withColumn("dup_frac", TextAnalysis.dupFracCol)
       .withColumn("stop_ratio",
         size(filter($"toks", t => t === "the" || t === "a")).cast("double") / $"n_tok")
       .withColumn("verdict",
         when($"n_tok" < 15, "drop_too_short")
-          .when($"dup_frac" > 0.2, "drop_repetitious")
+          .when($"dup_frac" > TextAnalysis.repetitiousThreshold, "drop_repetitious")
           .when($"stop_ratio" > 0.3, "drop_stopword_heavy")
           .otherwise("keep"))
     per.groupBy($"source")
@@ -324,22 +318,17 @@ object Curation {
   }
 
   val filterSql: String =
-    """WITH per AS (
+    s"""WITH per AS (
       |  SELECT source,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-      |    CASE WHEN len(string_split(text, ' ')) >= 2 THEN
-      |      1.0 - CAST(len(list_distinct(list_transform(
-      |              generate_series(1, len(string_split(text, ' ')) - 1),
-      |              i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]))) AS DOUBLE)
-      |          / (len(string_split(text, ' ')) - 1)
-      |    ELSE 0.0 END AS dup_frac,
+      |    ${TextAnalysis.dupFracSqlExpr} AS dup_frac,
       |    CAST(len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) AS DOUBLE)
       |      / len(string_split(text, ' ')) AS stop_ratio
       |  FROM documents),
       |v AS (
       |  SELECT source, n_tok,
       |    CASE WHEN n_tok < 15 THEN 'drop_too_short'
-      |         WHEN dup_frac > 0.2 THEN 'drop_repetitious'
+      |         WHEN dup_frac > ${TextAnalysis.repetitiousThreshold} THEN 'drop_repetitious'
       |         WHEN stop_ratio > 0.3 THEN 'drop_stopword_heavy'
       |         ELSE 'keep' END AS verdict
       |  FROM per)

@@ -130,14 +130,20 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](idx)
-        var cs = 0L
-        var i = 0
-        while (i < bytes.length) {
-          val b = bytes(i) & 0xff
-          cs += (b >> 4) + (b & 0xf)
-          i += 1
+        if (bytes == null) {
+          // null payload → null features, matching the SQL-expression
+          // semantics (and the oracle), not a task-killing NPE
+          Row.fromSeq(r.toSeq :+ null :+ null)
+        } else {
+          var cs = 0L
+          var i = 0
+          while (i < bytes.length) {
+            val b = bytes(i) & 0xff
+            cs += (b >> 4) + (b & 0xf)
+            i += 1
+          }
+          Row.fromSeq(r.toSeq :+ bytes.length :+ cs)
         }
-        Row.fromSeq(r.toSeq :+ bytes.length :+ cs)
       }
     }(Encoders.row(outSchema))
   }

@@ -266,46 +266,59 @@ object TextAnalysis {
       |ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------------
-  // T7 repetition filter (Gopher-style): fraction of duplicated word
+  // T7 repetition signal (Gopher-style): fraction of duplicated word
   // bigrams per document — the standard "repetitious document" signal.
-  // Per-doc math is a pure array expression (no explode, no shuffle);
-  // only the per-source audit aggregates. dup_frac = 1 − distinct/total is
-  // one exact integer division per doc, so both engines agree bit-for-bit.
+  // dup_frac = 1 − distinct/total is one exact integer division per doc,
+  // so both engines agree bit-for-bit. The Column and SQL fragment are
+  // SHARED with C7 cur_filter (llm/Curation.scala) — one definition, no
+  // drift between the audit query and the filter that acts on it.
+  val bigramsCol =
+    expr("""CASE WHEN size(split(text, ' ')) >= 2
+           |THEN transform(sequence(1, size(split(text, ' ')) - 1),
+           |               i -> array_join(slice(split(text, ' '), i, 2), ' '))
+           |ELSE CAST(array() AS array<string>) END""".stripMargin)
+
+  def dupFracCol: org.apache.spark.sql.Column =
+    when(size(bigramsCol) > 0,
+      lit(1.0) - size(array_distinct(bigramsCol)).cast("double") / size(bigramsCol))
+      .otherwise(lit(0.0))
+
+  /** SQL form of [[dupFracCol]] over a `text` column (DuckDB dialect). */
+  val dupFracSqlExpr: String =
+    """CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+      |      1.0 - CAST(len(list_distinct(list_transform(
+      |              generate_series(1, len(string_split(text, ' ')) - 1),
+      |              i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]))) AS DOUBLE)
+      |          / (len(string_split(text, ' ')) - 1)
+      |    ELSE 0.0 END""".stripMargin
+
+  /** Drop threshold shared by T7's audit count and C7's filter rule. */
+  val repetitiousThreshold = 0.2
+
+  // Per-doc math is a pure array expression (no explode, no shuffle); only
+  // the per-source audit aggregates.
   def repetition(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val per = Tables.documents(spark, dir)
-      .withColumn("bi",
-        expr("""CASE WHEN size(split(text, ' ')) >= 2
-               |THEN transform(sequence(1, size(split(text, ' ')) - 1),
-               |               i -> array_join(slice(split(text, ' '), i, 2), ' '))
-               |ELSE CAST(array() AS array<string>) END""".stripMargin))
-      .withColumn("dup_frac",
-        when(size($"bi") > 0,
-          lit(1.0) - size(array_distinct($"bi")).cast("double") / size($"bi"))
-          .otherwise(lit(0.0)))
+      .withColumn("dup_frac", dupFracCol)
     per.groupBy($"source")
       .agg(
         count(lit(1)).as("n_docs"),
         round(avg($"dup_frac"), 6).as("avg_dup_frac"),
         round(max($"dup_frac"), 6).as("max_dup_frac"),
-        sum(($"dup_frac" > 0.2).cast("long")).as("n_repetitious"))
+        sum(($"dup_frac" > repetitiousThreshold).cast("long")).as("n_repetitious"))
       .orderBy($"source")
   }
 
   val repetitionSql: String =
-    """WITH per AS (
+    s"""WITH per AS (
       |  SELECT source,
-      |    CASE WHEN len(string_split(text, ' ')) >= 2 THEN
-      |      1.0 - CAST(len(list_distinct(list_transform(
-      |              generate_series(1, len(string_split(text, ' ')) - 1),
-      |              i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]))) AS DOUBLE)
-      |          / (len(string_split(text, ' ')) - 1)
-      |    ELSE 0.0 END AS dup_frac
+      |    $dupFracSqlExpr AS dup_frac
       |  FROM documents)
       |SELECT source, COUNT(*) AS n_docs,
       |  round(AVG(dup_frac), 6) AS avg_dup_frac,
       |  round(MAX(dup_frac), 6) AS max_dup_frac,
-      |  CAST(SUM(CASE WHEN dup_frac > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitious
+      |  CAST(SUM(CASE WHEN dup_frac > $repetitiousThreshold THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitious
       |FROM per GROUP BY source ORDER BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -74,8 +74,10 @@ object HttpFetch extends Serializable {
     val (start, end) = Guards.timeBounds(runDate)
     val (errs, urls) = locations.map { loc =>
       for {
-        _      <- Guards.parseLocation(loc)
-        coords <- Guards.geocode(loc)
+        cc     <- Guards.parseLocation(loc)
+        // geocode the NORMALIZED form — the raw string may carry extra
+        // whitespace the lookup table's keys don't
+        coords <- Guards.geocode(s"${cc._1}, ${cc._2}")
       } yield buildUrl(base, start, end, params, coords._1, coords._2)
     }.partitionMap(identity)
     (errs, urls)

@@ -182,6 +182,19 @@ class LlmSpec extends SparkSpec {
     assert(r.filter($"n_repetitious" > $"n_docs").isEmpty)
   }
 
+  test("dup clusters: empty candidate graph (no near-dups) yields empty result, no crash") {
+    import spark.implicits._
+    // three clearly distinct docs → minhashLsh finds zero pairs
+    val dir = java.nio.file.Files.createTempDirectory("graft_nodups").toString
+    Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s0", 40L),
+      (1L, "one two three four five six seven eight", "en", "s0", 38L),
+      (2L, "red orange yellow green blue indigo violet maroon", "en", "s1", 48L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(llm.Curation.dupClusters(spark, dir).isEmpty)
+  }
+
   test("quality filter: drop reasons partition the corpus exactly") {
     import spark.implicits._
     val f = llm.Curation.filterCorpus(spark, sfDir).cache()
