@@ -52,4 +52,20 @@ object Guards {
     */
   def slug(s: String): String =
     s.trim.toLowerCase.replaceAll("[ ,]+", "_")
+
+  /** The reference's API configuration, verbatim (api_config.yaml:1-14):
+    * base URL, hourly step, the 10 weather parameters (note the two
+    * `:sql`-typed ones — the union-value branch, SURVEY §1.1), JSON output.
+    * Config is data, injected into HttpFetch.fetchPlan — the Spark engine
+    * core stays config-free.
+    */
+  object ApiConfig {
+    val baseUrl  = "https://api.meteomatics.com"
+    val timeStep = "PT1H"
+    val parameters: Seq[String] = Seq(
+      "wind_speed_10m:ms", "wind_dir_10m:d", "wind_gusts_10m_1h:ms",
+      "t_2m:C", "msl_pressure:hPa", "precip_1h:mm", "weather_symbol_1h:idx",
+      "uv:idx", "sunrise:sql", "sunset:sql")
+    val outputFormat = "json"
+  }
 }

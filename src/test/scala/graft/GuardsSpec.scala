@@ -31,4 +31,14 @@ class GuardsSpec extends AnyFunSuite {
     assert(Guards.slug("Berlin, Germany") === "berlin_germany")
     assert(Guards.slug("  New York , USA ") === "new_york_usa")
   }
+
+  test("ApiConfig mirrors the reference config; sun params are its :sql subset") {
+    assert(Guards.ApiConfig.parameters.size === 10)
+    assert(Guards.ApiConfig.parameters.filter(_.endsWith(":sql"))
+      === weather.WeatherSchema.sunParams)
+    val (errs, urls) = sources.HttpFetch.fetchPlan(
+      Guards.ApiConfig.baseUrl, Seq("Berlin, Germany"),
+      Guards.ApiConfig.parameters, java.time.LocalDate.parse("2025-03-26"))
+    assert(errs.isEmpty && urls.head.contains("sunrise:sql,sunset:sql"))
+  }
 }
