@@ -28,6 +28,26 @@ object EventStreams {
   def sessionStream(events: DataFrame): DataFrame =
     EventWindows.sessionAgg(events.withWatermark("ts", "1 hour"))
 
+  /** Stream-stream interval join: each purchase attributed to the same
+    * user's clicks in the preceding hour — the streaming form of the J6
+    * band join (ops/Relational.scala j6BandJoin). Both sides carry
+    * watermarks, so the join STATE is bounded: a click can be dropped once
+    * the purchase-side watermark passes click.ts + 1 hour; nothing is
+    * retained forever. This is the canonical watermarked interval-join
+    * shape for streaming attribution at scale.
+    */
+  def attributionStream(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val c = clicks.withWatermark("ts", "1 hour").as("c")
+    val b = purchases.withWatermark("ts", "1 hour").as("b")
+    b.join(c, expr(
+        "c.user_id = b.user_id AND c.ts >= b.ts - INTERVAL 1 HOUR AND c.ts < b.ts"))
+      .select(
+        col("b.user_id").as("user_id"),
+        col("b.ts").as("purchase_ts"),
+        col("c.ts").as("click_ts"))
+  }
+
   /** File-source stream over a directory of parquet event files → console
     * or any sink; the deployment shape for continuous ingest.
     */

@@ -39,6 +39,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: click→purchase attribution equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clickRows = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:30:00")),
+      (2L, ts("2024-01-01 09:00:00")),  // >1h before the purchase: no match
+      (3L, ts("2024-01-01 11:00:00")))  // after the purchase: no match
+    val purchaseRows = Seq(
+      (1L, ts("2024-01-01 10:45:00")),
+      (2L, ts("2024-01-01 10:30:00")),
+      (3L, ts("2024-01-01 10:50:00")))
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp)]
+    val joined = EventStreams.attributionStream(
+      clicks.toDF.toDF("user_id", "ts"), purchases.toDF.toDF("user_id", "ts"))
+    val q = joined.writeStream.format("memory")
+      .queryName("stream_attr").outputMode("append").start()
+    try {
+      clicks.addData(clickRows: _*)
+      purchases.addData(purchaseRows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("stream_attr")
+        .orderBy($"user_id", $"click_ts").collect()
+      val batch = purchaseRows.toDF("user_id", "ts").as("b")
+        .join(clickRows.toDF("user_id", "ts").as("c"),
+          expr("c.user_id = b.user_id AND c.ts >= b.ts - INTERVAL 1 HOUR AND c.ts < b.ts"))
+        .select($"b.user_id".as("user_id"), $"b.ts".as("purchase_ts"), $"c.ts".as("click_ts"))
+        .orderBy($"user_id", $"click_ts").collect()
+      assert(streamed.toSeq === batch.toSeq)
+      // user 1 matches twice; users 2 and 3 fall outside the band
+      assert(streamed.length === 2 && streamed.forall(_.getLong(0) == 1L))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState carries per-user state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
