@@ -654,7 +654,38 @@ object Relational {
       |  MAX(coalesce(nullif(l_returnflag, 'N'), '~')) AS max_rf_coalesced
       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus ASC NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------------
+  // F13 map-type battery: build a map column from grouped entries
+  // (map_from_entries over a SORTED entry list — construction must be
+  // deterministic), read it back via element_at / map_keys. The oracle
+  // computes the same scalars relationally; the map is the Spark-side
+  // capability under test.
+  def fMapFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.lineitem(spark, dir)
+      .groupBy($"l_linestatus", $"l_returnflag")
+      .agg(count(lit(1)).as("n"))
+    per.groupBy($"l_linestatus")
+      .agg(map_from_entries(sort_array(collect_list(struct($"l_returnflag", $"n")))).as("m"))
+      .select(
+        $"l_linestatus",
+        size(map_keys($"m")).cast("long").as("n_flags"),
+        coalesce(element_at($"m", "A"), lit(0L)).as("n_a"),
+        coalesce(element_at($"m", "N"), lit(0L)).as("n_n"),
+        coalesce(element_at($"m", "R"), lit(0L)).as("n_r"))
+      .orderBy($"l_linestatus")
+  }
+
+  val fMapFuncsSql: String =
+    """SELECT l_linestatus,
+      |  COUNT(DISTINCT l_returnflag) AS n_flags,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_n,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_r
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f_map_funcs"   -> (fMapFuncs _),
     "a6_histogram"  -> (a6Histogram _),
     "a7_stats"      -> (a7Stats _),
     "f_null_funcs"  -> (fNullFuncs _),
@@ -680,6 +711,7 @@ object Relational {
     "p457_filter_distinct" -> (p457FilterDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "f_map_funcs"   -> fMapFuncsSql,
     "a6_histogram"  -> a6HistogramSql,
     "a7_stats"      -> a7StatsSql,
     "f_null_funcs"  -> fNullFuncsSql,
