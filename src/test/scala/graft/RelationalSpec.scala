@@ -158,6 +158,38 @@ class RelationalSpec extends SparkSpec {
     assert(total === Tables.orders(spark, sfDir).count())
   }
 
+  test("A6 histogram covers every doc; bucket ranges are consistent") {
+    import spark.implicits._
+    val h = Relational.a6Histogram(spark, sfDir).cache()
+    val total = Tables.documents(spark, sfDir).count()
+    assert(h.agg(sum($"n_docs")).head.getLong(0) === total)
+    // min/max inside each non-overflow bucket stay inside its range
+    val bad = h.filter($"bucket" < 11)
+      .filter($"min_chars" < $"bucket" * 50 || $"max_chars" >= ($"bucket" + 1) * 50)
+    assert(bad.isEmpty)
+    h.unpersist()
+  }
+
+  test("A7 stats: variances non-negative, correlation in [-1,1]") {
+    import spark.implicits._
+    val s = Relational.a7Stats(spark, sfDir)
+    assert(s.filter($"sd_chars" < 0 || $"var_tok" < 0).isEmpty)
+    assert(s.filter($"corr_chars_tok" < -1 || $"corr_chars_tok" > 1).isEmpty)
+  }
+
+  test("F12 nulls: count(col) + nullsafe-null count = count(*)") {
+    import spark.implicits._
+    val n = Relational.fNullFuncs(spark, sfDir)
+    assert(n.filter($"n_nonnull_rf" + $"n_nullsafe_null" =!= $"n_rows").isEmpty)
+  }
+
+  test("F13 map: per-status flag cells sum to the lineitem count") {
+    import spark.implicits._
+    val m = Relational.fMapFuncs(spark, sfDir)
+    val total = m.agg(sum($"n_a" + $"n_n" + $"n_r")).head.getLong(0)
+    assert(total === Tables.lineitem(spark, sfDir).count())
+  }
+
   test("W3 ranking: rank bounds, quartiles 1..4, percent_rank in [0,1]") {
     import spark.implicits._
     val r = Relational.w3Ranking(spark, sfDir).cache()
