@@ -27,17 +27,27 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Optional comma-separated allowlist for local profiling runs.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // Warm-up: run everything once, ignore timings and failures.
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      spark.catalog.clearCache()
     }
     // Measured: best of 3 passes per query — drops GC/compilation spikes
-    // that made earlier rounds' per-query deltas pure noise.
+    // that made earlier rounds' per-query deltas pure noise. Each pass ends
+    // with clearCache so queries that .cache() internally don't leave blocks
+    // pinned for the rest of the suite (round-4 numbers showed up to 7×
+    // inflation on late-running queries from that accumulated pressure);
+    // every measurement is self-contained and pays its own cache build.
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      dt
     }
     val results = ordered.map { case (name, fn) =>
       name -> Seq.fill(3)(timeOnce(fn)).min
