@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.DotProduct
+import graft.functions.{CharBigrams, DotProduct}
 
 /** Engine extensions: registers the native expressions with Catalyst.
   * Production path: `.config("spark.sql.extensions", "graft.GraftExtensions")`
@@ -18,14 +18,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_char_bigrams"),
+      new ExpressionInfo(classOf[CharBigrams].getName, "graft_char_bigrams"),
+      (children: Seq[Expression]) => CharBigrams(children.head)))
   }
 }
 
 object GraftExtensions {
   /** Idempotent late registration for an already-built session. */
-  def ensure(spark: SparkSession): Unit =
+  def ensure(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot",
       (children: Seq[Expression]) => DotProduct(children.head, children(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_char_bigrams",
+      (children: Seq[Expression]) => CharBigrams(children.head),
+      "built-in")
+  }
 }

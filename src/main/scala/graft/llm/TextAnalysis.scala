@@ -104,15 +104,24 @@ object TextAnalysis {
   // langid at scale. 100 TB: profiles are a tiny broadcast dim; scoring is
   // one explode + broadcast join + two aggregations.
   def langId(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.ensure(spark)
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    // one heavy explode, immediately reduced to per-doc bigram counts;
-    // profile building and scoring both reuse this small relation
+    // Bigrams come from the native graft_char_bigrams expression (packed
+    // code-point pairs as longs — see functions/CharBigrams.scala): the
+    // built-in `transform(sequence(...), i -> substr(text, i, 2))` form
+    // allocated one string per character of corpus and dominated this
+    // query (~3 s of 3.3 s at sf0.1). The long packing preserves the
+    // 2-char substring sort order, so the `bg asc` profile tiebreak stays
+    // oracle-identical. One explode, immediately reduced to per-doc bigram
+    // counts; profile building and scoring both reuse this small cached
+    // relation (measured better than exploding twice or caching the raw
+    // exploded rows).
     val docBg = docs
       .select($"doc_id", $"lang",
-        explode(expr("transform(sequence(1, length(text) - 1), i -> substr(text, i, 2))")).as("bg"))
+        explode(call_function("graft_char_bigrams", $"text")).as("bg"))
       .groupBy($"doc_id", $"lang", $"bg").agg(count(lit(1)).as("n"))
-      .cache() // consumed twice (profile build + scoring) — one explode, not two
+      .cache()
     val wProf = Window.partitionBy($"lang").orderBy($"cnt".desc, $"bg".asc)
     val profile = docBg
       .groupBy($"lang", $"bg").agg(sum($"n").as("cnt"))
