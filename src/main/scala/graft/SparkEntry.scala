@@ -18,6 +18,10 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++
+    ops.FunctionBatteries.queries ++
+    ops.SqlSurface.queries ++
+    ops.ApproxAggs.queries ++
+    sources.Formats.queries ++
     ops.ScalarFuncs.queries ++
     ops.WeatherQueries.queries ++
     ops.NestedOps.queries ++
@@ -33,6 +37,10 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++
+    ops.FunctionBatteries.oracles ++
+    ops.SqlSurface.oracles ++
+    ops.ApproxAggs.oracles ++
+    sources.Formats.oracles ++
     ops.ScalarFuncs.oracles ++
     ops.WeatherQueries.oracles ++
     ops.NestedOps.oracles ++

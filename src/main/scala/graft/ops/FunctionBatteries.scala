@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Scalar-function batteries widening the engine's expression surface
+  * beyond the reference's needs (SURVEY.md §2.3/§2.8): JSON functions and
+  * array/higher-order functions, each exercised end-to-end against the
+  * DuckDB oracle.
+  *
+  * Determinism: only integers and exact string equality leave the
+  * per-row expressions — no raw JSON strings (engines format JSON
+  * differently) and no floats through text round-trips.
+  */
+object FunctionBatteries {
+
+  // -------------------------------------------------------------------------
+  // F14 JSON battery: schema-on-read parse (from_json), generator-style
+  // extraction (json_tuple), path extraction after a construction round
+  // trip (to_json(struct(...)) → get_json_object), array length and key
+  // enumeration. All map-side; one aggregate on event_type.
+  def fJsonFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .withColumn("k", from_json($"props", StructType(Seq(StructField("k", IntegerType)))).getField("k"))
+      .select($"event_id", $"event_type", $"props", $"k",
+        json_tuple($"props", "k").as("k_str"))
+      .withColumn("rt", get_json_object(
+        to_json(struct($"event_type".as("t"), $"k".as("k"))), "$.t"))
+      .withColumn("jal", json_array_length(
+        concat(lit("["), $"k".cast("string"), lit(","), $"k".cast("string"), lit("]"))))
+      .withColumn("n_keys", size(json_object_keys($"props")))
+    e.groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"k").as("sum_k"),
+        sum($"k_str".cast(IntegerType)).as("sum_k_tuple"),
+        sum(when($"rt" === $"event_type", 1L).otherwise(0L)).as("n_roundtrip_ok"),
+        sum($"jal".cast(LongType)).as("sum_arr_len"),
+        sum($"n_keys".cast(LongType)).as("sum_n_keys"))
+      .orderBy($"event_type")
+  }
+
+  val fJsonFuncsSql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+      |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_tuple,
+      |    json_extract_string(
+      |      to_json(struct_pack(t := event_type, k := CAST(json_extract_string(props, '$.k') AS INTEGER))),
+      |      '$.t') AS rt,
+      |    json_array_length('[' || CAST(json_extract_string(props, '$.k') AS INTEGER)
+      |      || ',' || CAST(json_extract_string(props, '$.k') AS INTEGER) || ']') AS jal,
+      |    len(json_keys(props)) AS n_keys
+      |  FROM events)
+      |SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  CAST(SUM(k_tuple) AS BIGINT) AS sum_k_tuple,
+      |  CAST(SUM(CASE WHEN rt = event_type THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_ok,
+      |  CAST(SUM(jal) AS BIGINT) AS sum_arr_len,
+      |  CAST(SUM(n_keys) AS BIGINT) AS sum_n_keys
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // F15 array / higher-order-function battery over the documents token
+  // arrays: transform+aggregate (fold), filter, exists, forall, zip_with,
+  // flatten, slice, set ops (union/intersect/except as sizes — size-only
+  // keeps element ORDER differences between engines out of the compare),
+  // min/max element, positional lookup. Everything is per-row array math
+  // (no explode, no shuffle) until the per-lang audit aggregate — the
+  // 100 TB-friendly shape for per-document feature extraction.
+  def fArrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir)
+      .withColumn("toks", split($"text", " "))
+      .withColumn("sum_len", aggregate(transform($"toks", t => length(t)), lit(0L), (a, b) => a + b))
+      .withColumn("n_long", size(filter($"toks", t => length(t) > 4)))
+      .withColumn("has_the", array_contains($"toks", "the").cast(LongType))
+      .withColumn("any_long8", exists($"toks", t => length(t) > 8).cast(LongType))
+      .withColumn("all_nonempty", forall($"toks", t => length(t) > 0).cast(LongType))
+      .withColumn("n_mirror", size(filter(
+        zip_with($"toks", reverse($"toks"), (a, b) => (a === b).cast(IntegerType)),
+        x => x === 1)))
+      .withColumn("n_flat", size(flatten(array(slice($"toks", 1, 3), slice($"toks", 1, 2)))))
+      .withColumn("n_union", size(array_union($"toks", slice($"toks", 1, 5))))
+      .withColumn("n_inter", size(array_intersect($"toks", array(lit("the"), lit("a")))))
+      .withColumn("n_except", size(array_except($"toks", array(lit("the"), lit("a")))))
+      .withColumn("min_tok", array_min($"toks"))
+      .withColumn("max_tok", array_max($"toks"))
+      .withColumn("pos_the", array_position($"toks", "the"))
+    d.groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"sum_len").as("sum_tok_len"),
+        sum($"n_long".cast(LongType)).as("n_long_toks"),
+        sum($"has_the").as("n_has_the"),
+        sum($"any_long8").as("n_any_long8"),
+        sum($"all_nonempty").as("n_all_nonempty"),
+        sum($"n_mirror".cast(LongType)).as("n_mirror"),
+        sum($"n_flat".cast(LongType)).as("n_flat"),
+        sum($"n_union".cast(LongType)).as("n_union"),
+        sum($"n_inter".cast(LongType)).as("n_inter"),
+        sum($"n_except".cast(LongType)).as("n_except"),
+        min($"min_tok").as("min_tok"),
+        max($"max_tok").as("max_tok"),
+        sum($"pos_the").as("sum_pos_the"))
+      .orderBy($"lang")
+  }
+
+  val fArrayFuncsSql: String =
+    """WITH d AS (
+      |  SELECT lang, string_split(text, ' ') AS toks FROM documents),
+      |m AS (
+      |  SELECT lang,
+      |    list_sum(list_transform(toks, t -> len(t))) AS sum_len,
+      |    len(list_filter(toks, t -> len(t) > 4)) AS n_long,
+      |    CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END AS has_the,
+      |    CASE WHEN len(list_filter(toks, t -> len(t) > 8)) > 0 THEN 1 ELSE 0 END AS any_long8,
+      |    CASE WHEN len(list_filter(toks, t -> NOT len(t) > 0)) = 0 THEN 1 ELSE 0 END AS all_nonempty,
+      |    len(list_filter(list_zip(toks, list_reverse(toks)), z -> z[1] = z[2])) AS n_mirror,
+      |    len(flatten([list_slice(toks, 1, 3), list_slice(toks, 1, 2)])) AS n_flat,
+      |    len(list_distinct(list_concat(toks, list_slice(toks, 1, 5)))) AS n_union,
+      |    len(list_filter(list_distinct(toks), t -> t = 'the' OR t = 'a')) AS n_inter,
+      |    len(list_filter(list_distinct(toks), t -> NOT (t = 'the' OR t = 'a'))) AS n_except,
+      |    list_aggregate(toks, 'min') AS min_tok,
+      |    list_aggregate(toks, 'max') AS max_tok,
+      |    COALESCE(list_position(toks, 'the'), 0) AS pos_the
+      |  FROM d)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(sum_len) AS BIGINT) AS sum_tok_len,
+      |  CAST(SUM(n_long) AS BIGINT) AS n_long_toks,
+      |  CAST(SUM(has_the) AS BIGINT) AS n_has_the,
+      |  CAST(SUM(any_long8) AS BIGINT) AS n_any_long8,
+      |  CAST(SUM(all_nonempty) AS BIGINT) AS n_all_nonempty,
+      |  CAST(SUM(n_mirror) AS BIGINT) AS n_mirror,
+      |  CAST(SUM(n_flat) AS BIGINT) AS n_flat,
+      |  CAST(SUM(n_union) AS BIGINT) AS n_union,
+      |  CAST(SUM(n_inter) AS BIGINT) AS n_inter,
+      |  CAST(SUM(n_except) AS BIGINT) AS n_except,
+      |  MIN(min_tok) AS min_tok,
+      |  MAX(max_tok) AS max_tok,
+      |  CAST(SUM(pos_the) AS BIGINT) AS sum_pos_the
+      |FROM m GROUP BY lang ORDER BY lang""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f_json_funcs"  -> (fJsonFuncs _),
+    "f_array_funcs" -> (fArrayFuncs _))
+
+  val oracles: Map[String, String] = Map(
+    "f_json_funcs"  -> fJsonFuncsSql,
+    "f_array_funcs" -> fArrayFuncsSql)
+}

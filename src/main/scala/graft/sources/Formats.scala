@@ -1,0 +1,112 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Source/sink format surface beyond parquet+JSON (SURVEY.md §2.1): a CSV
+  * sink/scan round trip, and the bucketed-table write path (S7 clustered
+  * write taken to its 100 TB conclusion: both join sides pre-hashed into
+  * the SAME bucket layout on the join key, so the join runs with NO
+  * exchange — the co-located join every large warehouse relies on;
+  * PlanSpec asserts the absence of the shuffle).
+  */
+object Formats {
+
+  val csvRoot = "/tmp/graft_csv_orders"
+
+  /** CSV round trip: typed write (DECIMAL money column — exact text, no
+    * float-formatting drift between engines), schema'd read back (no
+    * inference — FIXTURES.md rule), aggregate. The oracle reads the very
+    * files this query wrote.
+    */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice".cast(DecimalType(12, 2)).as("o_totalprice"))
+      .repartition(4)
+      .write.mode("overwrite").option("header", "true").csv(csvRoot)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DecimalType(12, 2))))
+    spark.read.schema(schema).option("header", "true").csv(csvRoot)
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum($"o_totalprice").cast(DoubleType).as("sum_price"),
+        min($"o_orderkey").as("min_key"),
+        max($"o_orderkey").as("max_key"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val csvRoundtripSql: String =
+    s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(SUM(o_totalprice) AS DOUBLE) AS sum_price,
+      |  MIN(o_orderkey) AS min_key,
+      |  MAX(o_orderkey) AS max_key
+      |FROM read_csv('$csvRoot/*.csv', header=true,
+      |  columns={'o_orderkey': 'BIGINT', 'o_orderstatus': 'VARCHAR', 'o_totalprice': 'DECIMAL(12,2)'})
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** S7 co-located join: lineitem and orders both written `bucketBy(8,
+    * key)` + sorted within buckets, pre-repartitioned so each bucket is
+    * ONE file (repartition's Murmur3 hash is the bucketing hash, so task i
+    * holds exactly bucket i). Reading the two tables back and joining on
+    * the bucket key produces a sort-merge join with NO shuffle on either
+    * side — at 100 TB this is the difference between a join that moves
+    * 100 TB over the network and one that moves nothing.
+    */
+  /** The in-memory catalog dies with the JVM but the warehouse directory
+    * survives, so a fresh session's saveAsTable hits LOCATION_ALREADY_EXISTS
+    * on the previous run's files — drop the entry AND the location.
+    */
+  private def resetTable(spark: SparkSession, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(wh), name)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    resetTable(spark, "g_lineitem_bucketed")
+    resetTable(spark, "g_orders_bucketed")
+    Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_quantity", $"l_extendedprice")
+      .repartition(8, $"l_orderkey")
+      .write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("g_lineitem_bucketed")
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderstatus")
+      .repartition(8, $"o_orderkey")
+      .write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("g_orders_bucketed")
+    spark.table("g_lineitem_bucketed")
+      .join(spark.table("g_orders_bucketed"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum($"l_quantity".cast(DecimalType(12, 2))).cast(DoubleType).as("sum_qty"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val bucketedJoinSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "csv_roundtrip"    -> (csvRoundtrip _),
+    "s7_bucketed_join" -> (bucketedJoin _))
+
+  val oracles: Map[String, String] = Map(
+    "csv_roundtrip"    -> csvRoundtripSql,
+    "s7_bucketed_join" -> bucketedJoinSql)
+}

@@ -133,6 +133,42 @@ class PlanSpec extends SparkSpec {
     assert(scans <= 1, s"pivot should scan orders exactly once:\n${plan.take(1500)}")
   }
 
+  test("bucketed join runs with no shuffle on either side") {
+    // at toy SF Catalyst rightly broadcasts the small side; the co-located
+    // layout matters when NEITHER side fits in memory — pin that scenario
+    // by disabling auto-broadcast (what a 100 TB join faces anyway)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = sources.Formats.bucketedJoin(spark, sfDir)
+      df.count()
+      // single plan string (AQE is off) — planString concatenates two
+      // copies, which would false-positive the below-the-join scan
+      val plan = df.queryExecution.executedPlan.toString
+      // both sides are bucketBy(8, key): the SMJ consumes the bucket layout
+      // directly — any hashpartitioning exchange BELOW the join would mean
+      // the co-located layout was not used (the post-join aggregate may
+      // still exchange; it is above SortMergeJoin in the printed tree)
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, "expected a sort-merge join over bucketed scans\n" + plan.take(1500))
+      val below = plan.substring(joinIdx)
+      assert(!below.contains("Exchange hashpartitioning"),
+        "bucketed sides must not re-shuffle:\n" + below.take(1500))
+      assert(plan.contains("SelectedBucketsCount"),
+        "scans must report bucket pruning metadata:\n" + plan.take(1500))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
+  test("TPC-H Q3 via SQL text lowers top-10 to TakeOrderedAndProject") {
+    val df = ops.SqlSurface.sqlTpchQ3(spark, sfDir)
+    df.count()
+    val plan = planString(df)
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
   test("ranking battery shares one window sort (single Window over one Exchange)") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

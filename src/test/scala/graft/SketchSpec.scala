@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Approximate/sketch operators: the a8_approx query has no cross-engine
+  * oracle (sketch values are implementation-defined), so THIS spec is its
+  * correctness contract — rigorous error bounds against the exact answers —
+  * plus the count-min / Bloom sketches from DataFrameStatFunctions.
+  */
+class SketchSpec extends SparkSpec {
+
+  test("approx_count_distinct is within the declared 2% rsd of exact") {
+    import spark.implicits._
+    val apx = ops.ApproxAggs.a8Approx(spark, sfDir)
+    val exact = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("x_parts"), countDistinct($"l_suppkey").as("x_supps"))
+    val joined = apx.join(exact, Seq("l_returnflag")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (ap, xp) = (r.getAs[Long]("apx_parts").toDouble, r.getAs[Long]("x_parts").toDouble)
+      val (as_, xs) = (r.getAs[Long]("apx_supps").toDouble, r.getAs[Long]("x_supps").toDouble)
+      // HLL++ rsd 0.02 → allow 5 sigma
+      assert(math.abs(ap - xp) <= math.max(5 * 0.02 * xp, 1.0), s"parts: $ap vs $xp")
+      assert(math.abs(as_ - xs) <= math.max(5 * 0.02 * xs, 1.0), s"supps: $as_ vs $xs")
+    }
+  }
+
+  test("approx_percentile brackets the exact percentile rank") {
+    import spark.implicits._
+    val apx = ops.ApproxAggs.a8Approx(spark, sfDir).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> (r.getAs[Double]("apx_p50"), r.getAs[Long]("n_rows"))).toMap
+    apx.foreach { case (flag, (p50, n)) =>
+      // the reported value's true rank must be within accuracy-bound
+      // distance of the 0.5 rank (contract of percentile_approx(acc=10000))
+      val below = Tables.lineitem(spark, sfDir)
+        .filter($"l_returnflag" === flag && $"l_extendedprice" <= p50).count()
+      val rank = below.toDouble / n
+      assert(math.abs(rank - 0.5) <= 0.01, s"$flag: p50=$p50 has rank $rank")
+    }
+  }
+
+  test("count-min sketch overestimates by at most eps*n; never underestimates") {
+    import spark.implicits._
+    val df = Tables.lineitem(spark, sfDir).select($"l_returnflag")
+    val n = df.count()
+    val cms = df.stat.countMinSketch("l_returnflag", eps = 0.001, confidence = 0.99, seed = 42)
+    val exact = df.groupBy($"l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, x) =>
+      val est = cms.estimateCount(k)
+      assert(est >= x, s"CMS must never underestimate: $k $est < $x")
+      assert(est <= x + (0.001 * n).toLong + 1, s"CMS overestimate bound blown: $k $est vs $x")
+    }
+  }
+
+  test("bloom filter: no false negatives, fpp near the configured rate") {
+    import spark.implicits._
+    val keys = Tables.orders(spark, sfDir).select($"o_orderkey")
+    val bf = keys.stat.bloomFilter("o_orderkey", expectedNumItems = 20000, fpp = 0.01)
+    // every present key hits
+    val misses = keys.collect().count(r => !bf.mightContain(r.getLong(0)))
+    assert(misses == 0, s"bloom filter false negatives: $misses")
+    // absent keys mostly miss (allow generous 5x the configured fpp)
+    val absentHits = (1 to 10000).count(i => bf.mightContain(-i.toLong))
+    assert(absentHits <= 10000 * 0.05, s"fpp too high: $absentHits/10000")
+  }
+}
