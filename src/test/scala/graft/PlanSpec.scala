@@ -169,6 +169,40 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{when, lpad, lit, count, max, length}
+    // one hot key holding ~95% of the large side — the shape salting (X3)
+    // and AQE skew-split both target; here we prove the AQE path works
+    // with our session settings, thresholds scaled to toy data sizes
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val large = spark.range(200000)
+        .select(when($"id" < 190000, 0L).otherwise($"id").as("k"),
+          // payload must stay referenced downstream or column pruning
+          // shrinks the hot partition under the skew threshold
+          lpad($"id".cast("string"), 64, "x").as("payload"))
+      val small = spark.range(64).select($"id".as("k"), lit("dim").as("d"))
+      val joined = large.join(small, Seq("k"))
+        .groupBy($"d").agg(count(lit(1)).as("n"), max(length($"payload")).as("max_len"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        "AQE must mark the hot partition's join as skew-handled:\n" + plan.take(2000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("ranking battery shares one window sort (single Window over one Exchange)") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
