@@ -547,6 +547,76 @@ object Relational {
       |SELECT * FROM r WHERE c_custkey <= 300 ORDER BY c_custkey""".stripMargin
 
   // -------------------------------------------------------------------------
+  // W4 range-frame window: trailing-one-hour sum per user, frame bounded by
+  // the ORDER VALUE (epoch seconds), not row counts — the time-decay /
+  // rate-limiting window shape. RANGE frames include peers (equal sort
+  // keys), so the result is order-insensitive within a second in both
+  // engines. One shuffle on user_id, same as any W2 window.
+  def w4RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"sec").rangeBetween(-3600L, 0L)
+    Tables.events(spark, dir)
+      .withColumn("sec", unix_timestamp($"ts"))
+      .withColumn("trail_hr_sum", d2(sum(dec($"value")).over(w)))
+      .withColumn("trail_hr_n", count(lit(1)).over(w))
+      .select($"event_id", $"user_id", $"trail_hr_sum", $"trail_hr_n")
+      .orderBy($"event_id")
+  }
+
+  val w4RangeFrameSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |    CAST(value AS DECIMAL(12,2)) AS v
+      |  FROM events)
+      |SELECT event_id, user_id,
+      |  CAST(SUM(v) OVER w AS DOUBLE) AS trail_hr_sum,
+      |  COUNT(*) OVER w AS trail_hr_n
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+      |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // A5b unpivot (wide→long, the inverse reshape of A5): lineitem's three
+  // rate/measure columns melted into (measure, value) rows, aggregated per
+  // measure. Spark's unpivot lowers to Expand — each input row emits k
+  // rows map-side, no shuffle until the aggregate (same shape the oracle
+  // writes as UNION ALL).
+  def a5bUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select($"l_orderkey",
+        dec($"l_quantity").as("quantity"),
+        dec($"l_discount").as("discount"),
+        dec($"l_tax").as("tax"))
+      .unpivot(
+        ids = Array(col("l_orderkey")),
+        values = Array(col("quantity"), col("discount"), col("tax")),
+        variableColumnName = "measure",
+        valueColumnName = "v")
+      .groupBy($"measure")
+      .agg(
+        count(lit(1)).as("n"),
+        d2(sum($"v")).as("total"),
+        d2(min($"v")).as("min_v"),
+        d2(max($"v")).as("max_v"))
+      .orderBy($"measure")
+  }
+
+  val a5bUnpivotSql: String =
+    """WITH long AS (
+      |  SELECT 'quantity' AS measure, CAST(l_quantity AS DECIMAL(12,2)) AS v FROM lineitem
+      |  UNION ALL
+      |  SELECT 'discount', CAST(l_discount AS DECIMAL(12,2)) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'tax', CAST(l_tax AS DECIMAL(12,2)) FROM lineitem)
+      |SELECT measure, COUNT(*) AS n,
+      |  CAST(SUM(v) AS DOUBLE) AS total,
+      |  CAST(MIN(v) AS DOUBLE) AS min_v,
+      |  CAST(MAX(v) AS DOUBLE) AS max_v
+      |FROM long GROUP BY measure ORDER BY measure""".stripMargin
+
+  // -------------------------------------------------------------------------
   // J7 multi-way star join (TPC-H Q9 shape): fact ⋈ two SF-scaling dims
   // (part, supplier) ⋈ one fixed dim (nation). Only nation is pinned to
   // broadcast — part/supplier grow with the data and join on the shuffle
@@ -708,6 +778,8 @@ object Relational {
     "so1_setops"    -> (so1SetOps _),
     "w1_latest_per_key" -> (w1LatestPerKey _),
     "w2_analytic"   -> (w2Analytic _),
+    "w4_range_frame" -> (w4RangeFrame _),
+    "a5b_unpivot"   -> (a5bUnpivot _),
     "p457_filter_distinct" -> (p457FilterDistinct _))
 
   val oracles: Map[String, String] = Map(
@@ -734,5 +806,7 @@ object Relational {
     "so1_setops"    -> so1SetOpsSql,
     "w1_latest_per_key" -> w1LatestPerKeySql,
     "w2_analytic"   -> w2AnalyticSql,
+    "w4_range_frame" -> w4RangeFrameSql,
+    "a5b_unpivot"   -> a5bUnpivotSql,
     "p457_filter_distinct" -> p457FilterDistinctSql)
 }

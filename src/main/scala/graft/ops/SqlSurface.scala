@@ -100,11 +100,89 @@ object SqlSurface {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name ASC""".stripMargin
 
+  /** Correlated EXISTS (TPC-H Q4 shape): Catalyst rewrites the EXISTS into
+    * a left-semi join on the correlation key — the same plan J3 builds
+    * explicitly, reached from SQL text.
+    */
+  def sqlExistsSubq(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM g_orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM g_lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val sqlExistsSubqSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** NOT IN subquery → null-aware anti join. o_custkey is non-null, so
+    * this is the S5 incremental-scan equivalence (SURVEY §2.1 note) at the
+    * SQL layer: customers that never ordered, per nation.
+    */
+  def sqlInSubq(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT n_name, COUNT(*) AS n_customers_without_orders
+        |FROM g_customer JOIN g_nation ON c_nationkey = n_nationkey
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM g_orders)
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin)
+  }
+
+  val sqlInSubqSql: String =
+    """SELECT n_name, COUNT(*) AS n_customers_without_orders
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  /** Scalar subqueries: orders above the corpus-average price per status.
+    * The average is compared EXACTLY — price·count > sum in DECIMAL — so
+    * no float summation-order drift can flip a boundary row between
+    * engines (the determinism trap of naive `> (SELECT AVG(...))`).
+    */
+  def sqlScalarSubq(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT o_orderstatus, COUNT(*) AS n_above_avg
+        |FROM g_orders
+        |WHERE CAST(o_totalprice AS DECIMAL(12,2)) * (SELECT COUNT(*) FROM g_orders)
+        |      > (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,2))) FROM g_orders)
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  val sqlScalarSubqSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_above_avg
+      |FROM orders
+      |WHERE CAST(o_totalprice AS DECIMAL(12,2)) * (SELECT COUNT(*) FROM orders)
+      |      > (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,2))) FROM orders)
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sql_tpch_q3" -> (sqlTpchQ3 _),
-    "sql_tpch_q5" -> (sqlTpchQ5 _))
+    "sql_tpch_q3"     -> (sqlTpchQ3 _),
+    "sql_tpch_q5"     -> (sqlTpchQ5 _),
+    "sql_exists_subq" -> (sqlExistsSubq _),
+    "sql_in_subq"     -> (sqlInSubq _),
+    "sql_scalar_subq" -> (sqlScalarSubq _))
 
   val oracles: Map[String, String] = Map(
-    "sql_tpch_q3" -> sqlTpchQ3Sql,
-    "sql_tpch_q5" -> sqlTpchQ5Sql)
+    "sql_tpch_q3"     -> sqlTpchQ3Sql,
+    "sql_tpch_q5"     -> sqlTpchQ5Sql,
+    "sql_exists_subq" -> sqlExistsSubqSql,
+    "sql_in_subq"     -> sqlInSubqSql,
+    "sql_scalar_subq" -> sqlScalarSubqSql)
 }

@@ -102,11 +102,79 @@ object Formats {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  val orcRoot = "/tmp/graft_orc_lineitem"
+
+  /** ORC round trip: columnar sink+scan in Spark's second native columnar
+    * format. DuckDB cannot read ORC, so the oracle computes the SAME
+    * aggregate from the source parquet — value equality proves the round
+    * trip was lossless (timestamps, doubles-as-decimal, strings).
+    */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_returnflag", $"l_shipdate",
+        $"l_quantity".cast(DecimalType(12, 2)).as("qty"))
+      .repartition(4)
+      .write.mode("overwrite").orc(orcRoot)
+    spark.read.orc(orcRoot)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"qty").cast(DoubleType).as("sum_qty"),
+        min($"l_shipdate").as("min_ship"),
+        max($"l_orderkey").as("max_key"))
+      .orderBy($"l_returnflag")
+  }
+
+  val orcRoundtripSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  MIN(l_shipdate) AS min_ship,
+      |  MAX(l_orderkey) AS max_key
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  val partRoot = "/tmp/graft_part_orders"
+
+  /** S7 partitioned layout + partition pruning: orders written
+    * partitionBy(o_orderstatus), then read back with a partition-key
+    * filter — the scan must touch ONLY the selected directory (PlanSpec
+    * asserts the PartitionFilters entry and partition count). This is the
+    * reference's country/city S3 key layout (meteomatics_get_data.py:116)
+    * as a measurable pruning win.
+    */
+  def partitionPrune(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey",
+        $"o_totalprice".cast(DecimalType(12, 2)).as("price"), $"o_orderstatus")
+      .repartition($"o_orderstatus")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(partRoot)
+    spark.read.parquet(partRoot)
+      .filter($"o_orderstatus" === "F")
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum($"price").cast(DoubleType).as("sum_price"),
+        countDistinct($"o_custkey").as("n_custs"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val partitionPruneSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+      |  COUNT(DISTINCT o_custkey) AS n_custs
+      |FROM orders WHERE o_orderstatus = 'F'
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "csv_roundtrip"    -> (csvRoundtrip _),
+    "orc_roundtrip"    -> (orcRoundtrip _),
+    "s7_partition_prune" -> (partitionPrune _),
     "s7_bucketed_join" -> (bucketedJoin _))
 
   val oracles: Map[String, String] = Map(
     "csv_roundtrip"    -> csvRoundtripSql,
+    "orc_roundtrip"    -> orcRoundtripSql,
+    "s7_partition_prune" -> partitionPruneSql,
     "s7_bucketed_join" -> bucketedJoinSql)
 }

@@ -169,6 +169,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("partitioned layout prunes to the selected partition directory") {
+    val df = sources.Formats.partitionPrune(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan.take(1500))
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("o_orderstatus"), "status filter must prune partitions, not scan+filter:\n" + pf)
+    // the data filters must NOT contain the partition column — pruning
+    // happened at the directory level, before any row was read (the scan
+    // prints on ONE line, so extract the PushedFilters bracket itself)
+    val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).getOrElse("")
+    assert(!pushed.contains("o_orderstatus"),
+      "partition-key filter must not degrade to a row-level pushed filter: " + pushed)
+  }
+
   test("AQE splits a skewed sort-merge join partition at runtime") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{when, lpad, lit, count, max, length}
