@@ -30,3 +30,26 @@ class TopKAggregator(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]
   override def bufferEncoder: Encoder[Seq[Scored]] = ExpressionEncoder[Seq[Scored]]()
   override def outputEncoder: Encoder[Seq[Scored]] = bufferEncoder
 }
+
+/** A scored term row flowing into the per-document top-k (TF-IDF shape). */
+case class ScoredTerm(term: String, tf_count: Long, df: Long, score: Double)
+
+/** TopKAggregator's sibling for payload-carrying rows: keeps the k best
+  * (score DESC, term ASC) terms per document with map-side partials — the
+  * same replacement of `row_number().over(Window.partitionBy(doc))` by a
+  * bounded aggregation, for the case where the ranked row carries columns
+  * beyond (id, score). Ordering is total (term is unique within a doc), so
+  * the result is input-order-independent.
+  */
+class TopKTermsAggregator(k: Int) extends Aggregator[ScoredTerm, Seq[ScoredTerm], Seq[ScoredTerm]] {
+
+  private def best(xs: Seq[ScoredTerm]): Seq[ScoredTerm] =
+    xs.sortBy(s => (-s.score, s.term)).take(k)
+
+  override def zero: Seq[ScoredTerm] = Seq.empty
+  override def reduce(buf: Seq[ScoredTerm], a: ScoredTerm): Seq[ScoredTerm] = best(buf :+ a)
+  override def merge(b1: Seq[ScoredTerm], b2: Seq[ScoredTerm]): Seq[ScoredTerm] = best(b1 ++ b2)
+  override def finish(reduction: Seq[ScoredTerm]): Seq[ScoredTerm] = reduction
+  override def bufferEncoder: Encoder[Seq[ScoredTerm]] = ExpressionEncoder[Seq[ScoredTerm]]()
+  override def outputEncoder: Encoder[Seq[ScoredTerm]] = bufferEncoder
+}

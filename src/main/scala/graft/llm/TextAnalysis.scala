@@ -213,14 +213,21 @@ object TextAnalysis {
       .groupBy($"doc_id", $"n_tok", $"term").agg(count(lit(1)).as("tf_count"))
       .cache() // consumed twice (df computation + scoring join)
     val df = terms.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
-    val wTop = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term".asc)
+    // per-doc top-3 via the bounded TopKTermsAggregator — a row_number
+    // window here would shuffle and sort EVERY scored (doc, term) row;
+    // the aggregator partially reduces to ≤3 rows per doc per partition
+    // map-side, so only |docs|·3-ish rows cross the exchange
+    val topk = udaf(new graft.functions.TopKTermsAggregator(3),
+      org.apache.spark.sql.Encoders.product[graft.functions.ScoredTerm])
     terms.join(broadcast(df), Seq("term"))
       .withColumn("score", round(
         ($"tf_count".cast("double") / $"n_tok")
           * log(lit(n).cast("double") / $"df"), 6))
-      .withColumn("rk", row_number().over(wTop))
-      .filter($"rk" <= 3)
-      .select($"doc_id", $"rk", $"term", $"tf_count", $"df", $"score")
+      .groupBy($"doc_id")
+      .agg(topk($"term", $"tf_count", $"df", $"score").as("top"))
+      .select($"doc_id", posexplode($"top").as(Seq("pos", "s")))
+      .select($"doc_id", ($"pos" + 1).as("rk"), $"s.term".as("term"),
+        $"s.tf_count".as("tf_count"), $"s.df".as("df"), $"s.score".as("score"))
       .orderBy($"doc_id", $"rk")
   }
 
