@@ -617,6 +617,71 @@ object Relational {
       |FROM long GROUP BY measure ORDER BY measure""".stripMargin
 
   // -------------------------------------------------------------------------
+  // J8 interval-binning join: facts matched to IRREGULAR value bands.
+  // The naive plan for `price BETWEEN lo AND hi` is a broadcast-nested-loop
+  // join — O(rows × bands) comparisons and no hash path at all. Binning
+  // converts it to an equi-join: each band row replicates to the fixed-width
+  // bins it covers (tiny dim-side explode), each fact row hashes to exactly
+  // ONE bin, and the residual range test rides the join as a cheap conjunct.
+  // At 100 TB pick the bin width near the typical band width so dim
+  // replication stays O(bands).
+  def j8IntervalBin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val binW = 5000L
+    val bands = Seq(
+      ("budget", 0L, 5000L), ("mid", 5000L, 20000L),
+      ("premium", 20000L, 50000L), ("luxury", 50000L, 200000L))
+      .toDF("band", "lo", "hi")
+    val binned = bands.withColumn("bin",
+      explode(expr(s"sequence(lo div $binW, (hi - 1) div $binW)")))
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("bin", floor($"l_extendedprice" / binW.toDouble).cast(LongType))
+    li.join(broadcast(binned),
+        li("bin") === binned("bin")
+          && $"l_extendedprice" >= $"lo" && $"l_extendedprice" < $"hi")
+      .groupBy($"band")
+      .agg(
+        count(lit(1)).as("n_items"),
+        d2(sum(dec($"l_extendedprice"))).as("sum_price"))
+      .orderBy($"band")
+  }
+
+  val j8IntervalBinSql: String =
+    """WITH bands(band, lo, hi) AS (VALUES
+      |  ('budget', 0, 5000), ('mid', 5000, 20000),
+      |  ('premium', 20000, 50000), ('luxury', 50000, 200000))
+      |SELECT band, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN bands
+      |  ON l_extendedprice >= lo AND l_extendedprice < hi
+      |GROUP BY band ORDER BY band""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // X3 salted two-phase aggregation through the correctness gate: the hot
+  // keys (3 return flags over the whole fact table) first partial-aggregate
+  // on (key, salt) across 16 sub-keys, then final-aggregate on the key —
+  // equivalent to the plain groupBy (the oracle IS the plain groupBy) but
+  // no single task ever owns a whole hot group. Money math runs in integer
+  // cents; the final /100.0 divides identical int64s in both engines.
+  def x3SaltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_returnflag",
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+    Skew.saltedSumCount(li, "l_returnflag", "cents", 16)
+      .select($"l_returnflag",
+        ($"sum_value" / 100.0).as("sum_price"),
+        $"n_rows")
+      .orderBy($"l_returnflag")
+  }
+
+  val x3SaltedAggSql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // -------------------------------------------------------------------------
   // J7 multi-way star join (TPC-H Q9 shape): fact ⋈ two SF-scaling dims
   // (part, supplier) ⋈ one fixed dim (nation). Only nation is pinned to
   // broadcast — part/supplier grow with the data and join on the shuffle
@@ -774,6 +839,8 @@ object Relational {
     "j4_outer"      -> (j4Outer _),
     "j5_asof"       -> (j5AsOf _),
     "j6_band_join"  -> (j6BandJoin _),
+    "j8_interval_bin" -> (j8IntervalBin _),
+    "x3_salted_agg" -> (x3SaltedAgg _),
     "o1_topk"       -> (o1TopK _),
     "so1_setops"    -> (so1SetOps _),
     "w1_latest_per_key" -> (w1LatestPerKey _),
@@ -802,6 +869,8 @@ object Relational {
     "j4_outer"      -> j4OuterSql,
     "j5_asof"       -> j5AsOfSql,
     "j6_band_join"  -> j6BandJoinSql,
+    "j8_interval_bin" -> j8IntervalBinSql,
+    "x3_salted_agg" -> x3SaltedAggSql,
     "o1_topk"       -> o1TopKSql,
     "so1_setops"    -> so1SetOpsSql,
     "w1_latest_per_key" -> w1LatestPerKeySql,
