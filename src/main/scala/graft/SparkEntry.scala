@@ -21,6 +21,7 @@ object SparkEntry {
     ops.FunctionBatteries.queries ++
     ops.SqlSurface.queries ++
     ops.ApproxAggs.queries ++
+    ops.TypedApi.queries ++
     sources.Formats.queries ++
     ops.ScalarFuncs.queries ++
     ops.WeatherQueries.queries ++
@@ -40,6 +41,7 @@ object SparkEntry {
     ops.FunctionBatteries.oracles ++
     ops.SqlSurface.oracles ++
     ops.ApproxAggs.oracles ++
+    ops.TypedApi.oracles ++
     sources.Formats.oracles ++
     ops.ScalarFuncs.oracles ++
     ops.WeatherQueries.oracles ++

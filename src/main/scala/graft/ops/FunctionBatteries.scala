@@ -145,11 +145,83 @@ object FunctionBatteries {
       |  CAST(SUM(pos_the) AS BIGINT) AS sum_pos_the
       |FROM m GROUP BY lang ORDER BY lang""".stripMargin
 
+  // -------------------------------------------------------------------------
+  // F16 regex battery: extraction, counting, replacement, matching and
+  // regex splitting over the documents text. All map-side; one aggregate.
+  def fRegexFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir)
+      .withColumn("first_num", regexp_extract($"text", "([0-9]+)", 1))
+      .withColumn("n_vowel_runs", size(regexp_extract_all($"text", lit("[aeiou]+"), lit(0))))
+      .withColumn("devoweled_len", length(regexp_replace($"text", "[aeiou]", "")))
+      // NB: no backreferences — DuckDB's RE2 has none, so the portable
+      // battery sticks to the regular-language subset
+      .withColumn("has_digitrun", $"text".rlike("[0-9]{2,}").cast(LongType))
+      .withColumn("n_segments", size(split($"text", "[ .]+")))
+    d.groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"first_num" === "", 0L).otherwise(1L)).as("n_with_number"),
+        sum($"n_vowel_runs".cast(LongType)).as("n_vowel_runs"),
+        sum($"devoweled_len".cast(LongType)).as("devoweled_len"),
+        sum($"has_digitrun").as("n_has_digitrun"),
+        sum($"n_segments".cast(LongType)).as("n_segments"))
+      .orderBy($"lang")
+  }
+
+  val fRegexFuncsSql: String =
+    """WITH d AS (
+      |  SELECT lang,
+      |    regexp_extract(text, '([0-9]+)', 1) AS first_num,
+      |    len(regexp_extract_all(text, '[aeiou]+')) AS n_vowel_runs,
+      |    len(regexp_replace(text, '[aeiou]', '', 'g')) AS devoweled_len,
+      |    CASE WHEN regexp_matches(text, '[0-9]{2,}') THEN 1 ELSE 0 END AS has_digitrun,
+      |    len(regexp_split_to_array(text, '[ .]+')) AS n_segments
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN first_num = '' THEN 0 ELSE 1 END) AS BIGINT) AS n_with_number,
+      |  CAST(SUM(n_vowel_runs) AS BIGINT) AS n_vowel_runs,
+      |  CAST(SUM(devoweled_len) AS BIGINT) AS devoweled_len,
+      |  CAST(SUM(has_digitrun) AS BIGINT) AS n_has_digitrun,
+      |  CAST(SUM(n_segments) AS BIGINT) AS n_segments
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // F17 collect battery: collect_set/collect_list are ORDER-NONDETERMINISTIC
+  // in a distributed engine, so every collected value is sorted before it
+  // leaves the aggregate (sort_array) and compared as a joined string —
+  // the only portable way to emit grouped lists. string_agg/listagg
+  // equivalent included via array_join.
+  def fCollectFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        array_join(sort_array(collect_set($"l_linestatus")), ",").as("statuses"),
+        size(collect_list($"l_linestatus")).as("n_collected"),
+        array_join(slice(sort_array(collect_set($"l_shipdate".cast("date").cast("string"))), 1, 3), ",")
+          .as("first_ship_dates"))
+      .orderBy($"l_returnflag")
+  }
+
+  val fCollectFuncsSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses,
+      |  CAST(len(list(l_linestatus)) AS INTEGER) AS n_collected,
+      |  array_to_string(list_slice(list_sort(list_distinct(list(CAST(CAST(l_shipdate AS DATE) AS VARCHAR)))), 1, 3), ',')
+      |    AS first_ship_dates
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "f_json_funcs"  -> (fJsonFuncs _),
-    "f_array_funcs" -> (fArrayFuncs _))
+    "f_json_funcs"    -> (fJsonFuncs _),
+    "f_array_funcs"   -> (fArrayFuncs _),
+    "f_regex_funcs"   -> (fRegexFuncs _),
+    "f_collect_funcs" -> (fCollectFuncs _))
 
   val oracles: Map[String, String] = Map(
-    "f_json_funcs"  -> fJsonFuncsSql,
-    "f_array_funcs" -> fArrayFuncsSql)
+    "f_json_funcs"    -> fJsonFuncsSql,
+    "f_array_funcs"   -> fArrayFuncsSql,
+    "f_regex_funcs"   -> fRegexFuncsSql,
+    "f_collect_funcs" -> fCollectFuncsSql)
 }
