@@ -63,7 +63,7 @@ object Formats {
     * survives, so a fresh session's saveAsTable hits LOCATION_ALREADY_EXISTS
     * on the previous run's files — drop the entry AND the location.
     */
-  private def resetTable(spark: SparkSession, name: String): Unit = {
+  def resetTable(spark: SparkSession, name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $name")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val path = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(wh), name)

@@ -169,6 +169,36 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("IVF inverted file bucketed by cell: a 2-cell probe reads 2 of 8 buckets") {
+    import spark.implicits._
+    // the emb_ivf_topk scale path (Embeddings.scala scaladoc): the cell
+    // assignment IS the storage layout — write the inverted file bucketed
+    // by cell, and a probe of nprobe cells scans only those buckets
+    sources.Formats.resetTable(spark, "g_ivf_file")
+    Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label".as("cell"), $"embedding")
+      .repartition(8, $"cell")
+      .write.bucketBy(8, "cell").sortBy("cell")
+      .mode("overwrite").saveAsTable("g_ivf_file")
+    // autoBucketedScan turns bucketed reading off for filter-only queries
+    // (no shuffle to avoid), which also discards the pruning metadata we
+    // assert on — at scale a probe scan keeps it for the IO win
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val plan =
+      try {
+        val probe = spark.table("g_ivf_file").filter($"cell".isin(0, 1))
+        probe.count()
+        // read the plan while the conf is still in effect (executedPlan is
+        // lazily materialized against the session conf at call time)
+        probe.queryExecution.executedPlan.toString
+      } finally
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    val sel = "SelectedBucketsCount: (\\d+) out of 8".r.findFirstMatchIn(plan)
+    assert(sel.isDefined, "bucketed scan must report bucket pruning:\n" + plan.take(1500))
+    assert(sel.get.group(1).toInt <= 2,
+      s"2-cell probe must read at most 2 buckets, read ${sel.get.group(1)}")
+  }
+
   test("partitioned layout prunes to the selected partition directory") {
     val df = sources.Formats.partitionPrune(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
