@@ -78,6 +78,40 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: graft_char_bigrams decodes back to the substr bigrams, any string") {
+    import spark.implicits._
+    GraftExtensions.ensure(spark)
+    val sGen = Gen.listOfN(6, Gen.stringOfN(12, Gen.frequency(
+      (8, Gen.alphaLowerChar), (2, Gen.const(' ')))))
+    for (seed <- 1L to 5L) {
+      val texts = sample(sGen, seed).filter(_.nonEmpty)
+      val df = texts.toDF("text")
+      val decoded = df.select($"text",
+        transform(call_function("graft_char_bigrams", $"text"),
+          bg => concat(
+            call_function("char", shiftright(bg, 21).cast("int")),
+            call_function("char", bg.bitwiseAND(lit(2097151L)).cast("int")))).as("dec"),
+        expr("transform(sequence(1, length(text) - 1), i -> substr(text, i, 2))").as("ref"))
+      decoded.collect().foreach { r =>
+        assert(r.getSeq[String](1) === r.getSeq[String](2), s"seed=$seed text='${r.getString(0)}'")
+      }
+    }
+  }
+
+  test("property: salted aggregation equals the plain groupBy, any data") {
+    import spark.implicits._
+    val gGen = Gen.listOfN(30, Gen.zip(Gen.oneOf("k1", "k2", "k3"), Gen.choose(-50L, 50L)))
+    for (seed <- 1L to 5L) {
+      val rows = sample(gGen, seed)
+      val df = rows.toDF("key", "v")
+      val salted = ops.Skew.saltedSumCount(df, "key", "v", 8)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val plain = df.groupBy($"key").agg(sum($"v").as("s"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(salted === plain, s"seed=$seed")
+    }
+  }
+
   test("property: F1 surrogate keys are equal iff coalesced inputs are equal") {
     import spark.implicits._
     val cellGen = Gen.option(Gen.oneOf("x", "y", ""))
