@@ -340,7 +340,48 @@ object Curation {
       |  CAST(SUM(CASE WHEN verdict = 'keep' THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
       |FROM v GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // C8 redaction pass: the PII-scrub shape — pattern occurrences replaced
+  // by a sentinel token, with an audit of how much text was touched (a
+  // production scrub must report what it removed). Digit runs stand in
+  // for the sensitive patterns (the corpus has no real PII); swapping in
+  // email/phone/ID regexes changes only the pattern constant. Entirely
+  // map-side until the per-source audit aggregate; the RE2-portable
+  // subset only (DuckDB has no backreferences).
+  def redact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pat = "[0-9]+"
+    val per = Tables.documents(spark, dir)
+      .withColumn("n_hits", size(regexp_extract_all($"text", lit(pat), lit(0))))
+      .withColumn("redacted", regexp_replace($"text", pat, "<NUM>"))
+      .withColumn("chars_removed",
+        length($"text") - length(regexp_replace($"text", pat, "")))
+    per.groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"n_hits" > 0, 1L).otherwise(0L)).as("n_docs_touched"),
+        sum($"n_hits".cast("long")).as("n_redactions"),
+        sum($"chars_removed".cast("long")).as("chars_removed"),
+        sum(length($"redacted").cast("long")).as("redacted_chars"))
+      .orderBy($"source")
+  }
+
+  val redactSql: String =
+    """WITH per AS (
+      |  SELECT source,
+      |    len(regexp_extract_all(text, '[0-9]+')) AS n_hits,
+      |    len(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS redacted_len,
+      |    len(text) - len(regexp_replace(text, '[0-9]+', '', 'g')) AS chars_removed
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_touched,
+      |  CAST(SUM(n_hits) AS BIGINT) AS n_redactions,
+      |  CAST(SUM(chars_removed) AS BIGINT) AS chars_removed,
+      |  CAST(SUM(redacted_len) AS BIGINT) AS redacted_chars
+      |FROM per GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_redact"       -> (redact _),
     "cur_filter"       -> (filterCorpus _),
     "cur_split"        -> (splitCorpus _),
     "cur_dedup_best"   -> (dedupBest _),
@@ -350,6 +391,7 @@ object Curation {
     "cur_decontam"     -> (decontaminate _))
 
   val oracles: Map[String, String] = Map(
+    "cur_redact"       -> redactSql,
     "cur_filter"       -> filterSql,
     "cur_split"        -> splitSql,
     "cur_dedup_best"   -> dedupBestSql,
