@@ -66,6 +66,39 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .format("parquet")
 
+  /** S6 as a STREAMING sink: per-micro-batch upsert into a parquet table
+    * via foreachBatch — the escape hatch that gives a streaming query
+    * batch-only sinks and merge semantics. Each batch unions the current
+    * table with the micro-batch and keeps the freshest row per user (the
+    * same W1 dedup-merge shape as weather/Staging.mergeStaging). The
+    * merged frame is eagerly localCheckpoint'ed BEFORE the overwrite —
+    * lazy evaluation would otherwise delete the very files the plan still
+    * needs to read. Without a transactional table format the overwrite is
+    * not atomic for concurrent readers; with Delta/Iceberg the body
+    * becomes a MERGE INTO and the orchestration here is unchanged.
+    */
+  def upsertSink(events: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val s = batch.sparkSession
+        val existing =
+          if (new java.io.File(path).exists) s.read.parquet(path)
+          else s.createDataFrame(s.sparkContext.emptyRDD[Row], batch.schema)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("value").desc)
+        val merged = existing.unionByName(batch)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .drop("__rn")
+          .localCheckpoint(true)
+        merged.write.mode("overwrite").parquet(path)
+        ()
+      }
+  }
+
   /** Custom streaming state via mapGroupsWithState (the escape hatch the
     * built-in windows can't express): per-user running count + max value,
     * carried across micro-batches in GroupState. The reference needs no

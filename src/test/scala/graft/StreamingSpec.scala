@@ -175,6 +175,28 @@ class StreamingSpec extends SparkSpec {
     assert(day2.select("file_path").distinct().count() === 9L)
   }
 
+  test("foreachBatch upsert sink: micro-batches merge into the table, latest wins") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_ups_").toString
+    val tbl = s"$base/tbl"; val ckpt = s"$base/ckpt"
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val q = EventStreams.upsertSink(
+      input.toDF.toDF("user_id", "ts", "value"), tbl, ckpt).start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00"), 5.0), (2L, ts("2024-01-01 10:01:00"), 7.0))
+      q.processAllAvailable()
+      assert(spark.read.parquet(tbl).count() === 2)
+      // batch 2: newer row for user 1 (wins), plus a new user 3
+      input.addData((1L, ts("2024-01-01 11:00:00"), 9.0), (3L, ts("2024-01-01 10:05:00"), 1.0))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(tbl).collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(rows === Map(1L -> 9.0, 2L -> 7.0, 3L -> 1.0),
+        "user 1 updated to the freshest row; 2 and 3 retained")
+    } finally q.stop()
+  }
+
   test("session aggregation: streaming equals batch, gap closes sessions") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
