@@ -213,6 +213,51 @@ class PlanSpec extends SparkSpec {
       "partition-key filter must not degrade to a row-level pushed filter: " + pushed)
   }
 
+  test("dynamic partition pruning: a filtered dim prunes the partitioned fact at runtime") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count => fcount, lit => flit}
+    // fact partitioned on the join key; the partition filter arrives only
+    // through the JOIN (dim filtered on an attribute), so static pruning
+    // can't apply — DPP injects the dim's key set into the fact scan
+    val root = "/tmp/graft_dpp_fact"
+    Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+      .repartition($"l_returnflag")
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(root)
+    // the dim must be a FILE relation: a LocalRelation's filter constant-
+    // folds into the literal rows at plan time, leaving no selective
+    // predicate for the partition-pruning rule to latch onto
+    val dimRoot = "/tmp/graft_dpp_dim"
+    Seq(("A", "returned"), ("N", "kept"), ("R", "refunded")).toDF("flag", "label")
+      .write.mode("overwrite").parquet(dimRoot)
+    val dim = spark.read.parquet(dimRoot)
+    val q = spark.read.parquet(root)
+      .join(dim, $"l_returnflag" === $"flag")
+      .filter($"label" === "refunded")
+      .groupBy($"label").agg(fcount(flit(1)).as("n"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      "the fact scan must carry a dynamic pruning predicate:\n" + plan.take(2000))
+  }
+
+  test("nested-schema pruning: reading one struct field prunes the rest of the struct") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.struct
+    // the multimodal record shape: wide struct on disk, narrow read —
+    // at 100 TB reading meta.source must NOT drag text/vec along
+    val root = "/tmp/graft_nested_doc"
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", struct($"lang", $"source", $"n_chars").as("meta"), $"text")
+      .write.mode("overwrite").parquet(root)
+    val q = spark.read.parquet(root).select($"meta.source").groupBy($"source").count()
+    val scan = q.queryExecution.executedPlan.toString
+    val readSchema = scan.linesIterator.find(_.contains("ReadSchema")).getOrElse(scan)
+    assert(readSchema.contains("source"), readSchema)
+    assert(!readSchema.contains("text") && !readSchema.contains("lang"),
+      "unread struct fields and columns must be pruned from the scan: " + readSchema)
+  }
+
   test("AQE splits a skewed sort-merge join partition at runtime") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{when, lpad, lit, count, max, length}
