@@ -31,6 +31,13 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    if (ordered.isEmpty) {
+      // empty/typo'd filter: fail loudly instead of clobbering the last
+      // real bench_result.json with a zero-query "run"
+      System.err.println(s"[bench] SPARK_GRAFT_BENCH_ONLY=${only.mkString} matches no query; aborting")
+      spark.stop()
+      sys.exit(1)
+    }
     // Warm-up: run everything once, ignore timings and failures.
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }

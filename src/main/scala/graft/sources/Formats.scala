@@ -15,6 +15,13 @@ import graft.Tables
   */
 object Formats {
 
+  /** Side-file roots are FIXED paths because the DuckDB oracle SQL is a
+    * static string (SparkEntry contract) and must name the same files this
+    * query wrote. Consequence: one Verify→oracle-compare cycle at a time —
+    * interleaving runs at different SFs between the dump and the compare
+    * would cross-contaminate (the driver runs them sequentially; local
+    * workflows should too).
+    */
   val csvRoot = "/tmp/graft_csv_orders"
 
   /** CSV round trip: typed write (DECIMAL money column — exact text, no

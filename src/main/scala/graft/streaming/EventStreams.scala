@@ -84,8 +84,12 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
         val s = batch.sparkSession
+        // existence via the Hadoop FS API — java.io.File is always false
+        // on hdfs://‌/s3a:// paths, which would silently discard the table
+        val hPath = new org.apache.hadoop.fs.Path(path)
+        val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
         val existing =
-          if (new java.io.File(path).exists) s.read.parquet(path)
+          if (fs.exists(hPath)) s.read.parquet(path)
           else s.createDataFrame(s.sparkContext.emptyRDD[Row], batch.schema)
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("ts").desc, col("value").desc)

@@ -40,6 +40,22 @@ class CharBigramsSpec extends SparkSpec {
     assert(rows(2).isNullAt(1))
   }
 
+  test("non-BMP code points: surrogate pairs stay whole, packing stays ordered") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.CharBigrams
+    // "a😀b" = 3 code points (😀 = U+1F600 is a surrogate PAIR in UTF-16);
+    // char-array iteration would split it into two bogus bigram halves
+    val s = "a😀b"
+    val got = CharBigrams.bigrams(UTF8String.fromString(s))
+    val cps = Array('a'.toInt, 0x1F600, 'b'.toInt)
+    assert(got.numElements() === 2)
+    assert(got.getLong(0) === ((cps(0).toLong << 21) | cps(1).toLong))
+    assert(got.getLong(1) === ((cps(1).toLong << 21) | cps(2).toLong))
+    // order preservation across the BMP boundary: the packed longs sort in
+    // code-point order (= UTF-8 byte order, what the DuckDB oracle compares)
+    assert(got.getLong(0) < got.getLong(1))
+  }
+
   test("codegen path compiles — no silent interpreted fallback") {
     import spark.implicits._
     GraftExtensions.ensure(spark)
