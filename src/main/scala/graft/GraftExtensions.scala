@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharBigrams, DotProduct}
+import graft.functions.{CharBigrams, DotProduct, TokenCounts}
 
 /** Engine extensions: registers the native expressions with Catalyst.
   * Production path: `.config("spark.sql.extensions", "graft.GraftExtensions")`
@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_char_bigrams"),
       new ExpressionInfo(classOf[CharBigrams].getName, "graft_char_bigrams"),
       (children: Seq[Expression]) => CharBigrams(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_token_counts"),
+      new ExpressionInfo(classOf[TokenCounts].getName, "graft_token_counts"),
+      (children: Seq[Expression]) => TokenCounts(children.head)))
   }
 }
 
@@ -35,6 +39,10 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_char_bigrams",
       (children: Seq[Expression]) => CharBigrams(children.head),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_token_counts",
+      (children: Seq[Expression]) => TokenCounts(children.head),
       "built-in")
   }
 }

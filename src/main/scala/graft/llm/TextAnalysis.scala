@@ -204,15 +204,22 @@ object TextAnalysis {
   // (vocab-sized) broadcast dim; everything else is per-doc map work +
   // one bounded top-k per doc.
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.ensure(spark)
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
     val n = docs.count()
+    // per-(doc, term) counts WITHOUT a shuffle: graft_token_counts
+    // (functions/TokenCounts.scala) collapses each document to its distinct
+    // terms map-side, so the old explode(split) → groupBy(doc, term) —
+    // one shuffled row per token OCCURRENCE of the corpus — disappears,
+    // and with it the cache that amortized it
     val terms = docs
       .select($"doc_id", size(split($"text", " ")).as("n_tok"),
-        explode(split($"text", " ")).as("term"))
-      .groupBy($"doc_id", $"n_tok", $"term").agg(count(lit(1)).as("tf_count"))
-      .cache() // consumed twice (df computation + scoring join)
-    val df = terms.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
+        explode(call_function("graft_token_counts", $"text")).as("t"))
+      .select($"doc_id", $"n_tok", $"t.term".as("term"), $"t.n".cast("long").as("tf_count"))
+    // each (doc, term) appears exactly once above, so document frequency
+    // is a plain count — partial aggregation collapses to vocabulary size
+    val df = terms.groupBy($"term").agg(count(lit(1)).as("df"))
     // per-doc top-3 via the bounded TopKTermsAggregator — a row_number
     // window here would shuffle and sort EVERY scored (doc, term) row;
     // the aggregator partially reduces to ≤3 rows per doc per partition
