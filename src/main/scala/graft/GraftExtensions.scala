@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharBigrams, DotProduct, TokenCounts}
+import graft.functions.{CharBigrams, DotProduct, TokenCounts, WordShingles}
 
 /** Engine extensions: registers the native expressions with Catalyst.
   * Production path: `.config("spark.sql.extensions", "graft.GraftExtensions")`
@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_token_counts"),
       new ExpressionInfo(classOf[TokenCounts].getName, "graft_token_counts"),
       (children: Seq[Expression]) => TokenCounts(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
+      (children: Seq[Expression]) => WordShingles(children.head, children(1))))
   }
 }
 
@@ -43,6 +47,10 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_token_counts",
       (children: Seq[Expression]) => TokenCounts(children.head),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles",
+      (children: Seq[Expression]) => WordShingles(children.head, children(1)),
       "built-in")
   }
 }
