@@ -380,7 +380,122 @@ object Curation {
       |  CAST(SUM(redacted_len) AS BIGINT) AS redacted_chars
       |FROM per GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // C9 overlapping token-window chunking: the document→training-sequence
+  // step (context-window packing input). chunk = 50 tokens, stride = 40
+  // (10-token overlap), starts generated per row with sequence() + explode
+  // — pure map-side, no shuffle until the output sort. The chunk CONTENT
+  // is pinned by md5 of the joined tokens so the result stays narrow while
+  // the oracle still proves byte-exact chunking.
+  // 100 TB: chunks inherit the input partitioning; (doc_id, chunk_idx) is
+  // the natural key for the packed-sequence writer (C4).
+  def chunk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("toks", split($"text", " "))
+      .withColumn("start", explode(sequence(lit(0), size($"toks") - 1, lit(40))))
+      .select($"doc_id",
+        ($"start".cast("long") / 40).cast("long").as("chunk_idx"),
+        size(slice($"toks", $"start" + 1, lit(50))).cast("long").as("n_chunk_tok"),
+        md5(array_join(slice($"toks", $"start" + 1, lit(50)), " ")).as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  val chunkSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |c AS (SELECT doc_id, toks, unnest(range(0, n, 40)) AS start FROM t)
+      |SELECT doc_id, CAST(start // 40 AS BIGINT) AS chunk_idx,
+      |  CAST(len(toks[start + 1 : start + 50]) AS BIGINT) AS n_chunk_tok,
+      |  md5(array_to_string(toks[start + 1 : start + 50], ' ')) AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // C10 corpus mixing: per-source sampling weight in percent (derived here
+  // from the source id; in production a broadcast weights dim). copies =
+  // w/100 whole epochs, plus one more iff the C1 md5-mod bucket falls
+  // under the fractional part — deterministic up/down-sampling with no
+  // RNG, reproducible across engines and runs. Aggregation is a map-side
+  // partial over 20 groups; the materialization path for downstream
+  // consumers is explode(sequence(1, copies)) which stays map-side too.
+  def mix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("w_pct", lit(50) + (substring($"source", 4, 10).cast("int") % 4) * 60)
+      .withColumn("bucket",
+        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+      .withColumn("copies",
+        expr("CAST(w_pct DIV 100 AS BIGINT)")
+          + when($"bucket" < $"w_pct" % 100, 1L).otherwise(0L))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs_in"),
+        sum($"copies").as("n_docs_out"),
+        sum($"n_chars" * $"copies").as("sum_chars_out"))
+      .orderBy($"source")
+  }
+
+  val mixSql: String =
+    """WITH b AS (
+      |  SELECT source, n_chars,
+      |    50 + (CAST(substr(source, 4, 10) AS INT) % 4) * 60 AS w_pct,
+      |    CAST(list_sum(list_transform([1,2,3,4,5,6,7,8], i ->
+      |      CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+      |        * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT) % 100 AS bucket
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, n_chars,
+      |    CAST(w_pct // 100 AS BIGINT)
+      |      + CASE WHEN bucket < w_pct % 100 THEN 1 ELSE 0 END AS copies
+      |  FROM b)
+      |SELECT source, COUNT(*) AS n_docs_in,
+      |  CAST(SUM(copies) AS BIGINT) AS n_docs_out,
+      |  CAST(SUM(n_chars * copies) AS BIGINT) AS sum_chars_out
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // C11 deterministic training-order shuffle + sharding: order key =
+  // md5("s42:" || doc_id) (seeded, content-independent, unique), shard =
+  // key's leading 32 bits mod 8, position = row_number within the shard
+  // ordered by key. Readers consuming shards in (shard, pos) order see a
+  // fixed pseudo-random permutation of the corpus.
+  // 100 TB: the shard is a hash bucket, so the window partitions are
+  // uniform and bounded (corpus/8 each) — no global single-partition sort;
+  // a full global permutation would instead be orderBy(skey).write with
+  // range partitioning doing the distribution.
+  def shuffleShards(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keyed = Tables.documents(spark, dir)
+      .withColumn("skey", md5(concat(lit("s42:"), $"doc_id".cast("string"))))
+      .withColumn("shard",
+        expr("CAST(conv(substr(skey, 1, 8), 16, 10) AS BIGINT) % 8"))
+    keyed
+      .withColumn("pos",
+        row_number().over(Window.partitionBy($"shard").orderBy($"skey")).cast("long"))
+      .select($"shard", $"pos", $"doc_id")
+      .orderBy($"shard", $"pos")
+  }
+
+  val shuffleShardsSql: String =
+    """WITH k AS (
+      |  SELECT doc_id, md5('s42:' || CAST(doc_id AS VARCHAR)) AS skey
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, skey,
+      |    CAST(list_sum(list_transform([1,2,3,4,5,6,7,8], i ->
+      |      CAST(strpos('0123456789abcdef', substr(skey, i, 1)) - 1 AS BIGINT)
+      |        * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT) % 8 AS shard
+      |  FROM k)
+      |SELECT shard, CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY skey) AS BIGINT) AS pos,
+      |  doc_id
+      |FROM s ORDER BY shard, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_chunk"        -> (chunk _),
+    "cur_mix"          -> (mix _),
+    "cur_shuffle"      -> (shuffleShards _),
     "cur_redact"       -> (redact _),
     "cur_filter"       -> (filterCorpus _),
     "cur_split"        -> (splitCorpus _),
@@ -391,6 +506,9 @@ object Curation {
     "cur_decontam"     -> (decontaminate _))
 
   val oracles: Map[String, String] = Map(
+    "cur_chunk"        -> chunkSql,
+    "cur_mix"          -> mixSql,
+    "cur_shuffle"      -> shuffleShardsSql,
     "cur_redact"       -> redactSql,
     "cur_filter"       -> filterSql,
     "cur_split"        -> splitSql,

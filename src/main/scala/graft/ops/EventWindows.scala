@@ -186,17 +186,63 @@ object EventWindows {
       |  COUNT(DISTINCT CASE WHEN week_n >= 3 THEN user_id END) AS n_week3plus
       |FROM j GROUP BY cohort_week ORDER BY cohort_week""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // W5 gap-fill: forward/backward fill of a sparse measure via IGNORE
+  // NULLS running windows — the sensor/telemetry repair shape (the
+  // reference's weather series has exactly this gap structure when a
+  // parameter is missing for an interval). 'view' events stand in for the
+  // gaps. last(ignoreNulls) over an unbounded-preceding ROWS frame is a
+  // single running pass per partition — no self-join, no explode.
+  // Ordering inside the window is (ts) which is unique per user at
+  // microsecond grain in this dataset; output order is the total
+  // event_id. 100 TB: one shuffle on user_id, running frames stream.
+  def gapfill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .withColumn("v",
+        when($"event_type" === "view", lit(null).cast("double")).otherwise($"value"))
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts")
+      .rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    ev.select($"event_id", $"user_id", $"v".as("value_raw"),
+        last($"v", ignoreNulls = true).over(wf).as("ffill"),
+        first($"v", ignoreNulls = true).over(wb).as("bfill"))
+      .withColumn("filled", coalesce($"ffill", $"bfill"))
+      .orderBy($"event_id")
+  }
+
+  val gapfillSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, ts,
+      |    CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v
+      |  FROM events),
+      |w AS (
+      |  SELECT event_id, user_id, v AS value_raw,
+      |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill,
+      |    first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bfill
+      |  FROM e)
+      |SELECT event_id, user_id, value_raw, ffill, bfill,
+      |  COALESCE(ffill, bfill) AS filled
+      |FROM w ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_tumbling"  -> (tumbling _),
     "ev_sliding"   -> (sliding _),
     "ev_session"   -> (session _),
     "ev_funnel"    -> (funnel _),
-    "ev_retention" -> (retention _))
+    "ev_retention" -> (retention _),
+    "w5_gapfill"   -> (gapfill _))
 
   val oracles: Map[String, String] = Map(
     "ev_tumbling"  -> tumblingSql,
     "ev_sliding"   -> slidingSql,
     "ev_session"   -> sessionSql,
     "ev_funnel"    -> funnelSql,
-    "ev_retention" -> retentionSql)
+    "ev_retention" -> retentionSql,
+    "w5_gapfill"   -> gapfillSql)
 }

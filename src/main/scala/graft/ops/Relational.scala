@@ -763,6 +763,67 @@ object Relational {
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   // -------------------------------------------------------------------------
+  // A9 extended-aggregate battery: count_if / bool_and / bool_or / median /
+  // max_by / min_by — the aggregate surface beyond sum/avg that warehouse
+  // SQL leans on. max_by/min_by rank on md5 of the integer id tuple: rows
+  // tie on that key only by agreeing on the WHOLE tuple, and l_suppkey
+  // (the returned value) is in the tuple, so ties cannot change the answer
+  // (engine-defined tie-breaks otherwise; integer columns only, so the
+  // concat string is formatting-identical across engines). Skewness
+  // is computed from raw power sums: l_quantity is integral and bounded
+  // (≤ 50), so sum(q), sum(q²), sum(q³) stay exact in int64 at any SF and
+  // the double math afterwards is a fixed expression tree — FP-identical
+  // across engines and partitionings, unlike a builtin skewness() whose
+  // population/sample convention differs per engine.
+  // 100 TB: one hash-aggregate pass, all partials mergeable (median is the
+  // exception — exact median buffers per group; swap for approx_percentile
+  // at scale, demonstrated in A8).
+  def a9AggBattery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .withColumn("q", $"l_quantity".cast("long"))
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("count_if(q > 25)").as("n_big"),
+        expr("bool_and(q <= 50)").as("all_le50"),
+        expr("bool_or(l_discount > 0.09)").as("any_deep_disc"),
+        expr("CAST(median(q) AS DOUBLE)").as("med_qty"),
+        expr("max_by(l_suppkey, md5(concat_ws('|', l_orderkey, l_linenumber, l_partkey, l_suppkey)))").as("last_supp"),
+        expr("min_by(l_suppkey, md5(concat_ws('|', l_orderkey, l_linenumber, l_partkey, l_suppkey)))").as("first_supp"),
+        sum($"q").as("s1"), sum($"q" * $"q").as("s2"),
+        sum($"q" * $"q" * $"q").as("s3"))
+      .withColumn("mu", $"s1".cast("double") / $"n")
+      .withColumn("vr", $"s2".cast("double") / $"n" - $"mu" * $"mu")
+      .withColumn("skew_qty", round(
+        ($"s3".cast("double") / $"n" - lit(3.0) * $"mu" * ($"s2".cast("double") / $"n")
+          + lit(2.0) * $"mu" * $"mu" * $"mu") / pow($"vr", 1.5), 4))
+      .select($"l_returnflag", $"n", $"n_big", $"all_le50", $"any_deep_disc",
+        $"med_qty", $"last_supp", $"first_supp", $"skew_qty")
+      .orderBy($"l_returnflag")
+  }
+
+  val a9AggBatterySql: String =
+    """WITH a AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    COUNT(*) FILTER (WHERE CAST(l_quantity AS BIGINT) > 25) AS n_big,
+      |    bool_and(CAST(l_quantity AS BIGINT) <= 50) AS all_le50,
+      |    bool_or(l_discount > 0.09) AS any_deep_disc,
+      |    CAST(median(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS med_qty,
+      |    max_by(l_suppkey, md5(concat_ws('|', l_orderkey, l_linenumber, l_partkey, l_suppkey))) AS last_supp,
+      |    min_by(l_suppkey, md5(concat_ws('|', l_orderkey, l_linenumber, l_partkey, l_suppkey))) AS first_supp,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n, n_big, all_le50, any_deep_disc, med_qty,
+      |  last_supp, first_supp,
+      |  round((CAST(s3 AS DOUBLE) / n - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+      |    + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+      |    / power(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 1.5), 4) AS skew_qty
+      |FROM a ORDER BY l_returnflag""".stripMargin
+
+  // -------------------------------------------------------------------------
   // F12 null-semantics battery: nullif / coalesce / null-safe equality /
   // count(col) vs count(*) / explicit null ordering — the engine-semantics
   // corners that silently diverge between SQL dialects if untested.
@@ -823,6 +884,7 @@ object Relational {
     "f_map_funcs"   -> (fMapFuncs _),
     "a6_histogram"  -> (a6Histogram _),
     "a7_stats"      -> (a7Stats _),
+    "a9_agg_battery" -> (a9AggBattery _),
     "f_null_funcs"  -> (fNullFuncs _),
     "j7_multiway"   -> (j7Multiway _),
     "a4_percentiles" -> (a4Percentiles _),
@@ -853,6 +915,7 @@ object Relational {
     "f_map_funcs"   -> fMapFuncsSql,
     "a6_histogram"  -> a6HistogramSql,
     "a7_stats"      -> a7StatsSql,
+    "a9_agg_battery" -> a9AggBatterySql,
     "f_null_funcs"  -> fNullFuncsSql,
     "j7_multiway"   -> j7MultiwaySql,
     "a4_percentiles" -> a4PercentilesSql,

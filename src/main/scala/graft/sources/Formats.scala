@@ -173,13 +173,55 @@ object Formats {
       |FROM orders WHERE o_orderstatus = 'F'
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** S11 schema-evolution scan: two parquet batches written with DIFFERENT
+    * schemas into one dataset root (batch 2 gained l_discount), read back
+    * with mergeSchema=true — the data-lake reality where producers add
+    * columns over time and old files must keep reading as NULL. The
+    * aggregate proves column-presence semantics (count(col) counts only
+    * batch-2 rows). The oracle derives the same result from the source
+    * table with the batch predicate inlined.
+    * 100 TB: mergeSchema=true footer-merges at planning time — cost scales
+    * with file COUNT, not data; pin the merged schema in a table catalog
+    * for production reads and the per-file footers aren't touched at all.
+    */
+  val mergeRoot = "/tmp/graft_merge_lineitem"
+
+  def mergeScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    li.filter($"l_linenumber" === 1)
+      .select($"l_orderkey", $"l_quantity")
+      .write.mode("overwrite").parquet(s"$mergeRoot/batch=1")
+    li.filter($"l_linenumber" === 2)
+      .select($"l_orderkey", $"l_quantity", $"l_discount")
+      .write.mode("overwrite").parquet(s"$mergeRoot/batch=2")
+    spark.read.option("mergeSchema", "true").parquet(mergeRoot)
+      .groupBy($"batch")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count($"l_discount").as("n_with_discount"),
+        sum($"l_quantity".cast(DecimalType(12, 2))).cast(DoubleType).as("sum_qty"),
+        sum($"l_discount".cast(DecimalType(12, 2))).cast(DoubleType).as("sum_disc"))
+      .orderBy($"batch")
+  }
+
+  val mergeScanSql: String =
+    """SELECT CAST(l_linenumber AS INT) AS batch, COUNT(*) AS n_rows,
+      |  COUNT(CASE WHEN l_linenumber = 2 THEN l_discount END) AS n_with_discount,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CASE WHEN l_linenumber = 2 THEN CAST(l_discount AS DECIMAL(12,2)) END) AS DOUBLE) AS sum_disc
+      |FROM lineitem WHERE l_linenumber IN (1, 2)
+      |GROUP BY batch ORDER BY batch""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s11_merge_scan"   -> (mergeScan _),
     "csv_roundtrip"    -> (csvRoundtrip _),
     "orc_roundtrip"    -> (orcRoundtrip _),
     "s7_partition_prune" -> (partitionPrune _),
     "s7_bucketed_join" -> (bucketedJoin _))
 
   val oracles: Map[String, String] = Map(
+    "s11_merge_scan"   -> mergeScanSql,
     "csv_roundtrip"    -> csvRoundtripSql,
     "orc_roundtrip"    -> orcRoundtripSql,
     "s7_partition_prune" -> partitionPruneSql,
