@@ -59,6 +59,46 @@ object SqlSurface {
       |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
       |LIMIT 10""".stripMargin
 
+  /** TPC-H Q10 shape: returned-item revenue ranked by customer for one
+    * quarter — the classic "who returned the most" report. 100 TB: the
+    * quarter filter prunes orders at the scan; nation broadcasts; customer
+    * and lineitem shuffle on their join keys; the top-20 lowers to
+    * TakeOrderedAndProject. The revenue tie-break is c_custkey (unique in
+    * the group keys) so the LIMIT edge is total-order deterministic.
+    */
+  def sqlTpchQ10(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT c_custkey, c_name, n_name, c_acctbal,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |       * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM g_customer
+        |  JOIN g_orders   ON c_custkey = o_custkey
+        |  JOIN g_lineitem ON l_orderkey = o_orderkey
+        |  JOIN g_nation   ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name, c_acctbal
+        |ORDER BY revenue DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin)
+  }
+
+  val sqlTpchQ10Sql: String =
+    """SELECT c_custkey, c_name, n_name, c_acctbal,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |       * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM customer
+      |  JOIN orders   ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  JOIN nation   ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name, c_acctbal
+      |ORDER BY revenue DESC, c_custkey ASC
+      |LIMIT 20""".stripMargin
+
   /** TPC-H Q5 shape: revenue by nation for one region and order-date year,
     * with the customer and supplier nation required to match (the 6-way
     * join). 100 TB: region/nation pin to broadcast; the c_nationkey =
@@ -174,6 +214,7 @@ object SqlSurface {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_tpch_q3"     -> (sqlTpchQ3 _),
+    "sql_tpch_q10"    -> (sqlTpchQ10 _),
     "sql_tpch_q5"     -> (sqlTpchQ5 _),
     "sql_exists_subq" -> (sqlExistsSubq _),
     "sql_in_subq"     -> (sqlInSubq _),
@@ -181,6 +222,7 @@ object SqlSurface {
 
   val oracles: Map[String, String] = Map(
     "sql_tpch_q3"     -> sqlTpchQ3Sql,
+    "sql_tpch_q10"    -> sqlTpchQ10Sql,
     "sql_tpch_q5"     -> sqlTpchQ5Sql,
     "sql_exists_subq" -> sqlExistsSubqSql,
     "sql_in_subq"     -> sqlInSubqSql,
