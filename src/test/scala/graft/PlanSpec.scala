@@ -303,4 +303,48 @@ class PlanSpec extends SparkSpec {
       assert(nExchanges == 1, s"all eight functions must share one shuffle, got $nExchanges")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("chunking stays map-side: the only exchange is the output sort") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.llm.Curation.chunk(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "chunk generation must not shuffle:\n" + plan.take(1500))
+      val nRange = "Exchange rangepartitioning".r.findAllIn(plan).length
+      assert(nRange == 1, s"expected exactly the output-sort exchange, got $nRange")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("gap-fill: both fill directions share one user_id shuffle") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.ops.EventWindows.gapfill(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val nHash = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(nHash == 1,
+        s"ffill+bfill windows must reuse one partitioning, got $nHash:\n${plan.take(1500)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("a9 battery is one partial+final hash aggregate over one shuffle") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Relational.a9AggBattery(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val nAgg = plan.linesIterator.count(_.trim.matches("[+:\\-\\s]*(Sort|Object|)HashAggregate.*"))
+      val nHash = "Exchange hashpartitioning".r.findAllIn(plan).length
+      // median forces a sort/object aggregate path but still exactly one
+      // partial+final pair — no extra pass for the 9 other aggregates
+      assert(nAgg == 2, s"expected partial+final only, got $nAgg:\n${plan.take(1500)}")
+      assert(nHash == 1, s"expected one aggregate shuffle, got $nHash")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("merge scan reads the evolved column and the partition column") {
+    val df = graft.sources.Formats.mergeScan(spark, sfDir)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("l_discount"), "merged schema must expose the evolved column")
+    assert(df.schema.fieldNames.contains("batch"), "partition discovery must add batch")
+  }
 }
