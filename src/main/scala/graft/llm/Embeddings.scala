@@ -250,13 +250,78 @@ object Embeddings {
       |WHERE round(list_sum(list_transform(list_zip(x.v, y.v), t -> t[1] * t[2])) / (x.nrm * y.nrm), 6) >= 0.4
       |ORDER BY va, vb""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // E4 int8 scalar quantization: per-vector scale = max|v|/127, q_i =
+  // floor(v_i/scale + 0.5) — 4× memory cut for the ANN corpus (the
+  // standard int8 embedding-storage trick; FAISS SQ8 shape). The explicit
+  // floor(+0.5) rounding is the SAME formula in both engines (builtin
+  // round() half-way conventions differ), and the scale guard keeps a
+  // zero vector at q=0 instead of dividing by zero. Fidelity is reported
+  // as per-vector L2 error and cosine(original, dequantized), averaged
+  // per label; all per-vector folds are sequential (aggregate HOF /
+  // list_sum) so the doubles match the oracle bit-for-bit before the
+  // 6dp rounding. 100 TB: pure map-side until the tiny label roll-up;
+  // the quantized corpus (q + scale) is what the IVF inverted file (E2b)
+  // would store per cell.
+  def quantize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("scale",
+        expr("greatest(array_max(transform(v, x -> abs(x))), 1e-30d) / 127.0d"))
+      .withColumn("q", expr("transform(v, x -> CAST(floor(x / scale + 0.5d) AS BIGINT))"))
+      .withColumn("dv", expr("transform(q, x -> x * scale)"))
+      .withColumn("err",
+        expr("sqrt(aggregate(zip_with(v, dv, (a, b) -> (a - b) * (a - b)), 0.0d, (acc, x) -> acc + x))"))
+      .withColumn("cosvd",
+        expr("aggregate(zip_with(v, dv, (a, b) -> a * b), 0.0d, (acc, x) -> acc + x)")
+          / (sqrt(expr("aggregate(v, 0.0d, (acc, x) -> acc + x * x)"))
+            * sqrt(expr("aggregate(dv, 0.0d, (acc, x) -> acc + x * x)"))))
+      .withColumn("qmax", expr("array_max(transform(q, x -> abs(x)))"))
+      .groupBy($"label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(avg($"err"), 6).as("avg_l2_err"),
+        round(avg($"cosvd"), 6).as("avg_cos_fidelity"),
+        max($"qmax").as("max_q"))
+      .orderBy($"label")
+  }
+
+  val quantizeSql: String =
+    """WITH b AS (
+      |  SELECT label, list_transform(embedding, x -> x::DOUBLE) AS v,
+      |    greatest(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 1e-30) / 127.0 AS scale
+      |  FROM embeddings),
+      |c AS (
+      |  SELECT label, v, scale,
+      |    list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS q
+      |  FROM b),
+      |d AS (
+      |  SELECT label, v, q,
+      |    list_transform(q, x -> x * scale) AS dv
+      |  FROM c),
+      |e AS (
+      |  SELECT label,
+      |    sqrt(list_sum(list_transform(list_zip(v, dv), t -> (t[1] - t[2]) * (t[1] - t[2])))) AS err,
+      |    list_sum(list_transform(list_zip(v, dv), t -> t[1] * t[2]))
+      |      / (sqrt(list_sum(list_transform(v, x -> x * x)))
+      |         * sqrt(list_sum(list_transform(dv, x -> x * x)))) AS cosvd,
+      |    list_max(list_transform(q, x -> abs(x))) AS qmax
+      |  FROM d)
+      |SELECT label, COUNT(*) AS n_vecs, round(AVG(err), 6) AS avg_l2_err,
+      |  round(AVG(cosvd), 6) AS avg_cos_fidelity,
+      |  CAST(MAX(qmax) AS BIGINT) AS max_q
+      |FROM e GROUP BY label ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_cosine_topk" -> (cosineTopK _),
     "emb_ivf_topk"    -> (ivfTopK _),
-    "emb_lsh_neardup" -> (lshNearDup _))
+    "emb_lsh_neardup" -> (lshNearDup _),
+    "emb_quantize"    -> (quantize _))
 
   val oracles: Map[String, String] = Map(
     "emb_cosine_topk" -> cosineTopKSql,
     "emb_ivf_topk"    -> ivfTopKSql,
-    "emb_lsh_neardup" -> lshNearDupSql)
+    "emb_lsh_neardup" -> lshNearDupSql,
+    "emb_quantize"    -> quantizeSql)
 }

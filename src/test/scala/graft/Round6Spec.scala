@@ -99,6 +99,16 @@ class Round6Spec extends SparkSpec {
     assert(g.filter($"filled".isNull).join(allNull, Seq("user_id"), "left_anti").isEmpty)
   }
 
+  test("int8 quantization: codes stay in range and fidelity stays high") {
+    import spark.implicits._
+    val q = graft.llm.Embeddings.quantize(spark, sfDir).cache()
+    assert(q.filter($"max_q" > 127).isEmpty, "int8 range violated")
+    // SQ8 on unit-ish random vectors keeps cosine(original, dequantized)
+    // essentially 1 — anything below .999 means the scale math broke
+    assert(q.filter($"avg_cos_fidelity" < 0.999).isEmpty)
+    assert(q.filter($"avg_l2_err" < 0).isEmpty)
+  }
+
   test("merge scan: batch-1 rows read the evolved column as NULL") {
     import spark.implicits._
     val m = Formats.mergeScan(spark, sfDir).cache()
