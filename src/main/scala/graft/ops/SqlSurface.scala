@@ -59,6 +59,42 @@ object SqlSurface {
       |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
       |LIMIT 10""".stripMargin
 
+  /** Catalog DDL/DML surface: CREATE TABLE AS SELECT into the warehouse,
+    * INSERT INTO appending a grand-total row, read back through the
+    * catalog — the dbt-materialization lifecycle (the reference persists
+    * every model as a warehouse table) driven purely by SQL text. 100 TB:
+    * CTAS inherits the SELECT's distribution; the catalog entry is what
+    * makes later scans schema-pinned (no per-file footer merges) and
+    * statistics-bearing.
+    */
+  def sqlCtas(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    graft.sources.Formats.resetTable(spark, "g_order_summary")
+    spark.sql(
+      """CREATE TABLE g_order_summary USING parquet AS
+        |SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM g_orders GROUP BY o_orderstatus, o_orderpriority""".stripMargin)
+    spark.sql(
+      """INSERT INTO g_order_summary
+        |SELECT 'ALL', 'ALL', COUNT(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |FROM g_orders""".stripMargin)
+    spark.sql(
+      "SELECT * FROM g_order_summary ORDER BY o_orderstatus, o_orderpriority")
+  }
+
+  val sqlCtasSql: String =
+    """SELECT * FROM (
+      |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |  FROM orders GROUP BY o_orderstatus, o_orderpriority
+      |  UNION ALL
+      |  SELECT 'ALL', 'ALL', COUNT(*),
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+      |  FROM orders)
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
   /** TPC-H Q10 shape: returned-item revenue ranked by customer for one
     * quarter — the classic "who returned the most" report. 100 TB: the
     * quarter filter prunes orders at the scan; nation broadcasts; customer
@@ -215,6 +251,7 @@ object SqlSurface {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_tpch_q3"     -> (sqlTpchQ3 _),
     "sql_tpch_q10"    -> (sqlTpchQ10 _),
+    "sql_ctas"        -> (sqlCtas _),
     "sql_tpch_q5"     -> (sqlTpchQ5 _),
     "sql_exists_subq" -> (sqlExistsSubq _),
     "sql_in_subq"     -> (sqlInSubq _),
@@ -223,6 +260,7 @@ object SqlSurface {
   val oracles: Map[String, String] = Map(
     "sql_tpch_q3"     -> sqlTpchQ3Sql,
     "sql_tpch_q10"    -> sqlTpchQ10Sql,
+    "sql_ctas"        -> sqlCtasSql,
     "sql_tpch_q5"     -> sqlTpchQ5Sql,
     "sql_exists_subq" -> sqlExistsSubqSql,
     "sql_in_subq"     -> sqlInSubqSql,

@@ -48,6 +48,20 @@ object EventStreams {
         col("c.ts").as("click_ts"))
   }
 
+  /** Stream-static enrichment: the streaming events join a STATIC
+    * dimension (user → tier). No streaming state is needed — the static
+    * side is (re)planned per micro-batch and broadcast, so this is the
+    * zero-state enrichment shape (dim updates are picked up on the next
+    * batch when the static source is a table). The aggregation after the
+    * join is the usual watermark-free running rollup (complete mode).
+    */
+  def enrichStream(events: DataFrame, userDim: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit, sum}
+    events.join(broadcast(userDim), Seq("user_id"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+  }
+
   /** File-source stream over a directory of parquet event files → console
     * or any sink; the deployment shape for continuous ingest.
     */

@@ -39,6 +39,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join: broadcast dim enriches the stream, equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic"), (3L, "basic")).toDF("user_id", "tier")
+    val rows = Seq((1L, 10.0), (2L, 1.0), (3L, 2.0), (1L, 5.0), (4L, 99.0)) // 4 has no dim row
+    val input = MemoryStream[(Long, Double)]
+    val q = EventStreams.enrichStream(input.toDF.toDF("user_id", "value"), dim)
+      .writeStream.format("memory").queryName("stream_enrich")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("stream_enrich").orderBy($"tier").collect()
+      val batch = EventStreams.enrichStream(rows.toDF("user_id", "value"), dim)
+        .orderBy($"tier").collect()
+      assert(streamed.toSeq === batch.toSeq)
+      assert(streamed.map(_.getString(0)).toSeq === Seq("basic", "gold")) // inner join drops user 4
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: click→purchase attribution equals batch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
