@@ -213,7 +213,47 @@ object Formats {
       |FROM lineitem WHERE l_linenumber IN (1, 2)
       |GROUP BY batch ORDER BY batch""".stripMargin
 
+  /** S12 small-file compaction: the table-maintenance op every streaming
+    * or per-batch ingest needs — a 64-small-file dataset rewritten into 4
+    * right-sized files with one shuffle (repartition, not coalesce:
+    * coalesce would skip the shuffle but chain upstream parallelism to 4
+    * and can't split input files; for maintenance jobs the shuffle IS the
+    * point, it rebalances). The aggregate read back from the compacted
+    * layout proves content preservation; the file-count assertions live in
+    * Round6Spec. 100 TB: file count → listing time, footer count, task
+    * count — compaction is what keeps a 1000-batch-a-day table scannable;
+    * target size via repartition(n) or spark.sql.files.maxRecordsPerFile.
+    */
+  val compactRoot = "/tmp/graft_compact_events"
+
+  def compaction(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_id", $"event_type", $"value")
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$compactRoot/small")
+    spark.read.parquet(s"$compactRoot/small")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$compactRoot/compacted")
+    spark.read.parquet(s"$compactRoot/compacted")
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum($"value".cast(DecimalType(12, 2))).cast(DoubleType).as("sum_value"),
+        min($"event_id").as("min_id"),
+        max($"event_id").as("max_id"))
+      .orderBy($"event_type")
+  }
+
+  val compactionSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+      |  MIN(event_id) AS min_id,
+      |  MAX(event_id) AS max_id
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s12_compaction"   -> (compaction _),
     "s11_merge_scan"   -> (mergeScan _),
     "csv_roundtrip"    -> (csvRoundtrip _),
     "orc_roundtrip"    -> (orcRoundtrip _),
@@ -221,6 +261,7 @@ object Formats {
     "s7_bucketed_join" -> (bucketedJoin _))
 
   val oracles: Map[String, String] = Map(
+    "s12_compaction"   -> compactionSql,
     "s11_merge_scan"   -> mergeScanSql,
     "csv_roundtrip"    -> csvRoundtripSql,
     "orc_roundtrip"    -> orcRoundtripSql,

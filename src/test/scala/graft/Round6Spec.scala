@@ -109,6 +109,18 @@ class Round6Spec extends SparkSpec {
     assert(q.filter($"avg_l2_err" < 0).isEmpty)
   }
 
+  test("compaction: 64 small files become 4, content preserved") {
+    import spark.implicits._
+    val agg = Formats.compaction(spark, sfDir)
+    def parts(p: String): Int =
+      new java.io.File(p).listFiles().count(f => f.getName.startsWith("part-"))
+    assert(parts(s"${Formats.compactRoot}/small") === 64)
+    assert(parts(s"${Formats.compactRoot}/compacted") === 4)
+    val expect = Tables.events(spark, sfDir)
+      .groupBy($"event_type").agg(count(lit(1)).as("n_events"))
+    assert(agg.select($"event_type", $"n_events").except(expect).isEmpty)
+  }
+
   test("merge scan: batch-1 rows read the evolved column as NULL") {
     import spark.implicits._
     val m = Formats.mergeScan(spark, sfDir).cache()
