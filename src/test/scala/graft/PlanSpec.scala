@@ -305,6 +305,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("chunking stays map-side: the only exchange is the output sort") {
+    spark.catalog.clearCache() // other suites cache these exact plans
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val plan = graft.llm.Curation.chunk(spark, sfDir)
@@ -317,6 +318,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("gap-fill: both fill directions share one user_id shuffle") {
+    spark.catalog.clearCache() // other suites cache these exact plans
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val plan = graft.ops.EventWindows.gapfill(spark, sfDir)
@@ -328,6 +330,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("a9 battery is one partial+final hash aggregate over one shuffle") {
+    spark.catalog.clearCache() // other suites cache these exact plans
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val plan = Relational.a9AggBattery(spark, sfDir)
