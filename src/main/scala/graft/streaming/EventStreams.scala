@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.Row
 
 import graft.ops.EventWindows
@@ -138,5 +138,58 @@ object EventStreams {
           (uid, n, mx)
       }
       .toDF("user_id", "n_events", "max_value")
+  }
+
+  /** Timeout-closed sessions via flatMapGroupsWithState + EventTimeTimeout:
+    * a session stays open in state while events keep arriving within the
+    * 10-minute gap, and is EMITTED only when the WATERMARK passes
+    * last-event + gap (the timeout callback fires with an empty iterator).
+    * This is the "session with a definitive close" semantics that
+    * session_window cannot give in update mode — downstream sees each
+    * session exactly once, finalized. State is one record per open session
+    * per user; the watermark bounds it.
+    */
+  def timeoutSessions(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = 10 * 60 * 1000L
+    events.withWatermark("ts", "0 seconds")
+      .selectExpr("user_id", "ts", "value").as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, Double), (Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+         state: GroupState[(Long, Long, Long, Double)]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            // watermark passed session end + gap: finalize and emit
+            val (start, end, n, sum) = state.get
+            state.remove()
+            Iterator((uid, new java.sql.Timestamp(start), new java.sql.Timestamp(end), n, sum))
+          } else {
+            // fold the batch's events into the open session (events within
+            // one batch may span a gap boundary; emit the closed ones now)
+            val sorted = rows.toSeq.sortBy(_._2.getTime)
+            var out = List.empty[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)]
+            var cur = state.getOption
+            sorted.foreach { case (_, t, v) =>
+              val tm = t.getTime
+              cur match {
+                case Some((s0, e0, n0, v0)) if tm - e0 <= gapMs =>
+                  cur = Some((s0, math.max(e0, tm), n0 + 1, v0 + v))
+                case Some((s0, e0, n0, v0)) =>
+                  out ::= ((uid, new java.sql.Timestamp(s0), new java.sql.Timestamp(e0), n0, v0))
+                  cur = Some((tm, tm, 1L, v))
+                case None =>
+                  cur = Some((tm, tm, 1L, v))
+              }
+            }
+            cur.foreach { c =>
+              state.update(c)
+              state.setTimeoutTimestamp(c._2 + gapMs)
+            }
+            out.reverseIterator
+          }
+      }
+      .toDF("user_id", "session_start", "session_end", "n_events", "sum_value")
   }
 }

@@ -115,6 +115,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState: sessions close on event-time timeout, exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val q = EventStreams.timeoutSessions(
+        input.toDF.toDF("ts", "user_id", "value"))
+      .writeStream.format("memory").queryName("stream_sessions")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events 5 min apart → one open session for user 1
+      input.addData((ts("2024-01-01 10:00:00"), 1L, 1.0), (ts("2024-01-01 10:05:00"), 1L, 2.0))
+      q.processAllAvailable()
+      assert(spark.table("stream_sessions").isEmpty, "session must stay open, not emitted")
+      // batch 2: user 2 event far in the future moves the watermark past
+      // user 1's last event + gap → user 1's session times out and emits
+      input.addData((ts("2024-01-01 11:00:00"), 2L, 9.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 12:00:00"), 3L, 1.0)) // push watermark again
+      q.processAllAvailable()
+      val rows = spark.table("stream_sessions").orderBy($"user_id").collect()
+      val u1 = rows.filter(_.getLong(0) == 1L)
+      assert(u1.length === 1, s"user-1 session must emit exactly once, got ${u1.length}")
+      assert(u1.head.getTimestamp(1) === ts("2024-01-01 10:00:00"))
+      assert(u1.head.getTimestamp(2) === ts("2024-01-01 10:05:00"))
+      assert(u1.head.getLong(3) === 2L && u1.head.getDouble(4) === 3.0)
+      // user 2's session closed when the 12:00 event moved the watermark
+      assert(rows.count(_.getLong(0) == 2L) === 1)
+    } finally q.stop()
+  }
+
   test("file-source stream: watermark finalizes windows into the parquet sink") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_fs_").toString
