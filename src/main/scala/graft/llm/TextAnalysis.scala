@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -344,7 +344,66 @@ object TextAnalysis {
       |  CAST(SUM(CASE WHEN dup_frac > $repetitiousThreshold THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitious
       |FROM per GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // T8 character-class entropy + unique-token ratio: two cheap quality
+  // signals (low entropy → boilerplate/garbage; low unique-token ratio →
+  // repetition) rolled up per language. The entropy is over the 4-class
+  // {lowercase, digit, space, other} distribution with a fixed term order
+  // -(a+d+s+o), each term CASE-guarded — identical expression tree in the
+  // oracle so the doubles match before the 6dp rounding (ln() agreement
+  // across engines established by T5's tf·ln(N/df)). All map-side; one
+  // tiny aggregate.
+  def entropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def term(x: Column, n: Column): Column =
+      when(x > 0, (x / n) * log(x / n)).otherwise(lit(0.0))
+    val d = Tables.documents(spark, dir)
+      .withColumn("n", length($"text").cast("double"))
+      .withColumn("na", length(regexp_replace($"text", "[^a-z]", "")).cast("double"))
+      .withColumn("nd", length(regexp_replace($"text", "[^0-9]", "")).cast("double"))
+      .withColumn("ns", length(regexp_replace($"text", "[^ ]", "")).cast("double"))
+      .withColumn("no", $"n" - $"na" - $"nd" - $"ns")
+      .withColumn("ent",
+        -(term($"na", $"n") + term($"nd", $"n") + term($"ns", $"n") + term($"no", $"n")))
+      .withColumn("toks", split($"text", " "))
+      .withColumn("uniq_ratio",
+        size(array_distinct($"toks")).cast("double") / size($"toks"))
+    d.groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg($"ent"), 6).as("avg_entropy"),
+        round(min($"ent"), 6).as("min_entropy"),
+        round(avg($"uniq_ratio"), 6).as("avg_uniq_ratio"))
+      .orderBy($"lang")
+  }
+
+  val entropySql: String =
+    """WITH d AS (
+      |  SELECT lang,
+      |    CAST(len(text) AS DOUBLE) AS n,
+      |    CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) AS na,
+      |    CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS nd,
+      |    CAST(len(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE) AS ns,
+      |    list_distinct(string_split(text, ' ')) AS ut,
+      |    string_split(text, ' ') AS t
+      |  FROM documents),
+      |e AS (
+      |  SELECT lang,
+      |    -((CASE WHEN na > 0 THEN (na / n) * ln(na / n) ELSE 0.0 END)
+      |      + (CASE WHEN nd > 0 THEN (nd / n) * ln(nd / n) ELSE 0.0 END)
+      |      + (CASE WHEN ns > 0 THEN (ns / n) * ln(ns / n) ELSE 0.0 END)
+      |      + (CASE WHEN (n - na - nd - ns) > 0
+      |          THEN ((n - na - nd - ns) / n) * ln((n - na - nd - ns) / n) ELSE 0.0 END)) AS ent,
+      |    CAST(len(ut) AS DOUBLE) / len(t) AS uniq_ratio
+      |  FROM d)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  round(AVG(ent), 6) AS avg_entropy,
+      |  round(MIN(ent), 6) AS min_entropy,
+      |  round(AVG(uniq_ratio), 6) AS avg_uniq_ratio
+      |FROM e GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_entropy"     -> (entropy _),
     "ta_repetition"  -> (repetition _),
     "ta_tokens"      -> (tokenCounts _),
     "ta_quality"     -> (qualityScore _),
@@ -354,6 +413,7 @@ object TextAnalysis {
     "ta_bpe_pairs"   -> (bpePairs _))
 
   val oracles: Map[String, String] = Map(
+    "ta_entropy"     -> entropySql,
     "ta_repetition"  -> repetitionSql,
     "ta_tokens"      -> tokenCountsSql,
     "ta_quality"     -> qualityScoreSql,

@@ -213,13 +213,43 @@ object FunctionBatteries {
       |    AS first_ship_dates
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // -------------------------------------------------------------------------
+  // F18 bitwise-aggregate battery: bit_and / bit_or / bit_xor per group —
+  // the bitmap/flag-mask roll-up surface (permission masks, feature flags,
+  // bloom-ish membership words). All three are order-independent and
+  // partial-mergeable, so the plan is the same single partial+final hash
+  // aggregate as any sum.
+  def fBitwiseFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .withColumn("sk", $"l_suppkey".cast("long"))
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("bit_and(sk)").as("mask_and"),
+        expr("bit_or(sk)").as("mask_or"),
+        expr("bit_xor(sk)").as("mask_xor"),
+        expr("bit_or(shiftleft(1L, CAST(sk % 16 AS INT)))").as("bitmap16"))
+      .orderBy($"l_returnflag")
+  }
+
+  val fBitwiseFuncsSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  bit_and(CAST(l_suppkey AS BIGINT)) AS mask_and,
+      |  bit_or(CAST(l_suppkey AS BIGINT)) AS mask_or,
+      |  bit_xor(CAST(l_suppkey AS BIGINT)) AS mask_xor,
+      |  bit_or(CAST(1 AS BIGINT) << CAST(l_suppkey % 16 AS INT)) AS bitmap16
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f_bitwise_funcs" -> (fBitwiseFuncs _),
     "f_json_funcs"    -> (fJsonFuncs _),
     "f_array_funcs"   -> (fArrayFuncs _),
     "f_regex_funcs"   -> (fRegexFuncs _),
     "f_collect_funcs" -> (fCollectFuncs _))
 
   val oracles: Map[String, String] = Map(
+    "f_bitwise_funcs" -> fBitwiseFuncsSql,
     "f_json_funcs"    -> fJsonFuncsSql,
     "f_array_funcs"   -> fArrayFuncsSql,
     "f_regex_funcs"   -> fRegexFuncsSql,

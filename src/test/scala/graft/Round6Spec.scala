@@ -121,6 +121,22 @@ class Round6Spec extends SparkSpec {
     assert(agg.select($"event_type", $"n_events").except(expect).isEmpty)
   }
 
+  test("entropy: bounded by ln(4); uniq ratio in (0,1]") {
+    import spark.implicits._
+    val e = graft.llm.TextAnalysis.entropy(spark, sfDir).cache()
+    assert(e.filter($"avg_entropy" < 0 || $"avg_entropy" > math.log(4.0)).isEmpty)
+    assert(e.filter($"min_entropy" > $"avg_entropy").isEmpty)
+    assert(e.filter($"avg_uniq_ratio" <= 0 || $"avg_uniq_ratio" > 1).isEmpty)
+  }
+
+  test("bitwise battery: masks nest and the 16-bit bitmap stays 16-bit") {
+    import spark.implicits._
+    val b = graft.ops.FunctionBatteries.fBitwiseFuncs(spark, sfDir).cache()
+    // and-mask bits ⊆ or-mask bits; bitmap only uses low 16 bits
+    assert(b.filter(($"mask_and".bitwiseAND($"mask_or")) =!= $"mask_and").isEmpty)
+    assert(b.filter($"bitmap16" < 0 || $"bitmap16" >= (1L << 16)).isEmpty)
+  }
+
   test("merge scan: batch-1 rows read the evolved column as NULL") {
     import spark.implicits._
     val m = Formats.mergeScan(spark, sfDir).cache()
