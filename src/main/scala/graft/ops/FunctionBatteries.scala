@@ -201,7 +201,9 @@ object FunctionBatteries {
         array_join(sort_array(collect_set($"l_linestatus")), ",").as("statuses"),
         size(collect_list($"l_linestatus")).as("n_collected"),
         array_join(slice(sort_array(collect_set($"l_shipdate".cast("date").cast("string"))), 1, 3), ",")
-          .as("first_ship_dates"))
+          .as("first_ship_dates"),
+        expr("listagg(DISTINCT l_linestatus, '|') WITHIN GROUP (ORDER BY l_linestatus)")
+          .as("statuses_listagg"))
       .orderBy($"l_returnflag")
   }
 
@@ -210,7 +212,8 @@ object FunctionBatteries {
       |  array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses,
       |  CAST(len(list(l_linestatus)) AS INTEGER) AS n_collected,
       |  array_to_string(list_slice(list_sort(list_distinct(list(CAST(CAST(l_shipdate AS DATE) AS VARCHAR)))), 1, 3), ',')
-      |    AS first_ship_dates
+      |    AS first_ship_dates,
+      |  string_agg(DISTINCT l_linestatus, '|' ORDER BY l_linestatus) AS statuses_listagg
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // -------------------------------------------------------------------------
@@ -241,7 +244,51 @@ object FunctionBatteries {
       |  bit_or(CAST(1 AS BIGINT) << CAST(l_suppkey % 16 AS INT)) AS bitmap16
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // -------------------------------------------------------------------------
+  // F19 variant battery: the semi-structured VARIANT type (Spark 4's
+  // schema-flexible ingestion column — the engine-native answer to the
+  // reference's Snowflake VARIANT stage scans, SURVEY §2.1 S4). A JSON
+  // string is built deterministically from table columns (identical text in
+  // both engines), parsed once into a VARIANT, and fields are read back
+  // with typed variant_get paths; try_variant_get on an absent path proves
+  // the null-not-error contract. VARIANT stores a parsed binary form, so
+  // repeated path reads skip re-tokenizing the JSON text — the 100 TB win
+  // over get_json_object on raw strings. Oracle reads the same text with
+  // DuckDB's JSON extractors.
+  def fVariantFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("raw", concat(
+        lit("{\"id\":"), $"doc_id".cast("string"),
+        lit(",\"meta\":{\"lang\":\""), $"lang",
+        lit("\",\"n\":"), $"n_chars".cast("string"), lit("}}")))
+      .withColumn("v", expr("parse_json(raw)"))
+      .select(
+        expr("variant_get(v, '$.meta.lang', 'string')").as("vlang"),
+        expr("variant_get(v, '$.id', 'long')").as("vid"),
+        expr("variant_get(v, '$.meta.n', 'long')").as("vn"),
+        expr("try_variant_get(v, '$.meta.missing', 'string')").as("vmissing"))
+      .groupBy($"vlang")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"vid").as("sum_id"),
+        sum($"vn").as("sum_n"),
+        count($"vmissing").as("n_missing"))
+      .orderBy($"vlang")
+  }
+
+  val fVariantFuncsSql: String =
+    """WITH d AS (
+      |  SELECT '{"id":' || doc_id || ',"meta":{"lang":"' || lang || '","n":' || n_chars || '}}' AS raw
+      |  FROM documents)
+      |SELECT json_extract_string(raw, '$.meta.lang') AS vlang, COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract(raw, '$.id') AS BIGINT)) AS BIGINT) AS sum_id,
+      |  CAST(SUM(CAST(json_extract(raw, '$.meta.n') AS BIGINT)) AS BIGINT) AS sum_n,
+      |  CAST(COUNT(json_extract_string(raw, '$.meta.missing')) AS BIGINT) AS n_missing
+      |FROM d GROUP BY vlang ORDER BY vlang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f_variant_funcs" -> (fVariantFuncs _),
     "f_bitwise_funcs" -> (fBitwiseFuncs _),
     "f_json_funcs"    -> (fJsonFuncs _),
     "f_array_funcs"   -> (fArrayFuncs _),
@@ -249,6 +296,7 @@ object FunctionBatteries {
     "f_collect_funcs" -> (fCollectFuncs _))
 
   val oracles: Map[String, String] = Map(
+    "f_variant_funcs" -> fVariantFuncsSql,
     "f_bitwise_funcs" -> fBitwiseFuncsSql,
     "f_json_funcs"    -> fJsonFuncsSql,
     "f_array_funcs"   -> fArrayFuncsSql,

@@ -20,7 +20,7 @@ import graft.Tables
 object SqlSurface {
 
   private def registerViews(spark: SparkSession, dir: String): Unit =
-    Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "region", "part")
       .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(s"g_$t"))
 
   /** TPC-H Q3 shape: top unshipped orders by revenue for one market segment.
@@ -248,7 +248,110 @@ object SqlSurface {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** TPC-H Q18 shape (large-quantity orders): the big-aggregate semi-join —
+    * an aggregate over the FULL fact produces the qualifying-key set, which
+    * then gates a 3-way join, re-aggregated per order, top-100.
+    * 100 TB: the HAVING subquery is one partial+final hash aggregate over
+    * lineitem (map-side combine shrinks it to one row per order before the
+    * shuffle); Catalyst plans the IN as a join on o_orderkey, so the fact
+    * is never scanned twice for the same row set; the top-100 lowers to
+    * TakeOrderedAndProject. Quantities are integral in the data, so the
+    * DECIMAL(12,2) sum + threshold compare is exact in both engines.
+    */
+  def sqlTpchQ18(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+        |FROM g_customer JOIN g_orders ON c_custkey = o_custkey
+        |                JOIN g_lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM g_lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 180)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 100""".stripMargin)
+  }
+
+  val sqlTpchQ18Sql: String =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |              JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 180)
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey ASC
+      |LIMIT 100""".stripMargin
+
+  /** Correlated LATERAL subquery: top-2 orders per customer — SQL's
+    * per-row "table function" form of the N-per-key pattern (the reference
+    * era's `ROW_NUMBER + filter`, W1, expressed declaratively).
+    * 100 TB: Catalyst decorrelates the LATERAL into a ranked window join —
+    * one shuffle on the correlation key, no per-row re-execution of the
+    * inner query (a naive nested-loop lateral would be O(customers ×
+    * orders)); the per-key LIMIT bounds state like any rank filter.
+    */
+  def sqlLateral(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM g_customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM g_orders
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |ORDER BY c.c_custkey ASC, o.o_orderkey ASC""".stripMargin)
+  }
+
+  val sqlLateralSql: String =
+    """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |         WHERE o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |ORDER BY c.c_custkey ASC, o.o_orderkey ASC""".stripMargin
+
+  /** Recursive CTE (Spark 4): iterative fixpoint over derived parent edges
+    * — each part's parent is floor(id/2), a binary tree rooted at 1; the
+    * walk carries every node to the root and the engine aggregates node
+    * count per depth (= floor(log2 id)). The hierarchy-traversal /
+    * graph-reachability surface (org charts, BOM explosions, category
+    * trees) that pre-4.x Spark needed driver-side loops for (our C3
+    * dup-clusters does exactly that iteration by hand).
+    * 100 TB: each recursion step is a map-side transform + filter on the
+    * previous step's output — no shuffle inside the loop, depth bounded at
+    * log2(maxkey); one final aggregate.
+    */
+  def sqlRecursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """WITH RECURSIVE walk(node, cur, depth) AS (
+        |  SELECT p_partkey, p_partkey, 0 FROM g_part WHERE p_partkey >= 1
+        |  UNION ALL
+        |  SELECT node, CAST(floor(cur / 2) AS BIGINT), depth + 1 FROM walk WHERE cur > 1
+        |)
+        |SELECT depth, COUNT(*) AS n_nodes, MIN(node) AS min_node, MAX(node) AS max_node
+        |FROM walk WHERE cur = 1
+        |GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
+  val sqlRecursiveCteSql: String =
+    """WITH RECURSIVE walk(node, cur, depth) AS (
+      |  SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey >= 1
+      |  UNION ALL
+      |  SELECT node, CAST(floor(cur / 2) AS BIGINT), depth + 1 FROM walk WHERE cur > 1
+      |)
+      |SELECT depth, COUNT(*) AS n_nodes, MIN(node) AS min_node, MAX(node) AS max_node
+      |FROM walk WHERE cur = 1
+      |GROUP BY depth ORDER BY depth""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_tpch_q18"    -> (sqlTpchQ18 _),
+    "sql_lateral"     -> (sqlLateral _),
+    "sql_recursive"   -> (sqlRecursiveCte _),
     "sql_tpch_q3"     -> (sqlTpchQ3 _),
     "sql_tpch_q10"    -> (sqlTpchQ10 _),
     "sql_ctas"        -> (sqlCtas _),
@@ -258,6 +361,9 @@ object SqlSurface {
     "sql_scalar_subq" -> (sqlScalarSubq _))
 
   val oracles: Map[String, String] = Map(
+    "sql_tpch_q18"    -> sqlTpchQ18Sql,
+    "sql_lateral"     -> sqlLateralSql,
+    "sql_recursive"   -> sqlRecursiveCteSql,
     "sql_tpch_q3"     -> sqlTpchQ3Sql,
     "sql_tpch_q10"    -> sqlTpchQ10Sql,
     "sql_ctas"        -> sqlCtasSql,

@@ -140,6 +140,46 @@ object Formats {
       |  MAX(l_orderkey) AS max_key
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  val xmlRoot = "/tmp/graft_xml_lineitem"
+
+  /** S13 XML round trip: Spark 4's built-in XML source (rowTag records) as
+    * sink+scan. Text-format discipline mirrors the CSV rule: money goes
+    * through as DECIMAL (exact text), the date as DATE, and the read side
+    * is explicitly schema'd (no inference scan — at 100 TB a schema
+    * inference pass is a full extra read of the corpus). DuckDB cannot
+    * read XML, so (like ORC) the oracle computes the SAME aggregate from
+    * the source parquet — value equality proves the round trip lossless.
+    */
+  def xmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_returnflag",
+        $"l_quantity".cast(DecimalType(12, 2)).as("qty"),
+        $"l_shipdate".cast(DateType).as("ship_date"))
+      .repartition(4)
+      .write.mode("overwrite").format("xml").option("rowTag", "line").save(xmlRoot)
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_returnflag", StringType),
+      StructField("qty", DecimalType(12, 2)),
+      StructField("ship_date", DateType)))
+    spark.read.format("xml").option("rowTag", "line").schema(schema).load(xmlRoot)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"qty").cast(DoubleType).as("sum_qty"),
+        min($"ship_date").as("min_ship"),
+        max($"l_orderkey").as("max_key"))
+      .orderBy($"l_returnflag")
+  }
+
+  val xmlRoundtripSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  MIN(CAST(l_shipdate AS DATE)) AS min_ship,
+      |  MAX(l_orderkey) AS max_key
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val partRoot = "/tmp/graft_part_orders"
 
   /** S7 partitioned layout + partition pruning: orders written
@@ -257,6 +297,7 @@ object Formats {
     "s11_merge_scan"   -> (mergeScan _),
     "csv_roundtrip"    -> (csvRoundtrip _),
     "orc_roundtrip"    -> (orcRoundtrip _),
+    "xml_roundtrip"    -> (xmlRoundtrip _),
     "s7_partition_prune" -> (partitionPrune _),
     "s7_bucketed_join" -> (bucketedJoin _))
 
@@ -265,6 +306,7 @@ object Formats {
     "s11_merge_scan"   -> mergeScanSql,
     "csv_roundtrip"    -> csvRoundtripSql,
     "orc_roundtrip"    -> orcRoundtripSql,
+    "xml_roundtrip"    -> xmlRoundtripSql,
     "s7_partition_prune" -> partitionPruneSql,
     "s7_bucketed_join" -> bucketedJoinSql)
 }
