@@ -287,7 +287,51 @@ object FunctionBatteries {
       |  CAST(COUNT(json_extract_string(raw, '$.meta.missing')) AS BIGINT) AS n_missing
       |FROM d GROUP BY vlang ORDER BY vlang""".stripMargin
 
+  // -------------------------------------------------------------------------
+  // F20 ANSI-safe try_* battery: Spark 4 runs under ANSI SQL semantics, so
+  // bare arithmetic THROWS on overflow / bad casts — the try_* family is
+  // the row-level "null, don't kill the 100 TB job" escape hatch (one
+  // poison row in a trillion must not fail the stage). Each signal is
+  // replicated in the oracle as an explicit CASE guard, proving the
+  // null-contract semantics match: division by zero, int64 overflow,
+  // unparseable cast. Float discipline: the only non-count output is
+  // floor()ed integer division (IEEE-identical in both engines).
+  def fTryFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .withColumn("cents", expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+      .withColumn("qm25", $"l_quantity".cast(LongType) - 25L)
+      .select($"l_returnflag",
+        expr("try_divide(cents, qm25)").as("per_unit"),
+        expr("try_add(9223372036854775807, cents)").as("ov"),
+        expr("try_cast(l_returnflag AS INT)").as("bad_int"))
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when($"per_unit".isNull, 1L).otherwise(0L)).as("n_div_null"),
+        sum(when($"ov".isNull, 1L).otherwise(0L)).as("n_overflow"),
+        sum(when($"bad_int".isNull, 1L).otherwise(0L)).as("n_badcast"),
+        sum(floor($"per_unit").cast(LongType)).as("sum_floor_per_unit"))
+      .orderBy($"l_returnflag")
+  }
+
+  val fTryFuncsSql: String =
+    """WITH l AS (
+      |  SELECT l_returnflag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+      |    CAST(l_quantity AS BIGINT) - 25 AS qm25
+      |  FROM lineitem)
+      |SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN qm25 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
+      |  CAST(SUM(CASE WHEN cents > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow,
+      |  COUNT(*) AS n_badcast,
+      |  CAST(SUM(CASE WHEN qm25 = 0 THEN NULL
+      |       ELSE CAST(floor(CAST(cents AS DOUBLE) / qm25) AS BIGINT) END) AS BIGINT)
+      |    AS sum_floor_per_unit
+      |FROM l GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f_try_funcs"     -> (fTryFuncs _),
     "f_variant_funcs" -> (fVariantFuncs _),
     "f_bitwise_funcs" -> (fBitwiseFuncs _),
     "f_json_funcs"    -> (fJsonFuncs _),
@@ -296,6 +340,7 @@ object FunctionBatteries {
     "f_collect_funcs" -> (fCollectFuncs _))
 
   val oracles: Map[String, String] = Map(
+    "f_try_funcs"     -> fTryFuncsSql,
     "f_variant_funcs" -> fVariantFuncsSql,
     "f_bitwise_funcs" -> fBitwiseFuncsSql,
     "f_json_funcs"    -> fJsonFuncsSql,

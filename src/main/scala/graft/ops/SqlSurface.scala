@@ -348,7 +348,93 @@ object SqlSurface {
       |FROM walk WHERE cur = 1
       |GROUP BY depth ORDER BY depth""".stripMargin
 
+  /** SQL pipe syntax (Spark 4): the Q1 pricing-summary shape written as a
+    * linear `|>` dataflow — FROM → WHERE → EXTEND → AGGREGATE → ORDER BY.
+    * Pipe operators parse to exactly the same logical plan as nested
+    * SELECTs (the filter still reaches the scan, the aggregate is still
+    * partial+final), so this is purely an authoring surface — but one a
+    * pipeline-minded reference user migrating hand-rolled Python would
+    * reach for. Oracle: the equivalent classic SQL.
+    */
+  def sqlPipe(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """FROM g_lineitem
+        ||> WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        ||> EXTEND CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+        |          CAST(l_extendedprice AS DECIMAL(12,2)) AS price
+        ||> AGGREGATE COUNT(*) AS n, CAST(SUM(qty) AS DOUBLE) AS sum_qty,
+        |             CAST(SUM(price) AS DOUBLE) AS sum_price
+        |   GROUP BY l_returnflag, l_linestatus
+        ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  val sqlPipeSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** SQL UDF (Spark 4 `CREATE FUNCTION … RETURN expr`): the catalog-level
+    * scalar-function surface. Unlike a JVM closure UDF, the body is SQL —
+    * Catalyst INLINES it into the caller's plan, so it stays inside
+    * whole-stage codegen, constant-folds, and pushes down like any
+    * built-in expression (a Scala UDF is an optimization barrier; this is
+    * not). Revenue math keeps full DECIMAL precision inside the function.
+    */
+  def sqlUdf(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_revenue(price DOUBLE, disc DOUBLE)
+        |RETURNS DECIMAL(25,4)
+        |RETURN CAST(price AS DECIMAL(12,2))
+        |  * (CAST(1 AS DECIMAL(12,2)) - CAST(disc AS DECIMAL(12,2)))""".stripMargin)
+    spark.sql(
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(graft_revenue(l_extendedprice, l_discount)) AS DOUBLE) AS revenue
+        |FROM g_lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  val sqlUdfSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+      |       * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(25,4))) AS DOUBLE)
+      |    AS revenue
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Parameterized SQL (named `:param` markers bound server-side): the
+    * injection-safe reuse surface — one parsed template, many bindings.
+    * The binder substitutes TYPED literals before optimization, so a
+    * selective parameter still prunes/pushes down exactly like a
+    * hand-written constant (no plan-cache genericity penalty). Oracle:
+    * the same query with the parameters inlined.
+    */
+  def sqlParams(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM g_orders
+        |WHERE o_orderstatus = :status AND o_orderdate >= CAST(:since AS TIMESTAMP)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      Map("status" -> "F", "since" -> "1996-06-01 00:00:00"))
+  }
+
+  val sqlParamsSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM orders
+      |WHERE o_orderstatus = 'F' AND o_orderdate >= TIMESTAMP '1996-06-01 00:00:00'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_pipe"        -> (sqlPipe _),
+    "sql_udf"         -> (sqlUdf _),
+    "sql_params"      -> (sqlParams _),
     "sql_tpch_q18"    -> (sqlTpchQ18 _),
     "sql_lateral"     -> (sqlLateral _),
     "sql_recursive"   -> (sqlRecursiveCte _),
@@ -361,6 +447,9 @@ object SqlSurface {
     "sql_scalar_subq" -> (sqlScalarSubq _))
 
   val oracles: Map[String, String] = Map(
+    "sql_pipe"        -> sqlPipeSql,
+    "sql_udf"         -> sqlUdfSql,
+    "sql_params"      -> sqlParamsSql,
     "sql_tpch_q18"    -> sqlTpchQ18Sql,
     "sql_lateral"     -> sqlLateralSql,
     "sql_recursive"   -> sqlRecursiveCteSql,

@@ -140,6 +140,43 @@ object EventStreams {
       .toDF("user_id", "n_events", "max_value")
   }
 
+  /** X18: the same running per-user stats on Spark 4's transformWithState —
+    * the successor API to mapGroupsWithState. State lives in NAMED, typed
+    * handles (ValueState here; List/Map/timers available) instead of one
+    * opaque blob, so an operator can evolve its state schema field-by-field
+    * and mix state kinds; requires the RocksDB state store provider, whose
+    * changelog checkpointing is what makes very large state (100 TB-scale
+    * key spaces) restartable. Semantics are pinned by the test: identical
+    * output to the mapGroupsWithState form above.
+    */
+  private class RunningStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Double)]("agg",
+        org.apache.spark.sql.Encoders.product[(Long, Double)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[(Long, Double)],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, Double)] = {
+      val (n0, mx0) = if (st.exists()) st.get() else (0L, Double.MinValue)
+      var n = n0
+      var mx = mx0
+      rows.foreach { case (_, v) => n += 1; mx = math.max(mx, v) }
+      st.update((n, mx))
+      Iterator.single((uid, n, mx))
+    }
+  }
+
+  def runningUserStatsTws(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n_events", "max_value")
+  }
+
   /** Timeout-closed sessions via flatMapGroupsWithState + EventTimeTimeout:
     * a session stays open in state while events keep arriving within the
     * 10-minute gap, and is EMITTED only when the WATERMARK passes

@@ -115,6 +115,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState: ValueState matches the mapGroupsWithState semantics") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val stream = EventStreams.runningUserStatsTws(
+      input.toDF.toDF("ts", "user_id", "value"))
+    val q = stream.writeStream.format("memory")
+      .queryName("stream_tws").outputMode("update").start()
+    try {
+      input.addData((ts("2024-01-01 10:00:00"), 1L, 5.0), (ts("2024-01-01 10:01:00"), 1L, 3.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 10:02:00"), 1L, 4.0), (ts("2024-01-01 10:02:30"), 2L, 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("stream_tws").collect()
+      val u1 = rows.filter(_.getLong(0) == 1L).maxBy(_.getLong(1))
+      assert(u1.getLong(1) === 3L, "count accumulated across batches")
+      assert(u1.getDouble(2) === 5.0, "max remembered from the earlier batch")
+      val u2 = rows.filter(_.getLong(0) == 2L).maxBy(_.getLong(1))
+      assert(u2.getLong(1) === 1L && u2.getDouble(2) === 7.0)
+    } finally {
+      q.stop()
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("flatMapGroupsWithState: sessions close on event-time timeout, exactly once") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
