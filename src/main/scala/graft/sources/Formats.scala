@@ -180,6 +180,56 @@ object Formats {
       |  MAX(l_orderkey) AS max_key
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** S14 Z-order (Morton) clustering: interleave the low 8 bits of two
+    * dimensions into one 16-bit curve key, then range-partition + sort the
+    * layout on it. A single-dim sort bounds ONE column's min/max per file;
+    * the Morton key bounds BOTH (a contiguous z-range of 2^2k values spans
+    * ≤ 2^k per dimension), so file-level min/max stats can skip on either
+    * predicate — the multi-dimensional data-skipping layout (Delta/Iceberg
+    * OPTIMIZE ZORDER) for a 100 TB fact queried by two independent keys.
+    * The registered query audits the curve math per z-bucket (both dims
+    * provably bounded); FormatsSpec writes the actual layout and asserts
+    * the per-file span bound on BOTH dimensions.
+    */
+  def zorderKey(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 8).foldLeft(lit(0L)) { (acc, i) =>
+      acc +
+        shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }
+
+  def zorder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .withColumn("x", $"o_custkey" % 256L)
+      .withColumn("y", date_format($"o_orderdate", "yyyyMMdd").cast(LongType) % 256L)
+      .withColumn("z", zorderKey($"x", $"y"))
+      .withColumn("zbucket", shiftright($"z", 12))
+      .groupBy($"zbucket")
+      .agg(
+        count(lit(1)).as("n"),
+        min($"x").as("min_x"), max($"x").as("max_x"),
+        min($"y").as("min_y"), max($"y").as("max_y"))
+      .orderBy($"zbucket")
+  }
+
+  /** The 16-term Morton interleave written out literally — identical bit
+    * arithmetic in DuckDB. */
+  private val zExprSql: String = (0 until 8).map { i =>
+    s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})"
+  }.mkString(" + ")
+
+  val zorderSql: String =
+    s"""WITH o AS (
+      |  SELECT o_custkey % 256 AS x,
+      |         CAST(strftime(o_orderdate, '%Y%m%d') AS BIGINT) % 256 AS y
+      |  FROM orders),
+      |z AS (SELECT x, y, $zExprSql AS z FROM o)
+      |SELECT z >> 12 AS zbucket, COUNT(*) AS n,
+      |  MIN(x) AS min_x, MAX(x) AS max_x,
+      |  MIN(y) AS min_y, MAX(y) AS max_y
+      |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin
+
   val partRoot = "/tmp/graft_part_orders"
 
   /** S7 partitioned layout + partition pruning: orders written
@@ -298,6 +348,7 @@ object Formats {
     "csv_roundtrip"    -> (csvRoundtrip _),
     "orc_roundtrip"    -> (orcRoundtrip _),
     "xml_roundtrip"    -> (xmlRoundtrip _),
+    "s14_zorder"       -> (zorder _),
     "s7_partition_prune" -> (partitionPrune _),
     "s7_bucketed_join" -> (bucketedJoin _))
 
@@ -307,6 +358,7 @@ object Formats {
     "csv_roundtrip"    -> csvRoundtripSql,
     "orc_roundtrip"    -> orcRoundtripSql,
     "xml_roundtrip"    -> xmlRoundtripSql,
+    "s14_zorder"       -> zorderSql,
     "s7_partition_prune" -> partitionPruneSql,
     "s7_bucketed_join" -> bucketedJoinSql)
 }

@@ -350,4 +350,60 @@ class PlanSpec extends SparkSpec {
     assert(scan.contains("l_discount"), "merged schema must expose the evolved column")
     assert(df.schema.fieldNames.contains("batch"), "partition discovery must add batch")
   }
+
+  test("z-order layout bounds BOTH dimensions per file; x-sort bounds only one") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = "/tmp/graft_zorder_test"
+    val src = Tables.orders(spark, sfDir)
+      .withColumn("x", $"o_custkey" % 256L)
+      .withColumn("y", date_format($"o_orderdate", "yyyyMMdd").cast("long") % 256L)
+      .withColumn("z", graft.sources.Formats.zorderKey($"x", $"y"))
+    src.repartitionByRange(16, $"z").sortWithinPartitions($"z")
+      .write.mode("overwrite").parquet(root)
+    def spans(path: String) = spark.read.parquet(path)
+      .groupBy(col("_metadata.file_path"))
+      .agg((max($"x") - min($"x")).as("xs"), (max($"y") - min($"y")).as("ys"))
+      .agg(avg($"xs"), avg($"ys")).head()
+    val zb = spans(root)
+    // a contiguous z-range constrains the high bits of BOTH dims: with 16
+    // range partitions each file's x- and y-span sits far below the 0-255
+    // global span (≤128 with aligned boundaries; avg well under that)
+    assert(zb.getDouble(0) < 140.0 && zb.getDouble(1) < 140.0,
+      s"z-order should bound both dims per file, got $zb")
+    // contrast: sorting on x alone leaves y unclustered (span ≈ full 255)
+    src.repartitionByRange(16, $"x").sortWithinPartitions($"x")
+      .write.mode("overwrite").parquet(root + "_x")
+    val xb = spans(root + "_x")
+    assert(xb.getDouble(0) < 32.0, "x-sort clusters x tightly")
+    assert(xb.getDouble(1) > 200.0, "x-sort leaves y unclustered")
+  }
+
+  test("runtime bloom filter from a selective dim filter reaches the fact scan") {
+    import spark.implicits._
+    // X19: Spark injects a bloom filter built from the FILTERED creation
+    // side (orders with a selective non-key predicate) and applies it to
+    // the fact side BEFORE the join shuffle — at 100 TB this drops most of
+    // the shuffle write for free. Thresholds are scaled to toy sizes
+    // (app-side scan threshold default is 10GB) like the AQE skew test.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val plan = Tables.lineitem(spark, sfDir)
+        .join(
+          Tables.orders(spark, sfDir).filter($"o_orderpriority" === "1-URGENT"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderstatus").count()
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected an injected bloom runtime filter on the fact side:\n${plan.take(1800)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
