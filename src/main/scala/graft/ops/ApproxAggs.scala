@@ -38,9 +38,48 @@ object ApproxAggs {
       .orderBy($"l_returnflag")
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "a8_approx" -> (a8Approx _))
+  /** A10 mergeable HLL sketches (DataSketches HllSketch): distinct
+    * customers are sketched at FINE grain (priority × status), the binary
+    * sketches are then hll_union_agg'd up to priority grain — no rescan of
+    * the base data. This re-aggregability is the entire point at 100 TB:
+    * a daily sketch table rolls up to month/year/anything in sketch-space,
+    * while exact countDistinct must re-shuffle raw keys for every grain.
+    *
+    * Oracle trick (same as emb_quantize's fidelity check): sketch VALUES
+    * are engine-defined, so the query outputs the exact count plus a
+    * BOOLEAN "merged estimate within 5% of exact" verdict — DuckDB asserts
+    * the exact count and `TRUE`. If the merged sketch ever drifts out of
+    * tolerance the hash compare fails.
+    */
+  def a10HllMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fine = Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority", $"o_orderstatus")
+      .agg(expr("hll_sketch_agg(o_custkey, 14)").as("sketch"))
+    val merged = fine
+      .groupBy($"o_orderpriority")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))").as("est"))
+    val exact = Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .agg(countDistinct($"o_custkey").as("n_exact"))
+    merged.join(exact, Seq("o_orderpriority"))
+      .select($"o_orderpriority", $"n_exact",
+        (abs($"est" - $"n_exact") / $"n_exact" < 0.05).as("within_5pct"))
+      .orderBy($"o_orderpriority")
+  }
 
-  /** No oracle (see scaladoc). */
-  val oracles: Map[String, String] = Map.empty
+  val a10HllMergeSql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(DISTINCT o_custkey) AS n_exact,
+      |  TRUE AS within_5pct
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a8_approx"     -> (a8Approx _),
+    "a10_hll_merge" -> (a10HllMerge _))
+
+  /** a8_approx has no oracle (see scaladoc); a10's boolean-verdict oracle
+    * pins the merge fidelity without comparing sketch values. */
+  val oracles: Map[String, String] = Map(
+    "a10_hll_merge" -> a10HllMergeSql)
 }

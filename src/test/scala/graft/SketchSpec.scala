@@ -65,4 +65,24 @@ class SketchSpec extends SparkSpec {
     val absentHits = (1 to 10000).count(i => bf.mightContain(-i.toLong))
     assert(absentHits <= 10000 * 0.05, s"fpp too high: $absentHits/10000")
   }
+
+  test("HLL re-aggregability: union of fine sketches == direct coarse sketch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // HLL register state is a per-bucket max — associative and
+    // order-insensitive — so merging the per-status sketches must give the
+    // SAME estimate as sketching each priority's keys directly. This is
+    // the law a10_hll_merge's 5%-of-exact oracle rides on.
+    val viaMerge = Tables.orders(spark, sfDir)
+      .groupBy($"o_orderpriority", $"o_orderstatus")
+      .agg(expr("hll_sketch_agg(o_custkey, 14)").as("sk"))
+      .groupBy($"o_orderpriority")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val direct = Tables.orders(spark, sfDir)
+      .groupBy($"o_orderpriority")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(o_custkey, 14))").as("est_direct"))
+    val joined = viaMerge.join(direct, "o_orderpriority")
+    assert(joined.filter($"est" =!= $"est_direct").isEmpty,
+      "merged-sketch estimate must equal the direct sketch estimate")
+  }
 }
