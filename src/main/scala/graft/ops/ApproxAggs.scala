@@ -12,11 +12,12 @@ import graft.Tables
   * and (in SketchSpec) count-min frequency and Bloom membership via
   * DataFrameStatFunctions.
   *
-  * a8_approx is registered WITHOUT an oracle: sketch results are
-  * implementation-defined, so no cross-engine value identity exists — the
-  * driver records the weaker rows-only check, and ApproxSpec enforces the
-  * real contract (rigorous error bounds against the exact answers, which
-  * ARE oracle-checked via a2_distinct_agg / a4_percentiles).
+  * a8_approx's oracle is a boolean VERDICT (same pattern as a10_hll_merge):
+  * sketch values are implementation-defined, so the query outputs the exact
+  * answers (cross-engine comparable) plus "estimate within tolerance"
+  * booleans that DuckDB asserts are TRUE — if a sketch drifts out of its
+  * declared bound the hash compare fails. SketchSpec additionally pins the
+  * tighter rank-based contract on the raw estimates.
   *
   * 100 TB: both sketches are fixed-size partial states merged
   * associatively — one pass, map-side partials, no per-group row
@@ -25,7 +26,10 @@ import graft.Tables
   */
 object ApproxAggs {
 
-  def a8Approx(spark: SparkSession, dir: String): DataFrame = {
+  /** Raw sketch estimates — engine-defined values. Consumed by a8Approx's
+    * verdict wrapper below and bound-checked against exact answers in
+    * SketchSpec (5-sigma HLL rsd, percentile rank error ≤ 1/accuracy). */
+  def a8Raw(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, dir)
       .groupBy($"l_returnflag")
@@ -37,6 +41,41 @@ object ApproxAggs {
         percentile_approx($"l_extendedprice", lit(0.95), lit(10000)).as("apx_p95"))
       .orderBy($"l_returnflag")
   }
+
+  /** Verdict form (the registered query): exact distinct counts — which
+    * DuckDB reproduces — plus booleans asserting each sketch estimate sits
+    * inside its declared error bound. HLL rsd=0.02 → 5σ = 10%; the
+    * percentile_approx(acc=10000) value is an actual element within rank
+    * 1e-4 of the target, so 5% value tolerance is generous even at the
+    * tiny test SF where neighboring order statistics are far apart. */
+  def a8Approx(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        expr("percentile(l_extendedprice, 0.5)").as("x_p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("x_p95"))
+    a8Raw(spark, dir).join(exact, Seq("l_returnflag"))
+      .select($"l_returnflag", $"n_rows", $"n_parts", $"n_supps",
+        (abs($"apx_parts" - $"n_parts") / $"n_parts" < 0.10).as("parts_within_10pct"),
+        (abs($"apx_supps" - $"n_supps") / $"n_supps" < 0.10).as("supps_within_10pct"),
+        (abs($"apx_p50" - $"x_p50") / $"x_p50" < 0.05).as("p50_within_5pct"),
+        (abs($"apx_p95" - $"x_p95") / $"x_p95" < 0.05).as("p95_within_5pct"))
+      .orderBy($"l_returnflag")
+  }
+
+  val a8ApproxSql: String =
+    """SELECT l_returnflag,
+      |  COUNT(*) AS n_rows,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps,
+      |  TRUE AS parts_within_10pct,
+      |  TRUE AS supps_within_10pct,
+      |  TRUE AS p50_within_5pct,
+      |  TRUE AS p95_within_5pct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** A10 mergeable HLL sketches (DataSketches HllSketch): distinct
     * customers are sketched at FINE grain (priority × status), the binary
@@ -78,8 +117,9 @@ object ApproxAggs {
     "a8_approx"     -> (a8Approx _),
     "a10_hll_merge" -> (a10HllMerge _))
 
-  /** a8_approx has no oracle (see scaladoc); a10's boolean-verdict oracle
-    * pins the merge fidelity without comparing sketch values. */
+  /** Both sketch queries use boolean-verdict oracles: exact answers are
+    * compared cross-engine, sketch fidelity is a pinned TRUE column. */
   val oracles: Map[String, String] = Map(
+    "a8_approx"     -> a8ApproxSql,
     "a10_hll_merge" -> a10HllMergeSql)
 }

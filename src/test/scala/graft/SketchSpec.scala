@@ -2,16 +2,27 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Approximate/sketch operators: the a8_approx query has no cross-engine
-  * oracle (sketch values are implementation-defined), so THIS spec is its
-  * correctness contract — rigorous error bounds against the exact answers —
-  * plus the count-min / Bloom sketches from DataFrameStatFunctions.
+/** Approximate/sketch operators: a8_approx's registered form is a
+  * boolean-verdict query (exact answers + within-tolerance booleans,
+  * oracle-checked by DuckDB); THIS spec pins the tighter raw contracts —
+  * 5-sigma HLL rsd and percentile rank error against exact answers — plus
+  * the count-min / Bloom sketches from DataFrameStatFunctions.
   */
 class SketchSpec extends SparkSpec {
 
+  test("a8 verdict form: every within-tolerance boolean is true") {
+    import spark.implicits._
+    val rows = ops.ApproxAggs.a8Approx(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq("parts_within_10pct", "supps_within_10pct", "p50_within_5pct", "p95_within_5pct")
+        .foreach(c => assert(r.getAs[Boolean](c), s"$c false for ${r.getAs[String]("l_returnflag")}"))
+    }
+  }
+
   test("approx_count_distinct is within the declared 2% rsd of exact") {
     import spark.implicits._
-    val apx = ops.ApproxAggs.a8Approx(spark, sfDir)
+    val apx = ops.ApproxAggs.a8Raw(spark, sfDir)
     val exact = Tables.lineitem(spark, sfDir)
       .groupBy($"l_returnflag")
       .agg(countDistinct($"l_partkey").as("x_parts"), countDistinct($"l_suppkey").as("x_supps"))
@@ -28,7 +39,7 @@ class SketchSpec extends SparkSpec {
 
   test("approx_percentile brackets the exact percentile rank") {
     import spark.implicits._
-    val apx = ops.ApproxAggs.a8Approx(spark, sfDir).collect()
+    val apx = ops.ApproxAggs.a8Raw(spark, sfDir).collect()
       .map(r => r.getAs[String]("l_returnflag") -> (r.getAs[Double]("apx_p50"), r.getAs[Long]("n_rows"))).toMap
     apx.foreach { case (flag, (p50, n)) =>
       // the reported value's true rank must be within accuracy-bound
