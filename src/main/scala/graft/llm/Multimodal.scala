@@ -6,17 +6,22 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Multimodal-column operators: typed struct composition of text +
-  * embedding + metadata, and an opaque-binary media pipeline (decode /
-  * feature-extract / frame-sample) with the Spark-side plumbing real and
-  * the codec STUBBED deterministically (no image/audio libs in this
-  * container — see `decodeStub`).
+  * embedding + metadata, and a binary media pipeline with a REAL image
+  * codec — grayscale PNGs are encoded and decoded through `javax.imageio`
+  * (JDK-bundled, zero extra deps) behind `mapPartitions` batch boundaries,
+  * the Scala analog of `mapInPandas`.
   *
-  * Determinism contract with the DuckDB oracle: binary payloads derive
-  * from md5 (identical bytes both engines), every feature is exact integer
-  * arithmetic, and double emissions are round(_, 6) of values whose
-  * operands are identical across engines (see Embeddings scaladoc).
+  * Determinism contract with the DuckDB oracle: pixel values follow a
+  * closed formula seeded by the md5 hex-digit sum of the text (identical
+  * in both engines), PNG grayscale round-trips losslessly, and the query
+  * emits only decoded pixel statistics — never encoder-specific bytes — so
+  * DuckDB reproduces every output column by replaying the formula.
   */
 object Multimodal {
+
+  // ImageIO defaults to a disk-backed stream cache; executor threads want
+  // pure in-memory encode/decode.
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** Native codegen'd dot product (graft.functions.DotProduct). */
   private def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
@@ -66,116 +71,162 @@ object Multimodal {
       |FROM rec GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------------
-  // M2 media pipeline over opaque binary columns. The media payload is a
-  // deterministic stand-in (md5 bytes of the text — identical in both
-  // engines); everything downstream is the REAL plumbing a media pipeline
-  // needs: a binary column flowing through the plan, a typed metadata
-  // struct, per-item feature extraction, and frame sampling via sequence +
-  // filter. 100 TB: all map-side; binaries never shuffle (features are
-  // extracted before the aggregate, so only small ints cross the exchange).
+  // M2 media pipeline over binary columns carrying REAL images. Each doc
+  // gets a small grayscale PNG whose pixels follow a deterministic formula
+  // (pixel(x,y) = (d1 + 7x + 13y) mod 256, d1 = md5-hex digit sum of the
+  // text); the pipeline then DECODES those PNGs with javax.imageio and
+  // aggregates decoded pixel statistics. Encode stands in for data arrival
+  // (a production corpus reads the bytes from storage); decode is the real
+  // production pattern. 100 TB: both codec stages are map-side behind
+  // mapPartitions boundaries; binaries never shuffle — only small ints
+  // cross the exchange after feature extraction.
   def mediaPipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media = Tables.documents(spark, dir)
-      .withColumn("media", unhex(md5($"text")))                 // opaque binary payload
+      .select($"source", $"n_chars",
+        md5($"text").as("md5hex"),
+        (lit(4) + $"n_chars" % 12).cast("int").as("w"),
+        (lit(4) + ($"n_chars" * 3) % 12).cast("int").as("h"))
       .withColumn("mmeta", struct(                              // typed media metadata
-        ($"n_chars" % 640).as("width"),
-        (($"n_chars" * 3) % 480).as("height"),
-        lit("bin16").as("format")))
-    val features = decodeStub(media)
+        $"w".as("width"), $"h".as("height"), lit("png").as("format")))
+    val features = decodeImages(encodeImages(media))
     features
-      // resize: aspect-preserving fit into 224x224 — pure integer
-      // arithmetic on the metadata (the pixel work would live in the
-      // decodeStub boundary); guards the degenerate 0-dimension case
+      // resize: aspect-preserving fit into 224x224 on the DECODED dims —
+      // pure integer arithmetic; guards the degenerate 0-dimension case
       .withColumn("fit_w", expr(
-        "CASE WHEN mmeta.width >= mmeta.height " +
-          "THEN least(mmeta.width, 224) " +
-          "ELSE CAST(mmeta.width * 224 / greatest(mmeta.height, 1) AS INT) END"))
+        "CASE WHEN dec_w >= dec_h THEN least(dec_w, 224) " +
+          "ELSE CAST(dec_w * 224 / greatest(dec_h, 1) AS INT) END"))
       .withColumn("fit_h", expr(
-        "CASE WHEN mmeta.height >= mmeta.width " +
-          "THEN least(mmeta.height, 224) " +
-          "ELSE CAST(mmeta.height * 224 / greatest(mmeta.width, 1) AS INT) END"))
-      .withColumn("frames", sequence(lit(0), $"n_chars" % 10))  // fake frame index list
+        "CASE WHEN dec_h >= dec_w THEN least(dec_h, 224) " +
+          "ELSE CAST(dec_h * 224 / greatest(dec_w, 1) AS INT) END"))
+      .withColumn("frames", sequence(lit(0), ($"n_chars" % 10).cast("int")))
       .withColumn("n_sampled", size(filter($"frames", f => f % 3 === 0)))
       .groupBy($"source")
       .agg(
         count(lit(1)).as("n_media"),
-        sum($"n_bytes").as("sum_bytes"),
-        sum($"checksum").as("sum_checksum"),
-        max($"mmeta.width").as("max_width"),
+        sum($"px_sum").as("sum_px"),
+        max($"dec_w").as("max_width"),
+        max($"dec_h").as("max_height"),
         sum($"fit_w").as("sum_fit_w"),
         sum($"fit_h").as("sum_fit_h"),
-        sum($"n_sampled").as("sum_sampled_frames"))
+        sum($"n_sampled").as("sum_sampled_frames"),
+        expr("bool_and(decode_ok)").as("all_decoded"))
       .orderBy($"source")
   }
 
-  /** STUB decoder behind a REAL `mapPartitions` batch boundary — the Scala
-    * analog of `mapInPandas`: rows stream through executor-sized partitions,
-    * the decoder sees the raw binary payload per item, and emits the input
-    * row widened with decoded features. A real codec (image/audio lib —
-    * absent in this container) would replace ONLY the per-item byte loop;
-    * the signature, schema handling, and batch shape are what a production
-    * decode stage uses. Deliberately a codegen/pruning boundary — decode is
-    * opaque to Catalyst by nature, which is why it runs before any shuffle
-    * (binaries never cross an exchange).
-    *
-    * Fake features: payload length + nibble sum of the payload bytes (=
-    * the hex-digit sum of md5(text), so the DuckDB oracle replicates it
-    * exactly without seeing binaries).
-    */
-  private def decodeStub(media: DataFrame): DataFrame = {
+  /** Encode each row's deterministic pixel grid as a real grayscale PNG
+    * (binary column `media`) behind a `mapPartitions` batch boundary.
+    * Expects columns `md5hex` (string), `w`, `h` (int). In production this
+    * stage is data arrival — bytes read from object storage — which is why
+    * it is kept separate from [[decodeImages]]. */
+  def encodeImages(media: DataFrame): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
-    import org.apache.spark.sql.types.{IntegerType, LongType}
-    val outSchema = media.schema.add("n_bytes", IntegerType).add("checksum", LongType)
-    val idx = media.schema.fieldIndex("media")
+    import org.apache.spark.sql.types.BinaryType
+    val outSchema = media.schema.add("media", BinaryType)
+    val hexIdx = media.schema.fieldIndex("md5hex")
+    val wIdx = media.schema.fieldIndex("w")
+    val hIdx = media.schema.fieldIndex("h")
     media.mapPartitions { rows =>
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](idx)
-        if (bytes == null) {
-          // null payload → null features, matching the SQL-expression
-          // semantics (and the oracle), not a task-killing NPE
-          Row.fromSeq(r.toSeq :+ null :+ null)
-        } else {
-          var cs = 0L
+        val hex = r.getString(hexIdx)
+        if (hex == null) Row.fromSeq(r.toSeq :+ null)
+        else {
+          var d1 = 0
           var i = 0
-          while (i < bytes.length) {
-            val b = bytes(i) & 0xff
-            cs += (b >> 4) + (b & 0xf)
-            i += 1
+          while (i < hex.length) { d1 += Character.digit(hex.charAt(i), 16); i += 1 }
+          val w = r.getInt(wIdx); val h = r.getInt(hIdx)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { raster.setSample(x, y, 0, (d1 + 7 * x + 13 * y) % 256); x += 1 }
+            y += 1
           }
-          Row.fromSeq(r.toSeq :+ bytes.length :+ cs)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Row.fromSeq(r.toSeq :+ bos.toByteArray)
         }
       }
     }(Encoders.row(outSchema))
   }
 
+  /** REAL decoder behind a `mapPartitions` batch boundary — the Scala
+    * analog of `mapInPandas`: rows stream through executor-sized
+    * partitions, `javax.imageio` parses each PNG payload, and the row is
+    * widened with decoded features (width, height, pixel sum). Unreadable
+    * payloads (null, truncated, or non-image bytes) take the error
+    * side-channel — `decode_ok = false` with null features — instead of
+    * killing the task, so callers can route failures to a quarantine sink.
+    * Deliberately a codegen/pruning boundary — a codec is opaque to
+    * Catalyst by nature, which is why it runs before any shuffle
+    * (binaries never cross an exchange). */
+  def decodeImages(media: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType}
+    val outSchema = media.schema
+      .add("decode_ok", BooleanType)
+      .add("dec_w", IntegerType)
+      .add("dec_h", IntegerType)
+      .add("px_sum", LongType)
+    val idx = media.schema.fieldIndex("media")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val img =
+          if (bytes == null) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+        if (img == null) Row.fromSeq(r.toSeq :+ false :+ null :+ null :+ null)
+        else {
+          val raster = img.getRaster
+          val (w, h) = (img.getWidth, img.getHeight)
+          var s = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { s += raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          Row.fromSeq(r.toSeq :+ true :+ w :+ h :+ s)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** DuckDB can't run a PNG codec, so the oracle replays the pixel formula
+    * in closed form — lossless gray PNG means the decoded samples ARE the
+    * formula values, and `all_decoded` pins that every payload parsed. */
   val mediaPipelineSql: String =
-    """WITH media AS (
+    """WITH m AS (
       |  SELECT source, n_chars,
-      |    unhex(md5(text)) AS media,
-      |    {'width': n_chars % 640, 'height': (n_chars * 3) % 480, 'format': 'bin16'} AS mmeta,
-      |    octet_length(unhex(md5(text))) AS n_bytes,
+      |    CAST(4 + n_chars % 12 AS INT) AS w,
+      |    CAST(4 + (n_chars * 3) % 12 AS INT) AS h,
       |    list_sum(list_transform(generate_series(1, 32), i ->
-      |      strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1)) AS checksum,
+      |      strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1)) AS d1,
       |    len(list_filter(generate_series(0, n_chars % 10), f -> f % 3 = 0)) AS n_sampled
       |  FROM documents),
-      |fit AS (
+      |px AS (
       |  SELECT *,
-      |    CASE WHEN mmeta.width >= mmeta.height
-      |      THEN least(mmeta.width, 224)
-      |      ELSE CAST(mmeta.width * 224 // greatest(mmeta.height, 1) AS INT) END AS fit_w,
-      |    CASE WHEN mmeta.height >= mmeta.width
-      |      THEN least(mmeta.height, 224)
-      |      ELSE CAST(mmeta.height * 224 // greatest(mmeta.width, 1) AS INT) END AS fit_h
-      |  FROM media)
+      |    list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+      |      list_transform(generate_series(0, w - 1), x -> (d1 + 7 * x + 13 * y) % 256)))) AS px_sum,
+      |    CASE WHEN w >= h THEN least(w, 224)
+      |      ELSE CAST(w * 224 // greatest(h, 1) AS INT) END AS fit_w,
+      |    CASE WHEN h >= w THEN least(h, 224)
+      |      ELSE CAST(h * 224 // greatest(w, 1) AS INT) END AS fit_h
+      |  FROM m)
       |SELECT source,
       |  COUNT(*) AS n_media,
-      |  CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes,
-      |  CAST(SUM(checksum) AS BIGINT) AS sum_checksum,
-      |  CAST(MAX(mmeta.width) AS BIGINT) AS max_width,
+      |  CAST(SUM(px_sum) AS BIGINT) AS sum_px,
+      |  CAST(MAX(w) AS INT) AS max_width,
+      |  CAST(MAX(h) AS INT) AS max_height,
       |  CAST(SUM(fit_w) AS BIGINT) AS sum_fit_w,
       |  CAST(SUM(fit_h) AS BIGINT) AS sum_fit_h,
-      |  CAST(SUM(n_sampled) AS BIGINT) AS sum_sampled_frames
-      |FROM fit GROUP BY source ORDER BY source""".stripMargin
+      |  CAST(SUM(n_sampled) AS BIGINT) AS sum_sampled_frames,
+      |  TRUE AS all_decoded
+      |FROM px GROUP BY source ORDER BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_struct_join"   -> (structJoin _),

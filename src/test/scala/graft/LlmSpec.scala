@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.llm.{Embeddings, TextAnalysis, TextDedup}
+import graft.llm.{Embeddings, Multimodal, TextAnalysis, TextDedup}
 
 /** LLM-pipeline operators: invariants that must hold on any corpus,
   * checked on sf0.001.
@@ -216,5 +216,49 @@ class LlmSpec extends SparkSpec {
     assert(dupPairs.exceptAll(zero).isEmpty)
     // and the triangle-ish sanity: distance is symmetric-free and ordered
     assert(TextDedup.editDistance(spark, sfDir).filter($"doc_a" >= $"doc_b").isEmpty)
+  }
+
+  test("media codec: PNG round-trip reproduces the pixel formula exactly") {
+    import spark.implicits._
+    val media = Tables.documents(spark, sfDir).limit(20)
+      .select($"doc_id", $"text", md5($"text").as("md5hex"),
+        (lit(4) + $"n_chars" % 12).cast("int").as("w"),
+        (lit(4) + ($"n_chars" * 3) % 12).cast("int").as("h"))
+    val dec = Multimodal.decodeImages(Multimodal.encodeImages(media)).collect()
+    assert(dec.length === 20)
+    dec.foreach { r =>
+      assert(r.getAs[Boolean]("decode_ok"), s"doc ${r.getAs[Long]("doc_id")} failed decode")
+      val (w, h) = (r.getAs[Int]("w"), r.getAs[Int]("h"))
+      assert(r.getAs[Int]("dec_w") === w && r.getAs[Int]("dec_h") === h)
+      val d1 = r.getAs[String]("md5hex").map(Character.digit(_, 16)).sum
+      val expected = (for { y <- 0 until h; x <- 0 until w } yield (d1 + 7 * x + 13 * y) % 256).map(_.toLong).sum
+      assert(r.getAs[Long]("px_sum") === expected, s"pixel sum mismatch for doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
+  test("media codec: corrupt payloads take the error side-channel, good rows unaffected") {
+    import spark.implicits._
+    val media = Tables.documents(spark, sfDir).filter($"doc_id" < 3)  // ids 0,1,2 → one per branch
+      .select($"doc_id", md5($"text").as("md5hex"),
+        (lit(4) + $"n_chars" % 12).cast("int").as("w"),
+        (lit(4) + ($"n_chars" * 3) % 12).cast("int").as("h"))
+    val corrupted = Multimodal.encodeImages(media)
+      // corrupt one payload (truncate), null another, keep the third intact
+      .withColumn("media",
+        when($"doc_id" % 3 === 0, expr("substring(media, 1, 4)"))
+          .when($"doc_id" % 3 === 1, lit(null).cast("binary"))
+          .otherwise($"media"))
+    val dec = Multimodal.decodeImages(corrupted).collect()
+    assert(dec.length === 3)
+    dec.foreach { r =>
+      val ok = r.getAs[Boolean]("decode_ok")
+      if (r.getAs[Long]("doc_id") % 3 === 2) {
+        assert(ok, "intact payload must decode")
+        assert(r.getAs[Long]("px_sum") > 0L)
+      } else {
+        assert(!ok, "corrupt/null payload must be flagged, not crash the task")
+        assert(r.isNullAt(r.fieldIndex("px_sum")) && r.isNullAt(r.fieldIndex("dec_w")))
+      }
+    }
   }
 }
