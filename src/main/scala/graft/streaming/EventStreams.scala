@@ -85,11 +85,12 @@ object EventStreams {
     * batch-only sinks and merge semantics. Each batch unions the current
     * table with the micro-batch and keeps the freshest row per user (the
     * same W1 dedup-merge shape as weather/Staging.mergeStaging). The
-    * merged frame is eagerly localCheckpoint'ed BEFORE the overwrite —
-    * lazy evaluation would otherwise delete the very files the plan still
-    * needs to read. Without a transactional table format the overwrite is
-    * not atomic for concurrent readers; with Delta/Iceberg the body
-    * becomes a MERGE INTO and the orchestration here is unchanged.
+    * publish goes through Staging.publishAtomic's two-phase write-temp +
+    * rename swap, so a crash mid-batch leaves the previous snapshot
+    * readable (the foreachBatch write is also exactly-once-per-epoch via
+    * the checkpoint). The merged frame is still eagerly localCheckpoint'ed
+    * to cut per-batch lineage growth. With Delta/Iceberg the body becomes
+    * a MERGE INTO and the orchestration here is unchanged.
     */
   def upsertSink(events: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] = {
     import org.apache.spark.sql.expressions.Window
@@ -102,6 +103,7 @@ object EventStreams {
         // on hdfs://‌/s3a:// paths, which would silently discard the table
         val hPath = new org.apache.hadoop.fs.Path(path)
         val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        graft.weather.Staging.recoverPublished(s, path)
         val existing =
           if (fs.exists(hPath)) s.read.parquet(path)
           else s.createDataFrame(s.sparkContext.emptyRDD[Row], batch.schema)
@@ -112,7 +114,8 @@ object EventStreams {
           .filter(col("__rn") === 1)
           .drop("__rn")
           .localCheckpoint(true)
-        merged.write.mode("overwrite").parquet(path)
+        graft.weather.Staging.publishAtomic(s, path)(p =>
+          merged.write.mode("overwrite").parquet(p))
         ()
       }
   }

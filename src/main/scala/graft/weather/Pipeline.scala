@@ -54,6 +54,9 @@ object Pipeline {
     val raw = Staging.readRawJson(spark, paths.rawRoot)
       .withColumn("dateGenerated", col("weather.dateGenerated").cast("timestamp"))
     val stgAll = withFileKey(Staging.flatten(raw.drop("dateGenerated")))
+    // restore a half-swapped snapshot from a previous crashed run BEFORE
+    // reading the current staging state
+    Staging.recoverPublished(spark, paths.stagingRoot)
     val existing = existingStaging(spark, paths.stagingRoot, stgAll)
     // S5: file-level incremental — only logical files not already staged
     val freshDocs = Staging.incrementalNew(
@@ -68,9 +71,8 @@ object Pipeline {
     val merged = Staging.mergeStaging(existing, stgNew)
       .localCheckpoint(true) // cut lineage: the overwrite below truncates our input
     // S7: clustered write (date layout → P4 partition pruning downstream)
-    Staging.writeStaging(merged, paths.stagingRoot)
-    // the overwrite invalidated any cached file listing for this path
-    spark.catalog.refreshByPath(paths.stagingRoot)
+    // behind the two-phase swap — a crash mid-write keeps the old snapshot
+    Staging.writeStagingAtomic(merged, paths.stagingRoot)
     val stats = Map(
       "files_seen" -> filesSeen,
       "files_new" -> filesNew,

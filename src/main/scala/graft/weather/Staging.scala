@@ -117,6 +117,54 @@ object Staging {
       .drop("__rn")
   }
 
+  /** S6 crash-safe publish: two-phase write-temp + FS rename swap — the
+    * durability shape of the reference's transactional MERGE
+    * (stg_weather_raw.sql:3-7) without a table format. The new snapshot is
+    * fully written to `<path>__tmp` first, so EVERY Spark job failure
+    * (task retry exhaustion, OOM, kill -9 mid-write) leaves the live table
+    * untouched; the swap itself is two directory renames (atomic on HDFS
+    * and local FS). The only non-atomic window is between those renames —
+    * a crash there leaves the retired snapshot at `<path>__old`, which
+    * [[recoverPublished]] restores on the next run. With Delta/Iceberg the
+    * body becomes a metadata-only commit and callers are unchanged.
+    */
+  def publishAtomic(spark: SparkSession, path: String)(write: String => Unit): Unit = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + "__tmp")
+    val old = new Path(path + "__old")
+    fs.delete(tmp, true)
+    write(tmp.toString) // all write failures land here; live table untouched
+    fs.delete(old, true)
+    if (fs.exists(target) && !fs.rename(target, old))
+      throw new java.io.IOException(s"cannot retire current snapshot $target")
+    if (!fs.rename(tmp, target)) {
+      if (fs.exists(old)) fs.rename(old, target) // roll back to prior snapshot
+      throw new java.io.IOException(s"cannot publish $tmp -> $target")
+    }
+    fs.delete(old, true)
+    spark.catalog.refreshByPath(path)
+  }
+
+  /** Recovery for [[publishAtomic]]'s rename window: if a crash left no
+    * live table but a retired snapshot exists, restore it. Returns true if
+    * a restore happened. Idempotent; call before reading on startup.
+    */
+  def recoverPublished(spark: SparkSession, path: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(path + "__old")
+    if (!fs.exists(target) && fs.exists(old)) fs.rename(old, target) else false
+  }
+
+  /** [[writeStaging]] behind the two-phase swap: the staging table stays
+    * readable at its previous snapshot until the new one is complete.
+    */
+  def writeStagingAtomic(stg: DataFrame, path: String): Unit =
+    publishAtomic(stg.sparkSession, path)(p => writeStaging(stg, p))
+
   /** V1 schema gate, FAILFAST flavor: any malformed document raises and
     * halts the load — the pydantic behavior (reference
     * helper_validate_response.py:36-43).

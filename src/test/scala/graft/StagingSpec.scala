@@ -102,6 +102,35 @@ class StagingSpec extends SparkSpec {
     parsed.unpersist()
   }
 
+  test("S6 atomic publish: a write that dies mid-job leaves the old snapshot intact") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_atomic_").toString + "/table"
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    Staging.publishAtomic(spark, root)(p => v1.write.parquet(p))
+    assert(spark.read.parquet(root).count() === 2)
+    // v2 write fails partway through the job (executor-side exception =
+    // the kill-mid-write scenario); the live table must still serve v1
+    val poisoned = Seq((3L, "c"), (4L, "BOOM")).toDF("k", "v")
+      .map { r => if (r.getString(1) == "BOOM") throw new RuntimeException("mid-write crash"); r }(
+        org.apache.spark.sql.Encoders.row(v1.schema))
+    intercept[Exception] {
+      Staging.publishAtomic(spark, root)(p => poisoned.write.parquet(p))
+    }
+    spark.catalog.refreshByPath(root)
+    assert(spark.read.parquet(root).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b")), "old snapshot must survive a failed publish")
+
+    // rename-window crash: live dir gone, retired snapshot present →
+    // recoverPublished restores it; idempotent second call is a no-op
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(root), new org.apache.hadoop.fs.Path(root + "__old")))
+    assert(Staging.recoverPublished(spark, root))
+    assert(!Staging.recoverPublished(spark, root))
+    spark.catalog.refreshByPath(root)
+    assert(spark.read.parquet(root).count() === 2)
+  }
+
   test("V1 Dataset[EnrichedDoc] parse-as-validation accepts the generated docs") {
     import spark.implicits._
     val ds = WeatherGen.docs(spark).drop("file_path").as[WeatherSchema.EnrichedDoc]
