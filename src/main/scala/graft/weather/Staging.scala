@@ -125,11 +125,19 @@ object Staging {
     * untouched; the swap itself is two directory renames (atomic on HDFS
     * and local FS). The only non-atomic window is between those renames —
     * a crash there leaves the retired snapshot at `<path>__old`, which
-    * [[recoverPublished]] restores on the next run. With Delta/Iceberg the
-    * body becomes a metadata-only commit and callers are unchanged.
+    * [[recoverPublished]] restores on the next run — and publishAtomic
+    * itself re-runs that recovery first, so a rename-window leftover can
+    * never be deleted as stale. With Delta/Iceberg the body becomes a
+    * metadata-only commit and callers are unchanged.
+    *
+    * SINGLE WRITER REQUIRED: the tmp/old staging dirs are per-path, so two
+    * concurrent publishers to the same path would delete each other's
+    * snapshots mid-swap. Serialize publishes per table (the reference has
+    * the same contract — one dbt run at a time per target).
     */
   def publishAtomic(spark: SparkSession, path: String)(write: String => Unit): Unit = {
     import org.apache.hadoop.fs.Path
+    recoverPublished(spark, path) // a crashed prior swap's __old is the only copy — restore, don't delete
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(path + "__tmp")
@@ -149,14 +157,22 @@ object Staging {
 
   /** Recovery for [[publishAtomic]]'s rename window: if a crash left no
     * live table but a retired snapshot exists, restore it. Returns true if
-    * a restore happened. Idempotent; call before reading on startup.
+    * a restore happened; throws if the restore rename fails (the retired
+    * snapshot is the only surviving copy — silently reporting "empty
+    * table" would drop all previously staged rows from the next merge).
+    * Idempotent; call before reading on startup.
     */
   def recoverPublished(spark: SparkSession, path: String): Boolean = {
     import org.apache.hadoop.fs.Path
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new Path(path + "__old")
-    if (!fs.exists(target) && fs.exists(old)) fs.rename(old, target) else false
+    if (!fs.exists(target) && fs.exists(old)) {
+      if (!fs.rename(old, target))
+        throw new java.io.IOException(
+          s"cannot restore retired snapshot $old -> $target; staged data would be lost")
+      true
+    } else false
   }
 
   /** [[writeStaging]] behind the two-phase swap: the staging table stays

@@ -131,6 +131,25 @@ class StagingSpec extends SparkSpec {
     assert(spark.read.parquet(root).count() === 2)
   }
 
+  test("S6 atomic publish self-recovers a rename-window leftover before swapping") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_atomic2_").toString + "/table"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    Staging.publishAtomic(spark, root)(p => v1.write.parquet(p))
+    // crash in the rename window: live dir gone, __old holds the ONLY copy
+    assert(fs.rename(new org.apache.hadoop.fs.Path(root), new org.apache.hadoop.fs.Path(root + "__old")))
+    // a publish whose write fails must NOT destroy that surviving snapshot:
+    // publishAtomic restores it first, so the table serves v1 afterwards
+    intercept[RuntimeException] {
+      Staging.publishAtomic(spark, root)(_ => throw new RuntimeException("writer died"))
+    }
+    spark.catalog.refreshByPath(root)
+    assert(spark.read.parquet(root).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b")), "rename-window leftover must be restored, not deleted")
+  }
+
   test("V1 Dataset[EnrichedDoc] parse-as-validation accepts the generated docs") {
     import spark.implicits._
     val ds = WeatherGen.docs(spark).drop("file_path").as[WeatherSchema.EnrichedDoc]
