@@ -50,6 +50,19 @@ object HttpFetch extends Serializable {
     resp.body()
   }
 
+  /** [[fetchJson]] behind the reference's bounded retry-with-backoff
+    * (helper_geocoders.py:5-13 semantics applied to the REST fetch: 3
+    * attempts, 2 s between, 5 s per-call timeout). Driver-side pre-flight
+    * only — inside [[fetchMany]]'s executor fan-out the retry is Spark's
+    * own task re-attempt, and doubling up would multiply load on a
+    * struggling server.
+    */
+  def fetchJsonRetrying(url: String, user: String, password: String,
+      timeoutSec: Long = 5, attempts: Int = 3, backoffMillis: Long = 2000,
+      sleep: Long => Unit = Thread.sleep): Either[String, String] =
+    graft.weather.Retry.withBackoff(attempts, backoffMillis, sleep)(
+      fetchJson(url, user, password, timeoutSec))
+
   /** Executor-side fan-out: each partition fetches its slice of URLs.
     * Partition count bounds fetch concurrency (rate limiting by
     * repartition(n)); a failed URL fails its task → Spark retry semantics.

@@ -40,6 +40,25 @@ object Guards {
       case None         => Left(s"Could not geocode location: '$location'")
     }
 
+  /** S2/V2 geocode with the reference's resilience semantics
+    * (helper_geocoders.py:5-13): the geocoder call is retried with backoff
+    * on TRANSIENT failures (thrown exceptions — network errors, rate
+    * limits), while a clean `None` is a PERMANENT "unknown location" and
+    * returns immediately without burning retries. The geocoder function is
+    * injected (default: the static table) — production supplies the real
+    * Nominatim call; specs supply a flaky fake.
+    */
+  def geocodeRetrying(location: String,
+      geocoder: String => Option[(Double, Double)] = k => geocodeTable.get(k),
+      attempts: Int = 3, backoffMillis: Long = 2000,
+      sleep: Long => Unit = Thread.sleep): Either[String, (Double, Double)] =
+    Retry.withBackoff(attempts, backoffMillis, sleep)(
+      geocoder(location.trim.toLowerCase)) match {
+      case Right(Some(coords)) => Right(coords)
+      case Right(None) => Left(s"Could not geocode location: '$location'")
+      case Left(err)   => Left(s"Could not geocode location: '$location' ($err)")
+    }
+
   /** F11 time bounds (reference meteomatics_get_data.py:28-36): a run date
     * maps to the fetch window [run−1d T00:00Z, run+7d T00:00Z].
     */

@@ -21,6 +21,36 @@ class GuardsSpec extends AnyFunSuite {
     assert(Guards.geocode("Atlantis, Ocean").isLeft)
   }
 
+  test("S2 geocode retry: transient failures back off, permanent miss is immediate") {
+    // two transient failures then success — the reference's 3-retry /
+    // 2 s-backoff loop (helper_geocoders.py:5-13)
+    var calls = 0
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val flaky: String => Option[(Double, Double)] = { k =>
+      calls += 1
+      if (calls <= 2) throw new RuntimeException("nominatim timed out")
+      Guards.geocodeTable.get(k)
+    }
+    assert(Guards.geocodeRetrying("Berlin, Germany", flaky, sleep = sleeps.append)
+      === Right((52.5170365, 13.3888599)))
+    assert(calls === 3 && sleeps.toSeq === Seq(2000L, 2000L))
+
+    // permanently failing service: Left after exactly `attempts` tries
+    var calls2 = 0
+    val dead: String => Option[(Double, Double)] =
+      _ => { calls2 += 1; throw new RuntimeException("connection refused") }
+    val err = Guards.geocodeRetrying("Berlin, Germany", dead, sleep = _ => ())
+    assert(err.isLeft && err.swap.toOption.get.contains("after 3 attempts"))
+    assert(calls2 === 3)
+
+    // unknown location is a clean None — no retries burned, no sleeps
+    var calls3 = 0
+    val counting: String => Option[(Double, Double)] =
+      k => { calls3 += 1; Guards.geocodeTable.get(k) }
+    assert(Guards.geocodeRetrying("Atlantis, Ocean", counting, sleep = _ => fail("must not sleep")).isLeft)
+    assert(calls3 === 1)
+  }
+
   test("F11 time bounds are [run-1d T00Z, run+7d T00Z]") {
     val (start, end) = Guards.timeBounds(LocalDate.parse("2025-03-26"))
     assert(start.toString === "2025-03-25T00:00:00Z")

@@ -16,6 +16,7 @@ class HttpFetchSpec extends SparkSpec with BeforeAndAfterAll {
   private var server: HttpServer = _
   private var base: String = _
   @volatile private var lastAuth: Option[String] = None
+  @volatile private var flakyCalls: Int = 0
 
   private val doc =
     """{"city":"berlin","country":"germany","latitude":52.5,"longitude":13.4,
@@ -39,6 +40,18 @@ class HttpFetchSpec extends SparkSpec with BeforeAndAfterAll {
         ex.sendResponseHeaders(404, -1); ex.close()
       }
     })
+    server.createContext("/flaky", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        flakyCalls += 1
+        if (flakyCalls <= 2) { ex.sendResponseHeaders(503, -1); ex.close() }
+        else {
+          val body = doc.getBytes("UTF-8")
+          ex.sendResponseHeaders(200, body.length)
+          ex.getResponseBody.write(body)
+          ex.close()
+        }
+      }
+    })
     server.start()
     base = s"http://127.0.0.1:${server.getAddress.getPort}"
   }
@@ -60,6 +73,21 @@ class HttpFetchSpec extends SparkSpec with BeforeAndAfterAll {
       HttpFetch.fetchJson(s"$base/missing", "user", "pass")
     }
     assert(err.getMessage.contains("404"))
+  }
+
+  test("S1 retrying fetch survives transient 5xx and gives up on permanent failure") {
+    // two 503s then a 200 — succeeds on the third attempt with the
+    // reference's 2 s backoff schedule (recorded, not slept)
+    flakyCalls = 0
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    assert(HttpFetch.fetchJsonRetrying(s"$base/flaky", "user", "pass",
+      sleep = sleeps.append) === Right(doc))
+    assert(flakyCalls === 3 && sleeps.toSeq === Seq(2000L, 2000L))
+
+    // permanently missing: Left after exactly 3 attempts
+    val err = HttpFetch.fetchJsonRetrying(s"$base/missing", "user", "pass", sleep = _ => ())
+    assert(err.isLeft && err.swap.toOption.get.contains("after 3 attempts")
+      && err.swap.toOption.get.contains("404"))
   }
 
   test("S1 executor fan-out feeds the schema-validated JSON read (V1)") {
