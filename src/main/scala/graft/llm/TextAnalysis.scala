@@ -117,11 +117,10 @@ object TextAnalysis {
     // counts; profile building and scoring both reuse this small cached
     // relation (measured better than exploding twice or caching the raw
     // exploded rows).
-    val docBg = docs
+    val docBg = graft.ops.ScopedCache.untilConsumed(docs
       .select($"doc_id", $"lang",
         explode(call_function("graft_char_bigrams", $"text")).as("bg"))
-      .groupBy($"doc_id", $"lang", $"bg").agg(count(lit(1)).as("n"))
-      .cache()
+      .groupBy($"doc_id", $"lang", $"bg").agg(count(lit(1)).as("n")))
     val wProf = Window.partitionBy($"lang").orderBy($"cnt".desc, $"bg".asc)
     val profile = docBg
       .groupBy($"lang", $"bg").agg(sum($"n").as("cnt"))

@@ -142,7 +142,7 @@ object WeatherQueries {
   // reading counts of the genuinely new files.
   def wxIncremental(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val all = stg(spark).cache() // consumed by both anti-join sides
+    val all = ScopedCache.untilConsumed(stg(spark)) // consumed by both anti-join sides
     val existing = all.filter($"dateGenerated" === lit("2025-03-26 02:00:00").cast(TimestampType))
     Staging.incrementalNew(all, existing)
       .groupBy($"file_path").agg(count(lit(1)).as("n_readings"))

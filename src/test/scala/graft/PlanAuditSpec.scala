@@ -27,4 +27,22 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  test("cache hygiene: no query leaves blocks persisted after execution") {
+    // the queries that cache a multi-consumer fragment internally
+    // (ScopedCache.untilConsumed) — run each to completion, then the
+    // scoped release must leave the session with no new persistent RDDs
+    val cachingQueries = Seq(
+      "llm_ngram_jaccard", "llm_ppjoin", "llm_minhash_lsh", "ta_langid", "wx_incremental")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    for (name <- cachingQueries) {
+      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+    // listener delivery is async on the listener bus — poll briefly
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    def leaked: Set[Int] = (spark.sparkContext.getPersistentRDDs.keySet -- before).toSet
+    while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(leaked.isEmpty, s"queries left persistent RDDs behind: $leaked")
+  }
 }
