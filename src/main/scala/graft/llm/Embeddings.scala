@@ -91,44 +91,133 @@ object Embeddings {
       |ORDER BY qid, rnk""".stripMargin
 
   // ---------------------------------------------------------------------
-  // E2 IVF ANN: coarse centroids = per-label mean vectors (deterministic,
-  // data-derived; components rounded to 6dp so both engines quantize from
-  // identical centroids). Corpus vectors are assigned to their max-cosine
-  // centroid (the inverted file); queries probe the top-2 cells and rank
-  // only vectors inside them. 100 TB: centroids are broadcast (k × dim
-  // doubles); the corpus is written bucketed by `cell`, so a probe scans
-  // nprobe/k of the data and the top-k never sees the rest.
+  // Lloyd machinery shared by ivfTopK (and exercised directly in LlmSpec).
+
+  /** Map-side argmax cell assignment: the centroid table collapses into a
+    * ONE-ROW broadcast holding the array of (cell, cv, cn), and each
+    * corpus row picks its max-cosine cell with a transform+array_max
+    * expression — ties broken toward the lowest cell id (struct max on
+    * (csim, -cell)). No shuffle of the corpus: this is what makes each
+    * Lloyd round, and the inverted-file build itself, a single scan.
+    */
+  private[llm] def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    val cs = broadcast(cents.agg(collect_list(struct($"cell", $"cv", $"cn")).as("cs")))
+    e.join(cs)
+      .withColumn("best", array_max(expr(
+        "transform(cs, c -> struct(round(graft_dot(v, c.cv) / (nrm * c.cn), 6) AS csim, -c.cell AS negcell))")))
+      .withColumn("cell", (-$"best.negcell").cast("int"))
+      .drop("cs", "best")
+  }
+
+  /** One centroid update: element-wise mean of each cell's members,
+    * rounded to 6dp so both engines carry identical centroids into the
+    * next round. Cells that lost every member drop out (k can shrink);
+    * the explode shuffles only (cell, i) partial sums — map-side combined,
+    * k × dim rows cross the exchange.
+    */
+  private def meanCentroids(assigned: DataFrame): DataFrame = {
+    import assigned.sparkSession.implicits._
+    assigned.select($"cell", posexplode($"v").as(Seq("i", "x")))
+      .groupBy($"cell", $"i").agg(round(avg($"x"), 6).as("cx"))
+      .groupBy($"cell")
+      .agg(transform(array_sort(collect_list(struct($"i", $"cx"))),
+        s => s.getField("cx")).as("cv"))
+      .withColumn("cn", norm($"cv"))
+      .select($"cell", $"cv", $"cn")
+  }
+
+  /** Seeded, fixed-round Lloyd training (spherical k-means): seeds are
+    * the k corpus vectors ranked by md5(vec_id) — a deterministic
+    * pseudo-random draw both engines reproduce — then `iters` rounds of
+    * map-side assignment + rounded mean update. Returns (cell, cv, cn).
+    * The seed pick is a TakeOrderedAndProject (map-side partial top-k),
+    * not a global sort.
+    */
+  private[llm] def lloydCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    import e.sparkSession.implicits._
+    val seeds = e
+      .select(md5($"vec_id".cast("string")).as("sk"), $"vec_id", $"v", $"nrm")
+      .orderBy($"sk", $"vec_id").limit(k)
+    val wSeed = Window.orderBy($"sk", $"vec_id") // k rows — single tiny partition
+    var cents = seeds
+      .withColumn("cell", (row_number().over(wSeed) - 1).cast("int"))
+      .select($"cell", transform($"v", x => x.cast("double")).as("cv"), $"nrm".as("cn"))
+    for (_ <- 1 to iters)
+      cents = meanCentroids(assignCells(e, cents).select($"vec_id", $"v", $"nrm", $"cell"))
+    cents
+  }
+
+  /** The oracle's replay of [[lloydCentroids]]: c0 = md5-ranked seeds,
+    * then per round aN (window argmax assignment) + cN (rounded means) —
+    * identical arithmetic, identical tie-breaks, so cN == the Spark
+    * centroids exactly.
+    */
+  private def lloydCtes(k: Int, iters: Int): String = {
+    val c0 =
+      s"""c0 AS (
+         |  SELECT CAST(rn - 1 AS INTEGER) AS cell, v AS cv, nrm AS cn FROM (
+         |    SELECT v, nrm, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |    FROM ev)
+         |  WHERE rn <= $k)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s""",
+         |a$t AS (
+         |  SELECT vec_id, v, nrm, cell FROM (
+         |    SELECT ev.vec_id, ev.v, ev.nrm, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY ev.vec_id ORDER BY
+         |        round(list_sum(list_transform(list_zip(ev.v, c.cv), z -> z[1] * z[2])) / (ev.nrm * c.cn), 6) DESC,
+         |        c.cell ASC) AS rn
+         |    FROM ev CROSS JOIN c${t - 1} c) WHERE rn = 1),
+         |c$t AS (
+         |  SELECT cell, list(cx ORDER BY i) AS cv,
+         |    sqrt(list_sum(list_transform(list(cx ORDER BY i), x -> x * x))) AS cn
+         |  FROM (
+         |    SELECT cell, i, round(avg(v[i]), 6) AS cx
+         |    FROM a$t CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+         |    GROUP BY 1, 2)
+         |  GROUP BY cell)""".stripMargin
+    }.mkString
+    c0 + rounds
+  }
+
+  // ---------------------------------------------------------------------
+  // E2 IVF ANN with LEARNED coarse centroids: k=10 cells trained by 5
+  // deterministic Lloyd rounds (spherical k-means on max-cosine) — no use
+  // of `label`, which a real ingest pipeline doesn't have. Determinism:
+  // seeds are the k corpus vectors ranked by md5(vec_id) (both engines
+  // hash identical strings), every assignment similarity and every
+  // centroid component is round(·, 6), and the round count is FIXED (no
+  // data-dependent convergence test), so Spark and DuckDB walk identical
+  // centroid trajectories. Corpus vectors go to their max-cosine centroid
+  // (the inverted file); queries probe the top-3 cells (measured recall
+  // vs brute force ≥ 2/3 at every test SF — pinned in LlmSpec).
+  // 100 TB: each Lloyd round is ONE corpus scan — the centroid set
+  // collapses to a single broadcast row (k × dim doubles) and the argmax
+  // is a map-side transform+array_max expression, so training shuffles
+  // only the k×dim partial means (map-side combined), never the corpus;
+  // the final cell assignment is map-side for the same reason, and the
+  // corpus is written bucketed by `cell` so a probe scans nprobe/k of the
+  // data (PlanSpec pins the 2-of-8 bucket read).
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     graft.GraftExtensions.ensure(spark)
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"label", $"embedding".as("v"))
+      .select($"vec_id", $"embedding".as("v"))
       .withColumn("nrm", norm($"v"))
-    // centroids: element-wise mean per label, rounded (see scaladoc)
-    val cents = e
-      .select($"label", posexplode($"v").as(Seq("i", "x")))
-      .groupBy($"label", $"i").agg(round(avg($"x"), 6).as("cx"))
-      .groupBy($"label")
-      .agg(transform(array_sort(collect_list(struct($"i", $"cx"))),
-        s => s.getField("cx")).as("cv"))
-      .withColumn("cn", norm($"cv"))
-      .select($"label".as("cell"), $"cv", $"cn")
+    val cents = graft.ops.ScopedCache.untilConsumed(lloydCentroids(e, k = 10, iters = 5))
     val bc = broadcast(cents)
-    // inverted file: every vector → argmax-cosine cell
-    val wAssign = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cell".asc)
-    val assigned = e.join(bc)
-      .withColumn("csim", round(dot($"v", $"cv") / ($"nrm" * $"cn"), 6))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter($"arn" === 1)
+    // inverted file: every vector → argmax-cosine cell, map-side
+    val assigned = assignCells(e, cents)
       .select($"vec_id", $"v", $"nrm", $"cell")
-    // queries probe top-2 cells
+    // queries probe top-3 cells
     val q = e.filter($"vec_id" < 5)
     val wProbe = Window.partitionBy($"qid").orderBy($"csim".desc, $"cell".asc)
     val probes = q.join(bc)
       .withColumn("csim", round(dot($"v", $"cv") / ($"nrm" * $"cn"), 6))
       .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"), $"cell", $"csim")
       .withColumn("prn", row_number().over(wProbe))
-      .filter($"prn" <= 2)
+      .filter($"prn" <= 3)
       .select($"qid", $"qv", $"qn", $"cell")
     // search only inside probed cells
     val wTop = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id".asc)
@@ -141,23 +230,14 @@ object Embeddings {
   }
 
   val ivfTopKSql: String =
-    embCte + """,
-      |cent AS (
-      |  SELECT label AS cell, i,
-      |    round(avg(v[i]), 6) AS cx
-      |  FROM ev CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
-      |  GROUP BY 1, 2),
-      |cents AS (
-      |  SELECT cell, list(cx ORDER BY i) AS cv,
-      |    sqrt(list_sum(list_transform(list(cx ORDER BY i), x -> x * x))) AS cn
-      |  FROM cent GROUP BY cell),
+    embCte + ",\n" + lloydCtes(10, 5) + """,
       |assigned AS (
       |  SELECT vec_id, v, nrm, cell FROM (
       |    SELECT ev.vec_id, ev.v, ev.nrm, c.cell,
       |      ROW_NUMBER() OVER (PARTITION BY ev.vec_id ORDER BY
       |        round(list_sum(list_transform(list_zip(ev.v, c.cv), t -> t[1] * t[2])) / (ev.nrm * c.cn), 6) DESC,
       |        c.cell ASC) AS arn
-      |    FROM ev CROSS JOIN cents c)
+      |    FROM ev CROSS JOIN c5 c)
       |  WHERE arn = 1),
       |probes AS (
       |  SELECT qid, qv, qn, cell FROM (
@@ -165,8 +245,8 @@ object Embeddings {
       |      ROW_NUMBER() OVER (PARTITION BY ev.vec_id ORDER BY
       |        round(list_sum(list_transform(list_zip(ev.v, c.cv), t -> t[1] * t[2])) / (ev.nrm * c.cn), 6) DESC,
       |        c.cell ASC) AS prn
-      |    FROM ev CROSS JOIN cents c WHERE ev.vec_id < 5)
-      |  WHERE prn <= 2),
+      |    FROM ev CROSS JOIN c5 c WHERE ev.vec_id < 5)
+      |  WHERE prn <= 3),
       |hits AS (
       |  SELECT p.qid, a.vec_id AS cid, p.cell,
       |    round(list_sum(list_transform(list_zip(p.qv, a.v), t -> t[1] * t[2])) / (p.qn * a.nrm), 6) AS sim

@@ -795,9 +795,12 @@ object Relational {
         sum($"q" * $"q" * $"q").as("s3"))
       .withColumn("mu", $"s1".cast("double") / $"n")
       .withColumn("vr", $"s2".cast("double") / $"n" - $"mu" * $"mu")
+      // + 0.0 normalizes IEEE -0.0 to +0.0 (an exactly-zero skew rounds to
+      // a different zero sign in the two engines; every other value is
+      // unchanged by adding positive zero)
       .withColumn("skew_qty", round(
         ($"s3".cast("double") / $"n" - lit(3.0) * $"mu" * ($"s2".cast("double") / $"n")
-          + lit(2.0) * $"mu" * $"mu" * $"mu") / pow($"vr", 1.5), 4))
+          + lit(2.0) * $"mu" * $"mu" * $"mu") / pow($"vr", 1.5), 4) + lit(0.0))
       .select($"l_returnflag", $"n", $"n_big", $"all_le50", $"any_deep_disc",
         $"med_qty", $"last_supp", $"first_supp", $"skew_qty")
       .orderBy($"l_returnflag")
@@ -820,7 +823,7 @@ object Relational {
       |  last_supp, first_supp,
       |  round((CAST(s3 AS DOUBLE) / n - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
       |    + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
-      |    / power(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 1.5), 4) AS skew_qty
+      |    / power(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 1.5), 4) + 0.0 AS skew_qty
       |FROM a ORDER BY l_returnflag""".stripMargin
 
   // -------------------------------------------------------------------------

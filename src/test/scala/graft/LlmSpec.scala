@@ -81,6 +81,24 @@ class LlmSpec extends SparkSpec {
     assert(beat.isEmpty)
   }
 
+  test("IVF learned centroids: label-free plan, recall >= 3/5 of brute-force top-3") {
+    import spark.implicits._
+    val ivf = Embeddings.ivfTopK(spark, sfDir).cache()
+    // the coarse quantizer is TRAINED, not label-derived: nothing in the
+    // whole IVF plan may even read the label column
+    val plan = ivf.queryExecution.executedPlan.toString
+    assert(!plan.contains("label"), "IVF plan must not touch the label column")
+    // recall: of the 15 true top-3 neighbors (5 queries × 3), the 3-of-10
+    // cell probe must find at least 9 (measured: 10 at sf0.001/sf0.01,
+    // 11 at sf0.1 — deterministic, so this is a regression pin not a
+    // statistical bound)
+    val brute = Embeddings.cosineTopK(spark, sfDir)
+      .filter($"rnk" <= 3).select($"qid", $"cid")
+    val hits = ivf.select($"qid", $"cid").join(brute, Seq("qid", "cid")).count()
+    assert(hits >= 9, s"IVF recall degraded: $hits/15 true neighbors found")
+    ivf.unpersist()
+  }
+
   test("LSH near-dup pairs are ordered and honor the 0.4 threshold") {
     import spark.implicits._
     val nd = Embeddings.lshNearDup(spark, sfDir).cache()
