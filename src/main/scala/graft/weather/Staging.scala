@@ -130,29 +130,56 @@ object Staging {
     * never be deleted as stale. With Delta/Iceberg the body becomes a
     * metadata-only commit and callers are unchanged.
     *
-    * SINGLE WRITER REQUIRED: the tmp/old staging dirs are per-path, so two
+    * SINGLE WRITER ENFORCED: the tmp/old staging dirs are per-path, so two
     * concurrent publishers to the same path would delete each other's
-    * snapshots mid-swap. Serialize publishes per table (the reference has
-    * the same contract — one dbt run at a time per target).
+    * snapshots mid-swap. A `<path>__lock` marker (created atomically with
+    * overwrite=false) makes the second publisher fail fast instead; it is
+    * released on every exit path. A publisher that dies between acquire and
+    * the finally (kill -9) leaves the marker behind — that is deliberate:
+    * the next run must decide whether the dead writer's job is truly gone
+    * before calling [[breakPublishLock]] (same recover-then-retry contract
+    * the reference has with one dbt run at a time per target).
     */
   def publishAtomic(spark: SparkSession, path: String)(write: String => Unit): Unit = {
     import org.apache.hadoop.fs.Path
-    recoverPublished(spark, path) // a crashed prior swap's __old is the only copy — restore, don't delete
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(path + "__tmp")
-    val old = new Path(path + "__old")
-    fs.delete(tmp, true)
-    write(tmp.toString) // all write failures land here; live table untouched
-    fs.delete(old, true)
-    if (fs.exists(target) && !fs.rename(target, old))
-      throw new java.io.IOException(s"cannot retire current snapshot $target")
-    if (!fs.rename(tmp, target)) {
-      if (fs.exists(old)) fs.rename(old, target) // roll back to prior snapshot
-      throw new java.io.IOException(s"cannot publish $tmp -> $target")
-    }
-    fs.delete(old, true)
-    spark.catalog.refreshByPath(path)
+    val lock = new Path(path + "__lock")
+    val acquired =
+      try { fs.create(lock, /* overwrite = */ false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!acquired)
+      throw new java.io.IOException(
+        s"another publish to $target is in progress ($lock exists); " +
+          "if its writer is dead, call breakPublishLock first")
+    try {
+      recoverPublished(spark, path) // a crashed prior swap's __old is the only copy — restore, don't delete
+      val tmp = new Path(path + "__tmp")
+      val old = new Path(path + "__old")
+      fs.delete(tmp, true)
+      write(tmp.toString) // all write failures land here; live table untouched
+      fs.delete(old, true)
+      if (fs.exists(target) && !fs.rename(target, old))
+        throw new java.io.IOException(s"cannot retire current snapshot $target")
+      if (!fs.rename(tmp, target)) {
+        if (fs.exists(old)) fs.rename(old, target) // roll back to prior snapshot
+        throw new java.io.IOException(s"cannot publish $tmp -> $target")
+      }
+      fs.delete(old, true)
+      spark.catalog.refreshByPath(path)
+    } finally fs.delete(lock, false)
+  }
+
+  /** Clears a lock left by a publisher that died between acquiring
+    * `<path>__lock` and its finally block. Only call once the dead
+    * writer's Spark job is confirmed gone. Returns true if a lock was
+    * removed.
+    */
+  def breakPublishLock(spark: SparkSession, path: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val lock = new Path(path + "__lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(lock, false)
   }
 
   /** Recovery for [[publishAtomic]]'s rename window: if a crash left no

@@ -150,6 +150,35 @@ class StagingSpec extends SparkSpec {
       === Set((1L, "a"), (2L, "b")), "rename-window leftover must be restored, not deleted")
   }
 
+  test("S6 atomic publish: a held lock makes a second publisher fail fast") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_lock_").toString + "/table"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v1 = Seq((1L, "a")).toDF("k", "v")
+    Staging.publishAtomic(spark, root)(p => v1.write.parquet(p))
+    // a successful publish leaves no lock behind
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root + "__lock")))
+    // simulate a concurrent in-flight publisher holding the lock
+    fs.create(new org.apache.hadoop.fs.Path(root + "__lock"), false).close()
+    val e = intercept[java.io.IOException] {
+      Staging.publishAtomic(spark, root)(p => v1.write.parquet(p))
+    }
+    assert(e.getMessage.contains("in progress"))
+    // the failed attempt must not release a lock it never acquired
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root + "__lock")))
+    // dead writer confirmed gone → break the lock and publish normally
+    assert(Staging.breakPublishLock(spark, root))
+    Staging.publishAtomic(spark, root)(p => Seq((2L, "b")).toDF("k", "v").write.parquet(p))
+    spark.catalog.refreshByPath(root)
+    assert(spark.read.parquet(root).as[(Long, String)].collect().toSet === Set((2L, "b")))
+    // a failed WRITE releases the lock so a corrected retry can proceed
+    intercept[RuntimeException] {
+      Staging.publishAtomic(spark, root)(_ => throw new RuntimeException("writer died"))
+    }
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root + "__lock")))
+  }
+
   test("V1 Dataset[EnrichedDoc] parse-as-validation accepts the generated docs") {
     import spark.implicits._
     val ds = WeatherGen.docs(spark).drop("file_path").as[WeatherSchema.EnrichedDoc]
