@@ -883,7 +883,122 @@ object Relational {
       |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_r
       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
+  // -------------------------------------------------------------------------
+  // W6 SCD2 run collapse (gaps-and-islands): consecutive same-event_type
+  // runs per user become validity intervals — the dbt-snapshot /
+  // slowly-changing-dimension-type-2 build, from an event log instead of
+  // nightly state diffs. Island id = rn(user) − rn(user, type): constant
+  // within a run of equal event_type, strictly ordered across runs.
+  // valid_to = next interval's valid_from (half-open chaining); the open
+  // interval per user is the current state. Determinism: every window and
+  // the final sort tie-break on event_id / event_type so equal timestamps
+  // cannot reorder output between engines.
+  // 100 TB: ONE shuffle on user_id — all three windows and the run
+  // aggregate share the user_id partitioning (the run groupBy key
+  // (user_id, event_type, grp) is user_id-prefixed, so Catalyst reuses the
+  // exchange); nothing is corpus-wide except the final (display) sort.
+  def w6Scd2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w  = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wt = Window.partitionBy($"user_id", $"event_type").orderBy($"ts", $"event_id")
+    val runs = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+      .withColumn("grp", row_number().over(w) - row_number().over(wt))
+      .groupBy($"user_id", $"event_type", $"grp")
+      .agg(
+        min($"ts").as("valid_from"),
+        max($"ts").as("last_seen"),
+        count(lit(1)).as("n_events"))
+    val wseq = Window.partitionBy($"user_id").orderBy($"valid_from", $"event_type")
+    runs
+      .withColumn("valid_to", lead($"valid_from", 1).over(wseq))
+      .withColumn("is_current", $"valid_to".isNull)
+      .select($"user_id", $"event_type", $"valid_from", $"valid_to",
+        $"last_seen", $"n_events", $"is_current")
+      .orderBy($"user_id", $"valid_from", $"event_type")
+  }
+
+  val w6Scd2Sql: String =
+    """WITH isl AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      - ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS grp
+      |  FROM events),
+      |runs AS (
+      |  SELECT user_id, event_type, grp,
+      |    MIN(ts) AS valid_from, MAX(ts) AS last_seen, COUNT(*) AS n_events
+      |  FROM isl GROUP BY 1, 2, 3)
+      |SELECT user_id, event_type, valid_from,
+      |  LEAD(valid_from, 1) OVER (PARTITION BY user_id ORDER BY valid_from, event_type) AS valid_to,
+      |  last_seen, n_events,
+      |  LEAD(valid_from, 1) OVER (PARTITION BY user_id ORDER BY valid_from, event_type) IS NULL AS is_current
+      |FROM runs ORDER BY user_id, valid_from, event_type""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // A11 one-pass OLS regression per group, closed-form from power sums:
+  // slope/intercept/r² of extendedprice-vs-quantity per return flag. The
+  // five sums are EXACT int64s over integer cents (the a9 skewness trick),
+  // so the arithmetic that combines them is a fixed expression over
+  // identical operands in both engines — bit-identical IEEE, no
+  // float-summation-order exposure, unlike calling regr_slope on doubles
+  // (RelationalSpec pins regr_slope/regr_intercept against these values).
+  // 100 TB: this is why closed-form beats the built-in at scale too — the
+  // partial state is 6 int64s per group, map-side combinable, merge is
+  // addition; no second pass, no per-row residuals.
+  def a11Regression(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sums = Tables.lineitem(spark, dir)
+      .select($"l_returnflag",
+        expr("CAST(round(l_quantity * 100) AS BIGINT)").as("x"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y"))
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"),
+        sum($"x" * $"y").as("sxy"),
+        sum($"y" * $"y").as("syy"))
+    sums
+      .withColumn("dn",  $"n".cast("double"))
+      .withColumn("cov", $"dn" * $"sxy".cast("double") - $"sx".cast("double") * $"sy".cast("double"))
+      .withColumn("vx",  $"dn" * $"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double"))
+      .withColumn("vy",  $"dn" * $"syy".cast("double") - $"sy".cast("double") * $"sy".cast("double"))
+      .select(
+        $"l_returnflag", $"n",
+        round($"cov" / $"vx", 6).as("slope"),
+        round(($"sy".cast("double") - ($"cov" / $"vx") * $"sx".cast("double")) / $"dn" / 100.0, 6).as("intercept_dollars"),
+        round($"cov" * $"cov" / ($"vx" * $"vy"), 6).as("r2"))
+      .orderBy($"l_returnflag")
+  }
+
+  val a11RegressionSql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |    CAST(SUM(y * y) AS BIGINT) AS syy
+      |  FROM (SELECT l_returnflag,
+      |          CAST(round(l_quantity * 100) AS BIGINT) AS x,
+      |          CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      |        FROM lineitem)
+      |  GROUP BY l_returnflag),
+      |d AS (
+      |  SELECT l_returnflag, n, sx, sy,
+      |    CAST(n AS DOUBLE) AS dn,
+      |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+      |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+      |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+      |  FROM s)
+      |SELECT l_returnflag, n,
+      |  round(cov / vx, 6) AS slope,
+      |  round((CAST(sy AS DOUBLE) - (cov / vx) * CAST(sx AS DOUBLE)) / dn / 100.0, 6) AS intercept_dollars,
+      |  round(cov * cov / (vx * vy), 6) AS r2
+      |FROM d ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w6_scd2"       -> (w6Scd2 _),
+    "a11_regression" -> (a11Regression _),
     "f_map_funcs"   -> (fMapFuncs _),
     "a6_histogram"  -> (a6Histogram _),
     "a7_stats"      -> (a7Stats _),
@@ -915,6 +1030,8 @@ object Relational {
     "p457_filter_distinct" -> (p457FilterDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "w6_scd2"       -> w6Scd2Sql,
+    "a11_regression" -> a11RegressionSql,
     "f_map_funcs"   -> fMapFuncsSql,
     "a6_histogram"  -> a6HistogramSql,
     "a7_stats"      -> a7StatsSql,

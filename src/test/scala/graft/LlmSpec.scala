@@ -200,6 +200,34 @@ class LlmSpec extends SparkSpec {
     assert(r.filter($"n_repetitious" > $"n_docs").isEmpty)
   }
 
+  test("crossdoc dup: rates bounded, totals consistent, exact copies saturate") {
+    import spark.implicits._
+    val d = TextDedup.crossdocDup(spark, sfDir).cache()
+    assert(d.filter($"n_dup_shingles" > $"n_shingles").isEmpty)
+    assert(d.filter($"dup_rate" < 0 || $"dup_rate" > 1).isEmpty)
+    assert(d.filter($"min_doc_dup_frac" > $"max_doc_dup_frac").isEmpty)
+    // every doc with >= 3 tokens contributes exactly once
+    val eligible = Tables.documents(spark, sfDir)
+      .filter(size(split($"text", " ")) >= 3).count()
+    assert(d.agg(sum($"n_docs")).head.getLong(0) === eligible)
+    d.unpersist()
+    // a corpus with one exact pair: both copies have every shingle shared,
+    // the singleton has none → per-source extremes are exactly 1.0 and 0.0
+    val dir = java.nio.file.Files.createTempDirectory("graft_xdoc").toString
+    Seq(
+      (0L, "alpha beta gamma delta epsilon", "en", "s0", 29L),
+      (1L, "alpha beta gamma delta epsilon", "en", "s0", 29L),
+      (2L, "one two three four five six", "en", "s0", 27L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val tiny = TextDedup.crossdocDup(spark, dir).collect()
+    assert(tiny.length === 1)
+    val row = tiny.head
+    assert(row.getAs[Long]("n_docs") === 3L)
+    assert(row.getAs[Double]("max_doc_dup_frac") === 1.0)
+    assert(row.getAs[Double]("min_doc_dup_frac") === 0.0)
+  }
+
   test("dup clusters: empty candidate graph (no near-dups) yields empty result, no crash") {
     import spark.implicits._
     // three clearly distinct docs → minhashLsh finds zero pairs

@@ -190,6 +190,46 @@ class RelationalSpec extends SparkSpec {
     assert(total === Tables.lineitem(spark, sfDir).count())
   }
 
+  test("W6 SCD2: intervals cover every event, exactly one current row per user") {
+    import spark.implicits._
+    val scd = Relational.w6Scd2(spark, sfDir).cache()
+    // every event lands in exactly one run
+    assert(scd.agg(sum($"n_events")).head.getLong(0)
+      === Tables.events(spark, sfDir).count())
+    // one open (current) interval per user
+    val bad = scd.groupBy($"user_id")
+      .agg(sum(when($"is_current", 1L).otherwise(0L)).as("n_open"))
+      .filter($"n_open" =!= 1L)
+    assert(bad.isEmpty)
+    // half-open chaining: the next validity never starts before this one
+    assert(scd.filter($"valid_to".isNotNull && $"valid_to" < $"valid_from").isEmpty)
+    assert(scd.filter($"last_seen" < $"valid_from").isEmpty)
+    scd.unpersist()
+  }
+
+  test("A11 closed-form OLS matches Spark's regr_* on the same cents") {
+    import spark.implicits._
+    val got = Relational.a11Regression(spark, sfDir)
+      .select($"l_returnflag", $"slope", $"intercept_dollars", $"r2")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val ref = Tables.lineitem(spark, sfDir)
+      .selectExpr("l_returnflag",
+        "CAST(round(l_quantity * 100) AS BIGINT) AS x",
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS y")
+      .groupBy($"l_returnflag")
+      .agg(expr("regr_slope(y, x)").as("m"),
+        expr("regr_intercept(y, x)").as("b"),
+        expr("regr_r2(y, x)").as("r2"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.keySet === ref.keySet)
+    got.foreach { case (k, (m, b, r2)) =>
+      val (rm, rb, rr2) = ref(k)
+      assert(math.abs(m - rm) <= 1e-4 * math.max(1.0, math.abs(rm)), s"slope($k)")
+      assert(math.abs(b - rb / 100.0) <= 1e-4 * math.max(1.0, math.abs(rb / 100.0)), s"intercept($k)")
+      assert(math.abs(r2 - rr2) <= 1e-4, s"r2($k)")
+    }
+  }
+
   test("W3 ranking: rank bounds, quartiles 1..4, percent_rank in [0,1]") {
     import spark.implicits._
     val r = Relational.w3Ranking(spark, sfDir).cache()
