@@ -260,6 +260,83 @@ object TextAnalysis {
       |ORDER BY doc_id, rk""".stripMargin
 
   // ---------------------------------------------------------------------
+  // T9 BM25 term scoring: the Okapi ranking function (k1=1.2, b=0.75,
+  // the +1 idf variant that keeps idf positive) — the standard lexical
+  // retrieval score, and the document-length-normalized sibling of T5's
+  // TF-IDF. Same plan skeleton as tfidf: graft_token_counts collapses each
+  // doc to distinct (term, tf) map-side (no per-occurrence shuffle), df is
+  // a vocabulary-sized aggregate broadcast back, corpus stats (N, total
+  // tokens) collapse to ONE broadcast row instead of a driver collect, and
+  // the per-doc top-3 partially aggregates through TopKTermsAggregator so
+  // only ≤3 rows per doc per partition cross the exchange.
+  // Determinism: tf/dl/df/N are exact int64s; avgdl is a single double
+  // division; the score is the same expression tree in both engines,
+  // rounded to 6dp; ties break (score desc, term asc) — total order.
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.ensure(spark)
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val terms = docs
+      .select($"doc_id", size(split($"text", " ")).as("dl"),
+        explode(call_function("graft_token_counts", $"text")).as("t"))
+      .select($"doc_id", $"dl".cast("long").as("dl"),
+        $"t.term".as("term"), $"t.n".cast("long").as("tf_count"))
+    val df = terms.groupBy($"term").agg(count(lit(1)).as("df"))
+    // corpus stats as a 1-row broadcast, not a driver action: the join is
+    // a BroadcastNestedLoop over ONE row — free, and the plan stays lazy
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split($"text", " "))).cast("long").as("tot_tok"))
+    val k1 = 1.2
+    val b = 0.75
+    val topk = udaf(new graft.functions.TopKTermsAggregator(3),
+      org.apache.spark.sql.Encoders.product[graft.functions.ScoredTerm])
+    terms.join(broadcast(df), Seq("term"))
+      .join(broadcast(stats))
+      .withColumn("avgdl", $"tot_tok".cast("double") / $"n_docs")
+      .withColumn("idf",
+        log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
+      .withColumn("score", round(
+        $"idf" * ($"tf_count" * lit(k1 + 1.0)) /
+          ($"tf_count" + lit(k1) * (lit(1.0 - b) + lit(b) * $"dl" / $"avgdl")), 6))
+      .groupBy($"doc_id")
+      .agg(topk($"term", $"tf_count", $"df", $"score").as("top"))
+      .select($"doc_id", posexplode($"top").as(Seq("pos", "s")))
+      .select($"doc_id", ($"pos" + 1).as("rk"), $"s.term".as("term"),
+        $"s.tf_count".as("tf_count"), $"s.df".as("df"), $"s.score".as("score"))
+      .orderBy($"doc_id", $"rk")
+  }
+
+  val bm25Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |    unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tc AS (
+      |  SELECT doc_id, dl, term, COUNT(*) AS tf_count
+      |  FROM toks GROUP BY 1, 2, 3),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tc GROUP BY term),
+      |stats AS (
+      |  SELECT COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tot_tok
+      |  FROM documents),
+      |scored AS (
+      |  SELECT tc.doc_id, tc.term, tc.tf_count, df.df,
+      |    round(
+      |      ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+      |        * (tc.tf_count * 2.2)
+      |        / (tc.tf_count + 1.2 * (0.25 + 0.75 * tc.dl / (s.tot_tok::DOUBLE / s.n_docs))),
+      |      6) AS score
+      |  FROM tc JOIN df USING (term) CROSS JOIN stats s),
+      |ranked AS (
+      |  SELECT doc_id, term, tf_count, df, score,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+      |  FROM scored)
+      |SELECT doc_id, rk, term, tf_count, df, score
+      |FROM ranked WHERE rk <= 3
+      |ORDER BY doc_id, rk""".stripMargin
+
+  // ---------------------------------------------------------------------
   // T6 BPE merge counting: frequencies of ADJACENT token pairs — the
   // statistic the first iteration of byte-pair-encoding tokenizer training
   // maximizes (each merge round = recount + pick argmax; one round shown,
@@ -409,6 +486,7 @@ object TextAnalysis {
     "ta_langid"      -> (langId _),
     "ta_fingerprint" -> (fingerprint _),
     "ta_tfidf"       -> (tfidf _),
+    "ta_bm25"        -> (bm25 _),
     "ta_bpe_pairs"   -> (bpePairs _))
 
   val oracles: Map[String, String] = Map(
@@ -419,5 +497,6 @@ object TextAnalysis {
     "ta_langid"      -> langIdSql,
     "ta_fingerprint" -> fingerprintSql,
     "ta_tfidf"       -> tfidfSql,
+    "ta_bm25"        -> bm25Sql,
     "ta_bpe_pairs"   -> bpePairsSql)
 }

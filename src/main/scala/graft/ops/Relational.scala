@@ -996,9 +996,56 @@ object Relational {
       |  round(cov * cov / (vx * vy), 6) AS r2
       |FROM d ORDER BY l_returnflag""".stripMargin
 
+  // -------------------------------------------------------------------------
+  // A12 robust outlier detection: modified z-score (Iglewicz–Hoaglin,
+  // 0.6745·(x−median)/MAD) per event_type, flagging |z| > 3.5 — the
+  // median/MAD pair is the standard robust alternative to mean/stddev
+  // for anomaly screens (a 5%-contaminated mean drags the threshold; the
+  // median doesn't). Determinism: values go through exact integer cents,
+  // so both medians interpolate between exact int64s (midpoint of ints —
+  // exact in double), |x−med| lands on a half-cent grid, and the final z
+  // is a fixed expression over identical operands, rounded to 4dp.
+  // 100 TB: two aggregation passes over a low-cardinality key (exact
+  // median per group buffers per-group values — the scale path swaps in
+  // approx_percentile partials, A8-style); the per-row flagging join is a
+  // broadcast of one 2-column row per event_type.
+  def a12Outliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"event_type",
+        $"value", expr("CAST(round(value * 100) AS BIGINT)").as("xc"))
+    val med = ev.groupBy($"event_type")
+      .agg(expr("percentile(xc, 0.5)").as("med"))
+    val mad = ev.join(broadcast(med), Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(expr("percentile(abs(xc - med), 0.5)").as("mad"), first($"med").as("med"))
+    ev.join(broadcast(mad), Seq("event_type"))
+      .withColumn("z", round(lit(0.6745) * ($"xc" - $"med") / $"mad", 4))
+      .filter(abs($"z") > 3.5)
+      .select($"event_type", $"event_id", $"value", $"z".as("robust_z"))
+      .orderBy($"event_type", $"event_id")
+  }
+
+  val a12OutliersSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, event_type, value,
+      |    CAST(round(value * 100) AS BIGINT) AS xc
+      |  FROM events),
+      |med AS (
+      |  SELECT event_type, quantile_cont(xc, 0.5) AS med FROM ev GROUP BY event_type),
+      |mad AS (
+      |  SELECT ev.event_type, quantile_cont(abs(ev.xc - med.med), 0.5) AS mad, ANY_VALUE(med.med) AS med
+      |  FROM ev JOIN med USING (event_type) GROUP BY ev.event_type)
+      |SELECT ev.event_type, ev.event_id, ev.value,
+      |  round(0.6745 * (ev.xc - mad.med) / mad.mad, 4) AS robust_z
+      |FROM ev JOIN mad USING (event_type)
+      |WHERE abs(round(0.6745 * (ev.xc - mad.med) / mad.mad, 4)) > 3.5
+      |ORDER BY ev.event_type, ev.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w6_scd2"       -> (w6Scd2 _),
     "a11_regression" -> (a11Regression _),
+    "a12_outliers"  -> (a12Outliers _),
     "f_map_funcs"   -> (fMapFuncs _),
     "a6_histogram"  -> (a6Histogram _),
     "a7_stats"      -> (a7Stats _),
@@ -1032,6 +1079,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "w6_scd2"       -> w6Scd2Sql,
     "a11_regression" -> a11RegressionSql,
+    "a12_outliers"  -> a12OutliersSql,
     "f_map_funcs"   -> fMapFuncsSql,
     "a6_histogram"  -> a6HistogramSql,
     "a7_stats"      -> a7StatsSql,

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.Relational
+import graft.llm.TextAnalysis
+
+/** Round-8 operators: BM25 term scoring (T9) and robust MAD outliers (A12).
+  * The DuckDB oracle pins cross-engine parity; these tests pin the
+  * *internal* contracts — aggregator-vs-window equivalence for BM25 and an
+  * independently recomputed flag condition for A12.
+  */
+class Round8Spec extends SparkSpec {
+
+  test("T9 BM25: TopKTerms aggregation equals the window-ranking formulation") {
+    import spark.implicits._
+    val got = TextAnalysis.bm25(spark, sfDir)
+    // reference: identical scoring, but ranked with row_number over a
+    // window — the shape the aggregator replaces
+    val docs = Tables.documents(spark, sfDir)
+    val terms = docs
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("dl"),
+        explode(call_function("graft_token_counts", $"text")).as("t"))
+      .select($"doc_id", $"dl", $"t.term".as("term"), $"t.n".cast("long").as("tf_count"))
+    val df = terms.groupBy($"term").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(split($"text", " "))).cast("long").as("tot_tok"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term".asc)
+    val ref = terms.join(df, Seq("term")).crossJoin(stats)
+      .withColumn("avgdl", $"tot_tok".cast("double") / $"n_docs")
+      .withColumn("score", round(
+        log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+          * ($"tf_count" * lit(2.2)) /
+          ($"tf_count" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")), 6))
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+      .select($"doc_id", $"rk".cast("int").as("rk"), $"term", $"tf_count", $"df", $"score")
+    assert(got.count() === ref.count())
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
+    // per-doc scores are non-increasing in rank
+    val inv = got.withColumn("prev", lag($"score", 1).over(
+      Window.partitionBy($"doc_id").orderBy($"rk")))
+      .filter($"prev".isNotNull && $"prev" < $"score")
+    assert(inv.isEmpty)
+  }
+
+  test("A12 outliers: flags exactly the rows beyond the recomputed MAD fence") {
+    import spark.implicits._
+    val got = Relational.a12Outliers(spark, sfDir).cache()
+    try {
+      assert(got.count() > 0, "expected some outliers at sf0.001")
+      // independent recompute of median/MAD per type (exact, driver-side:
+      // the per-type groups are test-sized)
+      val vals = Tables.events(spark, sfDir)
+        .selectExpr("event_type", "event_id", "CAST(round(value * 100) AS BIGINT) AS xc")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      def medianOf(xs: Seq[Long]): Double = {
+        val s = xs.sorted
+        if (s.size % 2 == 1) s(s.size / 2).toDouble
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+      }
+      val fences = vals.groupBy(_._1).map { case (t, rows) =>
+        val xs = rows.map(_._3).toSeq
+        val med = medianOf(xs)
+        val mad = {
+          // MAD of half-cent-grid deviations: work in doubled units to stay integral
+          val dev2 = xs.map(x => math.abs(2 * x - math.round(2 * med)))
+          medianOf(dev2) / 2.0
+        }
+        t -> ((med, mad))
+      }
+      val expected = vals.filter { case (t, _, xc) =>
+        val (med, mad) = fences(t)
+        math.abs(BigDecimal(0.6745 * (xc - med) / mad)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) > 3.5
+      }.map { case (t, id, _) => (t, id) }.toSet
+      val gotSet = got.select($"event_type", $"event_id")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(gotSet === expected)
+    } finally { got.unpersist(); () }
+  }
+}
