@@ -337,6 +337,54 @@ object TextAnalysis {
       |ORDER BY doc_id, rk""".stripMargin
 
   // ---------------------------------------------------------------------
+  // T10 heavy hitters, two-pass: a mergeable Misra–Gries sketch (m=64
+  // counters, functions/MisraGries.scala) prunes the vocabulary to ≤ m
+  // candidates in ONE bounded-memory corpus pass, then an exact count of
+  // the candidates alone decides membership at threshold N/50. The MG
+  // bound (est ≥ true − N/(m+1), m+1 = 65 > 50) guarantees every
+  // qualifying term survives pass 1, so the output is EXACT — identical
+  // to DuckDB's full group-by — while no full-vocabulary aggregation ever
+  // runs on the Spark side.
+  // 100 TB: pass 1 ships one 64-entry map per partition; pass 2 shuffles
+  // only candidate-matching (term, count) rows, partial-aggregated to ≤ m
+  // per partition. A direct groupBy(term) at 100 TB shuffles the whole
+  // vocabulary (trillions of distinct n-grams in real corpora); the
+  // sketch caps that at m rows regardless of vocabulary size.
+  // On the toy corpus the 31-term vocabulary fits inside m — SketchSpec
+  // exercises the real decrement path on a Zipf stream with vocab ≫ m.
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.ensure(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val docs = Tables.documents(spark, dir)
+    val counts = call_function("graft_token_counts", $"text")
+    val mg = udaf(new graft.functions.MisraGriesAggregator(64),
+      ExpressionEncoder[Seq[graft.functions.TermCount]]())
+    val cands = docs.agg(mg(counts).as("cs"))
+      .select(explode($"cs.term").as("term"))
+    val stats = docs.agg(
+      sum(size(split($"text", " "))).cast("long").as("n_tok"))
+    docs.select(explode(counts).as("t"))
+      .select($"t.term".as("term"), $"t.n".cast("long").as("n"))
+      .join(broadcast(cands), Seq("term"), "left_semi")
+      .groupBy($"term").agg(sum($"n").as("cnt"))
+      .join(broadcast(stats))
+      .filter($"cnt" >= $"n_tok" / lit(50.0))
+      .select($"term", $"cnt", round($"cnt" / $"n_tok", 6).as("share"))
+      .orderBy($"cnt".desc, $"term")
+  }
+
+  val heavyHittersSql: String =
+    """WITH t AS (
+      |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      |g AS (SELECT term, COUNT(*) AS cnt FROM t GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n_tok FROM t)
+      |SELECT term, cnt, round(cnt / n_tok, 6) AS share
+      |FROM g CROSS JOIN n
+      |WHERE cnt >= n_tok / 50.0
+      |ORDER BY cnt DESC, term""".stripMargin
+
+  // ---------------------------------------------------------------------
   // T6 BPE merge counting: frequencies of ADJACENT token pairs — the
   // statistic the first iteration of byte-pair-encoding tokenizer training
   // maximizes (each merge round = recount + pick argmax; one round shown,
@@ -487,6 +535,7 @@ object TextAnalysis {
     "ta_fingerprint" -> (fingerprint _),
     "ta_tfidf"       -> (tfidf _),
     "ta_bm25"        -> (bm25 _),
+    "ta_heavy_hitters" -> (heavyHitters _),
     "ta_bpe_pairs"   -> (bpePairs _))
 
   val oracles: Map[String, String] = Map(
@@ -498,5 +547,6 @@ object TextAnalysis {
     "ta_fingerprint" -> fingerprintSql,
     "ta_tfidf"       -> tfidfSql,
     "ta_bm25"        -> bm25Sql,
+    "ta_heavy_hitters" -> heavyHittersSql,
     "ta_bpe_pairs"   -> bpePairsSql)
 }

@@ -5,8 +5,8 @@ package graft
   * where the build side is constant-size BY DESIGN:
   *  - emb_*: broadcast query set / centroid table / hyperplane weights
   *    (fixed-k, corpus-independent);
-  *  - ta_bm25: a ONE-row broadcast of corpus stats (N, total tokens) —
-  *    the lazy alternative to a driver-side collect of two scalars;
+  *  - ta_bm25 / ta_heavy_hitters: a ONE-row broadcast of corpus stats —
+  *    the lazy alternative to a driver-side collect of scalars;
   *  - wx_*: the synthetic doc GENERATOR's range() cross-products (3 cities
   *    × 3 runs × 4 params × 73 hours — a data source, not a data path).
   * A CartesianProduct (non-broadcast cross) is never acceptable.
@@ -14,7 +14,7 @@ package graft
 class PlanAuditSpec extends SparkSpec {
 
   private val bnljAllowed = Set(
-    "ta_bm25",
+    "ta_bm25", "ta_heavy_hitters",
     "emb_cosine_topk", "emb_ivf_topk", "emb_lsh_neardup",
     "wx_dim_condition", "wx_dim_location", "wx_staging", "wx_incremental",
     "wx_fact_params_forecast", "wx_fact_params_history",

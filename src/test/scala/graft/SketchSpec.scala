@@ -96,4 +96,43 @@ class SketchSpec extends SparkSpec {
     assert(joined.filter($"est" =!= $"est_direct").isEmpty,
       "merged-sketch estimate must equal the direct sketch estimate")
   }
+
+  test("Misra-Gries: containment + error bound on a Zipf stream with vocab >> m") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    // Zipf-ish synthetic stream: term k appears ~50000/k times, vocabulary
+    // 2000 >> m=16, so the sketch MUST decrement (unlike the toy corpus).
+    // Docs are 100-token groups so reduce() sees per-doc count rows.
+    val m = 16
+    val stream = spark.range(2000).select($"id".cast("int").as("k"))
+      .select($"k", explode(sequence(lit(1),
+        greatest((lit(50000) / ($"k" + 1)).cast("int"), lit(1)))).as("rep"))
+      .select(concat(lit("t"), lpad($"k".cast("string"), 4, "0")).as("term"),
+        monotonically_increasing_id().as("seq"))
+    val docs = stream.withColumn("doc", pmod(hash($"seq"), lit(500)))
+      .groupBy($"doc", $"term").agg(count(lit(1)).cast("int").as("n"))
+      .groupBy($"doc")
+      .agg(collect_list(struct($"term", $"n")).as("tcs"))
+    val mg = udaf(new graft.functions.MisraGriesAggregator(m),
+      ExpressionEncoder[Seq[graft.functions.TermCount]]())
+    val est = docs.agg(mg($"tcs").as("cs"))
+      .select(explode($"cs").as("c")).select($"c.term", $"c.est")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.size <= m, s"sketch exceeded capacity: ${est.size} > $m")
+    val truth = stream.groupBy($"term").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = truth.values.sum
+    val bound = n / (m + 1.0)
+    // containment: every term above the N/(m+1) frequency bound survives
+    truth.filter(_._2 > bound).foreach { case (t, c) =>
+      assert(est.contains(t), s"heavy term $t (cnt=$c > bound=$bound) evicted")
+    }
+    // estimates are lower bounds within N/(m+1) of truth
+    est.foreach { case (t, e) =>
+      val c = truth(t)
+      assert(e <= c, s"estimate for $t overshoots: $e > $c")
+      assert(c - e <= bound + 1, s"estimate for $t off by ${c - e} > $bound")
+    }
+  }
 }
