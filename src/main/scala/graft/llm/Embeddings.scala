@@ -282,6 +282,68 @@ object Embeddings {
       |ORDER BY qid, rnk""".stripMargin
 
   // ---------------------------------------------------------------------
+  // E5 SemDeDup-style semantic dedup: the learned IVF cells (same Lloyd
+  // training as E2) bound the candidate space — only CELL-MATES are ever
+  // compared, the SemDeDup design (Abbas et al. 2023): k-means first, then
+  // pairwise cosine inside each cluster, keep one representative per
+  // near-dup group. The keep rule is the deterministic greedy one: a
+  // vector is dropped iff some SMALLER-id cell-mate sits within the
+  // cosine-0.42 radius (dup_of = that smallest neighbor), so the decision
+  // table is order-independent and SQL-expressible — no iterative
+  // clustering in the decision step.
+  // 100 TB: the within-cell join is quadratic ONLY per cell — k grows
+  // with the corpus (k ∝ √n keeps cells node-sized) and skewed cells
+  // split under AQE; the cell assignment itself is the map-side broadcast
+  // argmax of E2. Never an all-pairs over the corpus.
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.ensure(spark)
+    import spark.implicits._
+    val eRaw = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".as("v"))
+      .withColumn("nrm", norm($"v"))
+    val cents = lloydCentroids(eRaw, k = 10, iters = 5)
+    // assigned feeds three consumers (both join sides + the final left
+    // join): cache for the one collecting action, then release
+    val assigned = graft.ops.ScopedCache.untilConsumed(
+      assignCells(eRaw, cents).select($"vec_id", $"v", $"nrm", $"cell"))
+    val a = assigned.select($"cell", $"vec_id".as("va"), $"v".as("av"), $"nrm".as("an"))
+    val b = assigned.select($"cell", $"vec_id".as("vb"), $"v".as("bv"), $"nrm".as("bn"))
+    val rem = a.join(b, Seq("cell"))
+      .filter($"va" < $"vb")
+      .withColumn("sim", round(dot($"av", $"bv") / ($"an" * $"bn"), 6))
+      .filter($"sim" >= 0.42)
+      .groupBy($"vb")
+      .agg(min(struct($"va", $"sim")).as("m"))
+      .select($"vb".as("vec_id"), $"m.va".as("dup_of"), $"m.sim".as("dup_sim"))
+    assigned.select($"vec_id", $"cell")
+      .join(rem, Seq("vec_id"), "left")
+      .withColumn("keep", $"dup_of".isNull)
+      .select($"vec_id", $"cell", $"keep", $"dup_of", $"dup_sim")
+      .orderBy($"vec_id")
+  }
+
+  val semDedupSql: String =
+    embCte + ",\n" + lloydCtes(10, 5) + """,
+      |assigned AS (
+      |  SELECT vec_id, v, nrm, cell FROM (
+      |    SELECT ev.vec_id, ev.v, ev.nrm, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY ev.vec_id ORDER BY
+      |        round(list_sum(list_transform(list_zip(ev.v, c.cv), t -> t[1] * t[2])) / (ev.nrm * c.cn), 6) DESC,
+      |        c.cell ASC) AS arn
+      |    FROM ev CROSS JOIN c5 c)
+      |  WHERE arn = 1),
+      |pairs AS (
+      |  SELECT a.vec_id AS va, b.vec_id AS vb,
+      |    round(list_sum(list_transform(list_zip(a.v, b.v), t -> t[1] * t[2])) / (a.nrm * b.nrm), 6) AS sim
+      |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+      |rem AS (
+      |  SELECT vb AS vec_id, MIN(va) AS dup_of, arg_min(sim, va) AS dup_sim
+      |  FROM pairs WHERE sim >= 0.42 GROUP BY vb)
+      |SELECT a.vec_id, a.cell, r.dup_of IS NULL AS keep, r.dup_of, r.dup_sim
+      |FROM assigned a LEFT JOIN rem r ON a.vec_id = r.vec_id
+      |ORDER BY a.vec_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // E3 LSH near-dup: 16 sign-random-projection hyperplanes (weights ±1 from
   // md5(plane|dim) — identical in both engines), signature split into 4
   // bands × 4 bits; pairs sharing any band are candidates; exact cosine
@@ -420,11 +482,13 @@ object Embeddings {
     "emb_cosine_topk" -> (cosineTopK _),
     "emb_ivf_topk"    -> (ivfTopK _),
     "emb_lsh_neardup" -> (lshNearDup _),
+    "emb_semdedup"    -> (semDedup _),
     "emb_quantize"    -> (quantize _))
 
   val oracles: Map[String, String] = Map(
     "emb_cosine_topk" -> cosineTopKSql,
     "emb_ivf_topk"    -> ivfTopKSql,
     "emb_lsh_neardup" -> lshNearDupSql,
+    "emb_semdedup"    -> semDedupSql,
     "emb_quantize"    -> quantizeSql)
 }

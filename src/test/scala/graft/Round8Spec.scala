@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.Relational
-import graft.llm.TextAnalysis
+import graft.llm.{Embeddings, TextAnalysis}
 
 /** Round-8 operators: BM25 term scoring (T9) and robust MAD outliers (A12).
   * The DuckDB oracle pins cross-engine parity; these tests pin the
@@ -78,5 +78,42 @@ class Round8Spec extends SparkSpec {
         .collect().map(r => (r.getString(0), r.getLong(1))).toSet
       assert(gotSet === expected)
     } finally { got.unpersist(); () }
+  }
+
+  test("E5 semdedup: drops are real, reference smaller-id, and survivors are pairwise-separated") {
+    import spark.implicits._
+    val d = Embeddings.semDedup(spark, sfDir).cache()
+    try {
+      assert(d.count() === Tables.embeddings(spark, sfDir).count(),
+        "decision table must cover every vector")
+      val dropped = d.filter(!$"keep")
+      assert(dropped.count() > 0, "threshold should drop something at sf0.001")
+      // every dropped vector points at a SMALLER id that was KEPT-or-dropped
+      // in the same cell and is >= threshold similar
+      assert(dropped.filter($"dup_of" >= $"vec_id" || $"dup_of".isNull ||
+        $"dup_sim" < 0.42).isEmpty)
+      val cellOf = d.select($"vec_id", $"cell")
+      val mismatch = dropped.select($"vec_id", $"cell", $"dup_of")
+        .join(cellOf.select($"vec_id".as("dup_of"), $"cell".as("dup_cell")), Seq("dup_of"))
+        .filter($"cell" =!= $"dup_cell")
+      assert(mismatch.isEmpty, "dup_of must be a cell-mate")
+      // kept vectors: no kept pair within a cell is >= threshold similar
+      // (greedy keep rule: the smaller of any close pair is always kept,
+      // and keeping both would mean the larger one missed its neighbor)
+      val kept = d.filter($"keep").select($"vec_id", $"cell")
+      val e = Tables.embeddings(spark, sfDir)
+        .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+        .selectExpr("vec_id", "v",
+          "sqrt(aggregate(transform(v, x -> x * x), 0.0d, (a, x) -> a + x)) AS nrm")
+      val ka = kept.join(e, "vec_id")
+        .select($"cell", $"vec_id".as("va"), $"v".as("av"), $"nrm".as("an"))
+      val kb = kept.join(e, "vec_id")
+        .select($"cell", $"vec_id".as("vb"), $"v".as("bv"), $"nrm".as("bn"))
+      val close = ka.join(kb, Seq("cell")).filter($"va" < $"vb")
+        .withColumn("sim", expr(
+          "aggregate(zip_with(av, bv, (x, y) -> x * y), 0.0d, (a, x) -> a + x) / (an * bn)"))
+        .filter($"sim" >= 0.42)
+      assert(close.isEmpty, "two kept cell-mates remain near-duplicates")
+    } finally { d.unpersist(); () }
   }
 }
