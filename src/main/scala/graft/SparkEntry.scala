@@ -27,6 +27,7 @@ object SparkEntry {
     ops.WeatherQueries.queries ++
     ops.NestedOps.queries ++
     ops.EventWindows.queries ++
+    ops.Incremental.queries ++
     weather.FileIngest.queries ++
     llm.TextDedup.queries ++
     llm.Embeddings.queries ++
@@ -47,6 +48,7 @@ object SparkEntry {
     ops.WeatherQueries.oracles ++
     ops.NestedOps.oracles ++
     ops.EventWindows.oracles ++
+    ops.Incremental.oracles ++
     weather.FileIngest.oracles ++
     llm.TextDedup.oracles ++
     llm.Embeddings.oracles ++

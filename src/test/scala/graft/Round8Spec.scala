@@ -116,4 +116,25 @@ class Round8Spec extends SparkSpec {
       assert(close.isEmpty, "two kept cell-mates remain near-duplicates")
     } finally { d.unpersist(); () }
   }
+
+  test("A13 incremental state: maintained v2 == one-shot recompute, and reruns are idempotent") {
+    import spark.implicits._
+    // materialize: the returned plan reads the state files, which the
+    // rerun below overwrites — snapshot rows before invalidating them
+    val got = ops.Incremental.incAgg(spark, sfDir).collect().map(_.toSeq).sortBy(_.toString)
+    val direct = Tables.events(spark, sfDir)
+      .select($"event_type", to_date($"ts").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("xc"))
+      .groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("n"), sum($"xc").as("s"), min($"xc").as("mn"), max($"xc").as("mx"))
+      .select($"event_type", $"day", $"n",
+        round($"s" / $"n" / 100.0, 6).as("avg_value"),
+        ($"mn" / 100.0).as("min_value"),
+        ($"mx" / 100.0).as("max_value"))
+    val directRows = direct.collect().map(_.toSeq).sortBy(_.toString)
+    assert(got === directRows, "maintained state diverges from full recompute")
+    val rerun = ops.Incremental.incAgg(spark, sfDir).collect().map(_.toSeq).sortBy(_.toString)
+    assert(got === rerun,
+      "rerun over the same input must be a no-op (overwrite state semantics)")
+  }
 }
