@@ -230,13 +230,60 @@ object EventWindows {
       |  COALESCE(ffill, bfill) AS filled
       |FROM w ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // W7 EWMA: exponentially-weighted moving average per user, the smoothing
+  // primitive of monitoring/trend pipelines. The recursion s_i = α·x_i +
+  // (1−α)·s_{i−1} is not window-expressible directly, so each row collects
+  // its bounded 16-row frame and folds it LEFT-TO-RIGHT (seed = oldest
+  // frame value) with a sequential higher-order aggregate — identical fold
+  // order in both engines, so the doubles match bit-for-bit before the
+  // 6dp round. The 16-row truncation is principled, not a dodge: (1−α)^16
+  // ≈ 1% at α=0.25, below the output rounding — and it's what makes the
+  // operator scale-safe (an unbounded collected frame grows with history;
+  // the bounded frame is 16 doubles per row regardless of SF).
+  // Values flow as exact cents cast to double (integers are FP-exact).
+  // 100 TB: one shuffle on user_id, then a running 16-slot frame per
+  // partition — the same cost shape as any bounded moving average.
+  def ewma(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-15, 0)
+    Tables.events(spark, dir)
+      .withColumn("xc", expr("CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE)"))
+      .withColumn("frame", collect_list($"xc").over(w))
+      .withColumn("ewma_cents", expr(
+        "aggregate(slice(frame, 2, size(frame) - 1), frame[0], (acc, x) -> 0.25d * x + 0.75d * acc)"))
+      // explicit floor(+0.5) rounding: builtin round() half-way conventions
+      // differ between engines exactly when the fold lands on a 5e-7
+      // boundary (the E4 quantization lesson); values are non-negative
+      .select($"user_id", $"event_id", $"value",
+        expr("floor(ewma_cents / 100.0d * 1000000.0d + 0.5d) / 1000000.0d").as("ewma"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val ewmaSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS xc
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, event_id, value,
+      |    list(xc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS frame
+      |  FROM e)
+      |SELECT user_id, event_id, value,
+      |  floor(list_reduce(frame, (acc, x) -> 0.25 * x + 0.75 * acc) / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS ewma
+      |FROM f ORDER BY user_id, event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_tumbling"  -> (tumbling _),
     "ev_sliding"   -> (sliding _),
     "ev_session"   -> (session _),
     "ev_funnel"    -> (funnel _),
     "ev_retention" -> (retention _),
-    "w5_gapfill"   -> (gapfill _))
+    "w5_gapfill"   -> (gapfill _),
+    "w7_ewma"      -> (ewma _))
 
   val oracles: Map[String, String] = Map(
     "ev_tumbling"  -> tumblingSql,
@@ -244,5 +291,6 @@ object EventWindows {
     "ev_session"   -> sessionSql,
     "ev_funnel"    -> funnelSql,
     "ev_retention" -> retentionSql,
-    "w5_gapfill"   -> gapfillSql)
+    "w5_gapfill"   -> gapfillSql,
+    "w7_ewma"      -> ewmaSql)
 }

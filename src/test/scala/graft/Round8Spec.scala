@@ -137,4 +137,26 @@ class Round8Spec extends SparkSpec {
     assert(got === rerun,
       "rerun over the same input must be a no-op (overwrite state semantics)")
   }
+
+  test("W7 EWMA: matches a driver-side recursive fold over each user's history") {
+    import spark.implicits._
+    val got = ops.EventWindows.ewma(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val hist = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS tus",
+        "CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS xc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expected = hist.groupBy(_._1).flatMap { case (u, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._2))
+      ordered.indices.map { i =>
+        val frame = ordered.slice(math.max(0, i - 15), i + 1).map(_._4)
+        val e = frame.tail.foldLeft(frame.head)((acc, x) => 0.25 * x + 0.75 * acc)
+        (u, ordered(i)._2) -> math.floor(e / 100.0 * 1000000.0 + 0.5) / 1000000.0
+      }
+    }
+    assert(got.size === expected.size)
+    expected.foreach { case (k, v) =>
+      assert(got(k) === v, s"ewma mismatch for (user,event)=$k")
+    }
+  }
 }
