@@ -492,7 +492,46 @@ object Curation {
       |  doc_id
       |FROM s ORDER BY shard, pos""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // C12 weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+  // exactly k=25 docs drawn with probability ∝ n_chars, in ONE pass with
+  // NO global sort. Each doc gets key = ln(u)/w for a deterministic
+  // md5-derived uniform u ∈ (0,1] (12 hex digits / 16^12 — an exact
+  // dyadic rational, so the division is FP-exact in both engines); the k
+  // LARGEST keys are the sample (ln(u)/w is a monotone transform of the
+  // classic u^(1/w) — same order, one libm call instead of pow).
+  // C5's hash-mod sampling draws a Bernoulli FRACTION per stratum; this
+  // is its fixed-SIZE weighted sibling — both deterministic, no RNG state.
+  // 100 TB: selection is a TakeOrderedAndProject — map-side partial
+  // top-k per partition, only k rows per partition cross to the driver's
+  // final merge; the weights never need normalizing, so no second pass.
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("u",
+        (expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT)") + 1)
+          / lit(281474976710656.0)) // 16^12 = 2^48: exact dyadic division
+      .withColumn("r", log($"u") / $"n_chars")
+      .select($"doc_id", $"source", $"n_chars", round($"r" * 1000.0, 6).as("r_scaled"))
+      .orderBy($"r_scaled".desc, $"doc_id")
+      .limit(25)
+  }
+
+  val weightedSampleSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, source, n_chars,
+      |    (CAST(list_sum(list_transform([1,2,3,4,5,6,7,8,9,10,11,12], i ->
+      |      CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+      |        * CAST(power(16, 12 - i) AS BIGINT))) AS BIGINT) + 1)
+      |      / 281474976710656.0 AS u
+      |  FROM documents)
+      |SELECT doc_id, source, n_chars, round(ln(u) / n_chars * 1000.0, 6) AS r_scaled
+      |FROM b
+      |ORDER BY r_scaled DESC, doc_id
+      |LIMIT 25""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_weighted_sample" -> (weightedSample _),
     "cur_chunk"        -> (chunk _),
     "cur_mix"          -> (mix _),
     "cur_shuffle"      -> (shuffleShards _),
@@ -506,6 +545,7 @@ object Curation {
     "cur_decontam"     -> (decontaminate _))
 
   val oracles: Map[String, String] = Map(
+    "cur_weighted_sample" -> weightedSampleSql,
     "cur_chunk"        -> chunkSql,
     "cur_mix"          -> mixSql,
     "cur_shuffle"      -> shuffleShardsSql,
