@@ -526,7 +526,68 @@ object TextAnalysis {
       |  round(AVG(uniq_ratio), 6) AS avg_uniq_ratio
       |FROM e GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // T11 unigram-LM perplexity scoring (the CCNet/Wikipedia-LM quality
+  // filter, Wenzek et al. 2020): train an add-one-smoothed unigram model
+  // on the corpus itself, score every document by cross-entropy
+  // xent = Σ tf·ln((T+V)/(cnt+1)) / n_tok and perplexity exp(xent) —
+  // high-perplexity docs are the off-distribution/garbage tail a quality
+  // pipeline drops. Determinism: each token's nll contribution is scaled
+  // to integer nanonats with the explicit floor(+0.5) rule (ln > 0 since
+  // (T+V)/(cnt+1) > 1), so the per-doc SUM is exact int64 arithmetic —
+  // immune to float summation order, the usual cross-engine trap of Σln —
+  // and ppl = exp() of the ALREADY-6dp-ROUNDED xent in both engines.
+  // 100 TB: the model is a vocab-sized dim (one shuffle, map-side
+  // combined via graft_token_counts) that BROADCASTS; scoring is pure
+  // map work + one per-doc aggregation. The corpus-total join is a
+  // one-row broadcast (BNLJ allowlisted as constant-size by design,
+  // same as ta_bm25).
+  def lmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.ensure(spark)
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val terms = docs
+      .select($"doc_id", size(split($"text", " ")).as("n_tok"),
+        explode(call_function("graft_token_counts", $"text")).as("t"))
+      .select($"doc_id", $"n_tok", $"t.term".as("term"), $"t.n".cast("long").as("tf"))
+    val uni = terms.groupBy($"term").agg(sum($"tf").as("cnt"))
+    val tot = uni.agg(sum($"cnt").as("tot"), count(lit(1)).as("vocab"))
+    terms.join(broadcast(uni), Seq("term"))
+      .join(broadcast(tot))
+      .withColumn("nll_e9", floor(($"tf".cast("double")
+          * log(($"tot" + $"vocab").cast("double") / ($"cnt" + lit(1L))))
+          * lit(1e9) + lit(0.5)).cast("long"))
+      .groupBy($"doc_id", $"n_tok").agg(sum($"nll_e9").as("nll_e9"))
+      .withColumn("xent", round($"nll_e9" / lit(1e9) / $"n_tok", 6))
+      .select($"doc_id", $"n_tok", $"xent", round(exp($"xent"), 6).as("ppl"))
+      .orderBy($"doc_id")
+  }
+
+  val lmPerplexitySql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+      |    unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tc AS (
+      |  SELECT doc_id, n_tok, term, COUNT(*) AS tf
+      |  FROM terms GROUP BY 1, 2, 3),
+      |uni AS (SELECT term, SUM(tf) AS cnt FROM tc GROUP BY 1),
+      |tot AS (SELECT SUM(cnt) AS tot, COUNT(*) AS vocab FROM uni),
+      |nll AS (
+      |  SELECT tc.doc_id, tc.n_tok,
+      |    SUM(CAST(floor((tf * ln((tot.tot + tot.vocab)::DOUBLE / (uni.cnt + 1)))
+      |      * 1000000000.0 + 0.5) AS BIGINT)) AS nll_e9
+      |  FROM tc JOIN uni USING (term) CROSS JOIN tot
+      |  GROUP BY 1, 2),
+      |x AS (
+      |  SELECT doc_id, n_tok,
+      |    round(nll_e9 / 1000000000.0 / n_tok, 6) AS xent
+      |  FROM nll)
+      |SELECT doc_id, n_tok, xent, round(exp(xent), 6) AS ppl
+      |FROM x ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_lm_xent"     -> (lmPerplexity _),
     "ta_entropy"     -> (entropy _),
     "ta_repetition"  -> (repetition _),
     "ta_tokens"      -> (tokenCounts _),
@@ -539,6 +600,7 @@ object TextAnalysis {
     "ta_bpe_pairs"   -> (bpePairs _))
 
   val oracles: Map[String, String] = Map(
+    "ta_lm_xent"     -> lmPerplexitySql,
     "ta_entropy"     -> entropySql,
     "ta_repetition"  -> repetitionSql,
     "ta_tokens"      -> tokenCountsSql,

@@ -276,6 +276,53 @@ object EventWindows {
       |  floor(list_reduce(frame, (acc, x) -> 0.25 * x + 0.75 * acc) / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS ewma
       |FROM f ORDER BY user_id, event_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // W8 sequential pattern match (the MATCH_RECOGNIZE / gaps-and-islands
+  // family): longest run of strictly-increasing order totals per customer.
+  // The island id is the classic lag→break-flag→running-sum construction —
+  // fully streaming inside one window partition, no self-join, no
+  // iteration. Determinism: the sequence order is (o_orderdate,
+  // o_orderkey) — a total order — and the final top-25 breaks ties on
+  // customer id.
+  // 100 TB: ONE shuffle on o_custkey; the lag, the running sum, and both
+  // group-bys reuse that partitioning (Exchange reuse), and the top-25 is
+  // a TakeOrderedAndProject (map-side partial top-k), never a global sort.
+  def streak(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val wRun = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.orders(spark, dir)
+      .withColumn("prev", lag($"o_totalprice", 1).over(w))
+      .withColumn("brk", when($"prev".isNull || $"prev" >= $"o_totalprice", 1).otherwise(0))
+      .withColumn("grp", sum($"brk").over(wRun))
+      .groupBy($"o_custkey", $"grp").agg(count(lit(1)).as("run_len"))
+      .groupBy($"o_custkey")
+      .agg(max($"run_len").as("best_streak"), sum($"run_len").as("n_orders"))
+      .orderBy($"best_streak".desc, $"o_custkey".asc)
+      .limit(25)
+  }
+
+  val streakSql: String =
+    """WITH f AS (
+      |  SELECT o_custkey,
+      |    CASE WHEN lag(o_totalprice, 1) OVER w IS NULL
+      |           OR lag(o_totalprice, 1) OVER w >= o_totalprice
+      |         THEN 1 ELSE 0 END AS brk,
+      |    ROW_NUMBER() OVER w AS rn
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |runs AS (
+      |  SELECT o_custkey,
+      |    SUM(brk) OVER (PARTITION BY o_custkey ORDER BY rn
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM f),
+      |x AS (SELECT o_custkey, grp, COUNT(*) AS run_len FROM runs GROUP BY 1, 2)
+      |SELECT o_custkey, MAX(run_len) AS best_streak, CAST(SUM(run_len) AS BIGINT) AS n_orders
+      |FROM x GROUP BY o_custkey
+      |ORDER BY best_streak DESC, o_custkey ASC
+      |LIMIT 25""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_tumbling"  -> (tumbling _),
     "ev_sliding"   -> (sliding _),
@@ -283,7 +330,8 @@ object EventWindows {
     "ev_funnel"    -> (funnel _),
     "ev_retention" -> (retention _),
     "w5_gapfill"   -> (gapfill _),
-    "w7_ewma"      -> (ewma _))
+    "w7_ewma"      -> (ewma _),
+    "w8_streak"    -> (streak _))
 
   val oracles: Map[String, String] = Map(
     "ev_tumbling"  -> tumblingSql,
@@ -292,5 +340,6 @@ object EventWindows {
     "ev_funnel"    -> funnelSql,
     "ev_retention" -> retentionSql,
     "w5_gapfill"   -> gapfillSql,
-    "w7_ewma"      -> ewmaSql)
+    "w7_ewma"      -> ewmaSql,
+    "w8_streak"    -> streakSql)
 }

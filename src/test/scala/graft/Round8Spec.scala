@@ -138,6 +138,57 @@ class Round8Spec extends SparkSpec {
       "rerun over the same input must be a no-op (overwrite state semantics)")
   }
 
+  test("T11 LM perplexity: matches a driver-side add-one unigram model") {
+    import spark.implicits._
+    val got = llm.TextAnalysis.lmPerplexity(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+    val cnt = toks.values.flatten.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val tot = cnt.values.sum
+    val vocab = cnt.size.toLong
+    docs.foreach { case (id, _) =>
+      val ts = toks(id)
+      val nllE9 = ts.groupBy(identity).map { case (t, xs) =>
+        val term = xs.size.toDouble * math.log((tot + vocab).toDouble / (cnt(t) + 1))
+        math.floor(term * 1e9 + 0.5).toLong
+      }.sum
+      val xent = BigDecimal(nllE9 / 1e9 / ts.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val ppl = BigDecimal(math.exp(xent))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (nTok, gx, gp) = got(id)
+      assert(nTok === ts.size, s"token count mismatch for doc $id")
+      assert(gx === xent, s"xent mismatch for doc $id")
+      assert(gp === ppl, s"ppl mismatch for doc $id")
+    }
+  }
+
+  test("W8 streak: matches a driver-side longest-increasing-run scan") {
+    import spark.implicits._
+    val got = ops.EventWindows.streak(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val orders = Tables.orders(spark, sfDir)
+      .selectExpr("o_custkey", "o_orderkey",
+        "unix_micros(to_utc_timestamp(o_orderdate, 'UTC')) AS d", "o_totalprice")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val perCust = orders.groupBy(_._1).map { case (c, rows) =>
+      val prices = rows.sortBy(r => (r._3, r._2)).map(_._4)
+      var best = 1; var run = 1
+      prices.sliding(2).foreach { w =>
+        if (w.length == 2) {
+          run = if (w(1) > w(0)) run + 1 else 1
+          best = math.max(best, run)
+        }
+      }
+      (c, best.toLong, prices.length.toLong)
+    }
+    val expected = perCust.toSeq.sortBy { case (c, b, _) => (-b, c) }.take(25)
+    assert(got.toSeq === expected)
+  }
+
   test("W7 EWMA: matches a driver-side recursive fold over each user's history") {
     import spark.implicits._
     val got = ops.EventWindows.ewma(spark, sfDir)
