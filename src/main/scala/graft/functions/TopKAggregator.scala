@@ -31,6 +31,29 @@ class TopKAggregator(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]
   override def outputEncoder: Encoder[Seq[Scored]] = bufferEncoder
 }
 
+/** A PQ-scored candidate: corpus id, its m subspace codes, ADC score. */
+case class ScoredCode(cid: Long, codes: Seq[Int], sim: Double)
+
+/** TopKAggregator's sibling for PQ ADC rows (Embeddings.pqTopK): keeps the
+  * k best (sim DESC, cid ASC) coded candidates per query with map-side
+  * partials. cid is unique, so the ordering is total and the result
+  * input-order-independent — ADC scores tie heavily by construction (every
+  * cell-mate pair shares a score), which is exactly why the cid tiebreak
+  * must ride inside the aggregator.
+  */
+class TopKCodesAggregator(k: Int) extends Aggregator[ScoredCode, Seq[ScoredCode], Seq[ScoredCode]] {
+
+  private def best(xs: Seq[ScoredCode]): Seq[ScoredCode] =
+    xs.sortBy(s => (-s.sim, s.cid)).take(k)
+
+  override def zero: Seq[ScoredCode] = Seq.empty
+  override def reduce(buf: Seq[ScoredCode], a: ScoredCode): Seq[ScoredCode] = best(buf :+ a)
+  override def merge(b1: Seq[ScoredCode], b2: Seq[ScoredCode]): Seq[ScoredCode] = best(b1 ++ b2)
+  override def finish(reduction: Seq[ScoredCode]): Seq[ScoredCode] = reduction
+  override def bufferEncoder: Encoder[Seq[ScoredCode]] = ExpressionEncoder[Seq[ScoredCode]]()
+  override def outputEncoder: Encoder[Seq[ScoredCode]] = bufferEncoder
+}
+
 /** A scored term row flowing into the per-document top-k (TF-IDF shape). */
 case class ScoredTerm(term: String, tf_count: Long, df: Long, score: Double)
 

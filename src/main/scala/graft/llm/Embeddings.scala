@@ -171,28 +171,31 @@ object Embeddings {
     * identical arithmetic, identical tie-breaks, so cN == the Spark
     * centroids exactly.
     */
-  private def lloydCtes(k: Int, iters: Int): String = {
+  private def lloydCtes(k: Int, iters: Int, src: String = "ev",
+                        dim: Int = 64, prefix: String = ""): String = {
+    val dotSql = "list_sum(list_transform(list_zip(e.v, c.cv), z -> z[1] * z[2]))"
+    val scoreSql = s"round($dotSql / (e.nrm * c.cn), 6)"
     val c0 =
-      s"""c0 AS (
+      s"""${prefix}c0 AS (
          |  SELECT CAST(rn - 1 AS INTEGER) AS cell, v AS cv, nrm AS cn FROM (
          |    SELECT v, nrm, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-         |    FROM ev)
+         |    FROM $src)
          |  WHERE rn <= $k)""".stripMargin
     val rounds = (1 to iters).map { t =>
       s""",
-         |a$t AS (
+         |${prefix}a$t AS (
          |  SELECT vec_id, v, nrm, cell FROM (
-         |    SELECT ev.vec_id, ev.v, ev.nrm, c.cell,
-         |      ROW_NUMBER() OVER (PARTITION BY ev.vec_id ORDER BY
-         |        round(list_sum(list_transform(list_zip(ev.v, c.cv), z -> z[1] * z[2])) / (ev.nrm * c.cn), 6) DESC,
+         |    SELECT e.vec_id, e.v, e.nrm, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        $scoreSql DESC,
          |        c.cell ASC) AS rn
-         |    FROM ev CROSS JOIN c${t - 1} c) WHERE rn = 1),
-         |c$t AS (
+         |    FROM $src e CROSS JOIN ${prefix}c${t - 1} c) WHERE rn = 1),
+         |${prefix}c$t AS (
          |  SELECT cell, list(cx ORDER BY i) AS cv,
          |    sqrt(list_sum(list_transform(list(cx ORDER BY i), x -> x * x))) AS cn
          |  FROM (
          |    SELECT cell, i, round(avg(v[i]), 6) AS cx
-         |    FROM a$t CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+         |    FROM ${prefix}a$t CROSS JOIN (SELECT unnest(generate_series(1, $dim)) AS i)
          |    GROUP BY 1, 2)
          |  GROUP BY cell)""".stripMargin
     }.mkString
@@ -478,7 +481,231 @@ object Embeddings {
       |  CAST(MAX(qmax) AS BIGINT) AS max_q
       |FROM e GROUP BY label ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // E6 product quantization with asymmetric distance computation + exact
+  // re-rank (the PQ/ADC + IVFADC-R of Jégou, Douze & Schmid 2011 — the
+  // memory path of every billion-scale ANN index): the 64-dim vector
+  // splits into m=8 subspaces of 8 dims, each trained to its own
+  // k=16-code EUCLIDEAN codebook (argmin |v−c|² ⟺ argmax dot(v,c) −
+  // |c|²/2, a single dot per candidate — L2, not spherical, is what makes
+  // the codeword a *reconstruction* of the subvector, the premise of
+  // ADC), and a corpus vector is stored as just its m code ids (m·log2 k
+  // = 32 bits — a 64× compression of the float vector). Stage 1 (ADC): a
+  // query precomputes a table of subspace dots against every codeword
+  // (m × k doubles); each candidate's approximate similarity is m TABLE
+  // LOOKUPS — apx_cos = Σ_s d_s[code_s] / (|q| · sqrt(Σ_s cn_s²)) —
+  // exploiting dot(q,x) = Σ_s dot(q_s,x_s) with x_s approximated by its
+  // code's centroid; a map-side bounded top-25 forms the shortlist (ADC
+  // scores tie by construction — cell-mates share scores — so ties pin
+  // on cid INSIDE the aggregator). Stage 2 (re-rank): true vectors are
+  // fetched for the q×25 shortlist ids only, exact cosine picks the
+  // final top-3 — the shortlist-then-refine step that buys back the
+  // quantization error.
+  // Training is the seeded fixed-round Lloyd of E2 but VECTORIZED across
+  // subspaces: one job per round trains ALL m codebooks in a single
+  // corpus scan (per-row codes for every subspace, then one partial-agg
+  // shuffle of (subspace, cell, dim) means — 100 TB cost independent of
+  // m). Determinism: md5-ranked seeds (the same k rows seed every
+  // subspace's slices), fixed round count, round-6 centroids and scores,
+  // cell-id tie-breaks; the ADC lookup matches on the CELL ID, never on
+  // array position (Lloyd cells may drop empty).
+  // 100 TB: codebooks are m × k × (dim/m) doubles — a trivial broadcast;
+  // encoding is one map-side corpus scan; ADC scoring is
+  // broadcast(query-tables) × encoded scan with a map-side bounded top-k
+  // — no shuffle of the corpus, no per-candidate vector math; the
+  // re-rank touches only q×25 rows (point lookups at scale), and its
+  // ranking window sees a BOUNDED ≤25-row partition per query, never
+  // corpus-sized data. Composed with the E2b bucketed IVF layout this is
+  // the IVFADC of the paper.
+  private val PqM = 8; private val PqSub = 8; private val PqK = 16; private val PqIters = 3
+
+  /** Expression: per-row array of m subspace codes against broadcast
+    * codebooks `cs` (array of struct(s, cell, cv, cn)); argmin-L2 via
+    * argmax of round(dot − |c|²/2, 6), ties to the lowest cell id.
+    */
+  private def pqCodesExpr: String =
+    s"""transform(sequence(0, ${PqM - 1}), s ->
+       |  CAST(-array_max(transform(filter(cs, c -> c.s = s),
+       |    c -> struct(round(graft_dot(slice(v, s * $PqSub + 1, $PqSub), c.cv) - 0.5d * c.cn * c.cn, 6) AS csim,
+       |                -c.cell AS negcell))).negcell AS INT))""".stripMargin
+
+  /** Multi-subspace Lloyd: one job per round trains all m Euclidean
+    * codebooks in a single scan of the cached vectors. Returns
+    * (s, cell, cv, cn) as a LocalRelation (driver-held state, like
+    * [[lloydCentroids]] — codebooks are m·k·subDim rounded doubles).
+    */
+  private[llm] def pqCodebooks(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val ec = e.select($"vec_id", $"v").cache()
+    try {
+      // seeds: the k md5-ranked rows seed every subspace with their slices
+      val seedRows = ec
+        .select(md5($"vec_id".cast("string")).as("sk"), $"vec_id", $"v")
+        .orderBy($"sk", $"vec_id").limit(PqK)
+        .select(transform($"v", x => x.cast("double")).as("cv"))
+        .as[Seq[Double]].collect().toSeq
+      var cents: Seq[(Int, Int, Seq[Double], Double)] =
+        for { s <- 0 until PqM; (cv, j) <- seedRows.zipWithIndex } yield {
+          val sub = cv.slice(s * PqSub, (s + 1) * PqSub)
+          (s, j, sub, math.sqrt(sub.map(x => x * x).sum))
+        }
+      for (_ <- 1 to PqIters) {
+        val centsDf = spark.createDataset(cents).toDF("s", "cell", "cv", "cn")
+        val cs = broadcast(centsDf.agg(collect_list(struct($"s", $"cell", $"cv", $"cn")).as("cs")))
+        cents = ec.join(cs)
+          .withColumn("codes", expr(pqCodesExpr))
+          .select($"codes", posexplode($"v").as(Seq("p", "x")))
+          .select($"codes", $"x",
+            expr(s"CAST(p DIV $PqSub AS INT)").as("s"),
+            expr(s"CAST(p % $PqSub AS INT)").as("i"))
+          .withColumn("cell", expr("codes[s]"))
+          .groupBy($"s", $"cell", $"i").agg(round(avg($"x"), 6).as("cx"))
+          .groupBy($"s", $"cell")
+          .agg(transform(array_sort(collect_list(struct($"i", $"cx"))),
+            t => t.getField("cx")).as("cv"))
+          .withColumn("cn", norm($"cv"))
+          .select($"s", $"cell", $"cv", $"cn")
+          .as[(Int, Int, Seq[Double], Double)].collect().toSeq.sortBy(t => (t._1, t._2))
+      }
+      spark.createDataset(cents).toDF("s", "cell", "cv", "cn")
+    } finally { ec.unpersist(false); () }
+  }
+
+  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.ensure(spark)
+    import spark.implicits._
+    val shortk = udaf(new graft.functions.TopKCodesAggregator(25),
+      org.apache.spark.sql.Encoders.product[graft.functions.ScoredCode])
+    val eRaw = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".as("v"))
+      .withColumn("nrm", norm($"v"))
+    // training (3 driver-side rounds) + encode + query + re-rank all
+    // rescan the vectors: cache for the one collecting action
+    val e = graft.ops.ScopedCache.untilConsumed(eRaw)
+    val books = pqCodebooks(e)
+    val cs = broadcast(books.agg(collect_list(struct($"s", $"cell", $"cv", $"cn")).as("cs")))
+    // encode: m argmin-L2 codes per vector — pure map work, one scan
+    val encoded = e.filter($"vec_id" >= 5).join(cs)
+      .withColumn("codes", expr(pqCodesExpr))
+      .select($"vec_id".as("cid"), $"codes")
+    // ADC tables: per query, the subspace dot against EVERY codeword
+    // (m × k doubles), keyed by (subspace, cell)
+    val q = e.filter($"vec_id" < 5).join(cs)
+      .select($"vec_id".as("qid"), $"nrm".as("qn"),
+        expr(s"transform(cs, c -> struct(c.s AS s, c.cell AS cell, graft_dot(slice(v, c.s * $PqSub + 1, $PqSub), c.cv) AS d, c.cn AS cn))").as("t"))
+    // stage 1 — ADC shortlist: m table lookups per candidate, map-side
+    // bounded top-25 per query
+    val shortlist = encoded.join(broadcast(q))
+      .withColumn("ps", expr("transform(codes, (code, s) -> filter(t, c -> c.s = s AND c.cell = code)[0])"))
+      .withColumn("apx", round(
+        expr("aggregate(ps, CAST(0.0 AS DOUBLE), (acc, p) -> acc + p.d)")
+          / ($"qn" * sqrt(expr("aggregate(ps, CAST(0.0 AS DOUBLE), (acc, p) -> acc + p.cn * p.cn)"))), 6))
+      .groupBy($"qid")
+      .agg(shortk($"cid", $"codes", $"apx").as("top"))
+      .select($"qid", explode($"top").as("sc"))
+      .select($"qid", $"sc.cid".as("cid"), $"sc.codes".as("codes"), $"sc.sim".as("apx_sim"))
+    // stage 2 — exact re-rank of the 25-candidate shortlist (IVFADC-R):
+    // fetch true vectors for shortlist ids only (broadcast equi-join →
+    // q×25 point lookups at scale), exact cosine, top-3. The final window
+    // runs over ≤25 rows per query — input is BOUNDED by the shortlist,
+    // so this window never sees corpus-sized data.
+    val wTop = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid".asc)
+    shortlist
+      .join(e.select($"vec_id".as("cid"), $"v".as("cv"), $"nrm".as("cn")), Seq("cid"))
+      .join(broadcast(e.filter($"vec_id" < 5)
+        .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))), Seq("qid"))
+      .withColumn("sim", round(dot($"qv", $"cv") / ($"qn" * $"cn"), 6))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter($"rnk" <= 3)
+      .select($"qid", $"rnk", $"cid", $"codes", $"apx_sim", $"sim")
+      .orderBy($"qid", $"rnk")
+  }
+
+  /** The oracle's replay of [[pqCodebooks]]: subv slices every vector into
+    * (s, subvector); pc0 = md5-ranked seed slices; each round assigns by
+    * the same rounded argmax(dot − |c|²/2) with cell-asc ties and updates
+    * with rounded per-(s, cell, dim) means — identical arithmetic, so pcN
+    * equals the Spark codebooks exactly.
+    */
+  private def pqCtes: String = {
+    val score = "round(list_sum(list_transform(list_zip(sv.v, c.cv), z -> z[1] * z[2])) - 0.5 * c.cn * c.cn, 6)"
+    val c0 =
+      s"""subv AS (
+         |  SELECT ss.s, e.vec_id, e.v[(ss.s * $PqSub + 1):((ss.s + 1) * $PqSub)] AS v
+         |  FROM ev e CROSS JOIN (SELECT unnest(generate_series(0, ${PqM - 1})) AS s) ss),
+         |pc0 AS (
+         |  SELECT s, CAST(rn - 1 AS INTEGER) AS cell, v AS cv,
+         |    sqrt(list_sum(list_transform(v, x -> x * x))) AS cn
+         |  FROM (
+         |    SELECT s, v, ROW_NUMBER() OVER (PARTITION BY s ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |    FROM subv)
+         |  WHERE rn <= $PqK)""".stripMargin
+    val rounds = (1 to PqIters).map { t =>
+      s""",
+         |pa$t AS (
+         |  SELECT s, vec_id, v, cell FROM (
+         |    SELECT sv.s, sv.vec_id, sv.v, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY sv.s, sv.vec_id ORDER BY
+         |        $score DESC,
+         |        c.cell ASC) AS rn
+         |    FROM subv sv JOIN pc${t - 1} c ON c.s = sv.s) WHERE rn = 1),
+         |pc$t AS (
+         |  SELECT s, cell, list(cx ORDER BY i) AS cv,
+         |    sqrt(list_sum(list_transform(list(cx ORDER BY i), x -> x * x))) AS cn
+         |  FROM (
+         |    SELECT s, cell, i, round(avg(v[i]), 6) AS cx
+         |    FROM pa$t CROSS JOIN (SELECT unnest(generate_series(1, $PqSub)) AS i)
+         |    GROUP BY 1, 2, 3)
+         |  GROUP BY s, cell)""".stripMargin
+    }.mkString
+    c0 + rounds
+  }
+
+  def pqTopKSql: String = {
+    val score = "round(list_sum(list_transform(list_zip(sv.v, c.cv), z -> z[1] * z[2])) - 0.5 * c.cn * c.cn, 6)"
+    embCte + ",\n" + pqCtes + s""",
+      |enc AS (
+      |  SELECT vec_id, list(cell ORDER BY s) AS codes FROM (
+      |    SELECT sv.s, sv.vec_id, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY sv.s, sv.vec_id ORDER BY
+      |        $score DESC,
+      |        c.cell ASC) AS rn
+      |    FROM subv sv JOIN pc$PqIters c ON c.s = sv.s WHERE sv.vec_id >= 5) WHERE rn = 1
+      |  GROUP BY vec_id),
+      |qd AS (
+      |  SELECT sv.vec_id AS qid, c.s, c.cell,
+      |    list_sum(list_transform(list_zip(sv.v, c.cv), z -> z[1] * z[2])) AS d, c.cn AS cn
+      |  FROM subv sv JOIN pc$PqIters c ON c.s = sv.s WHERE sv.vec_id < 5),
+      |qs AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM ev WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.qid, e.vec_id AS cid, ANY_VALUE(e.codes) AS codes,
+      |    round(SUM(qd.d) / (ANY_VALUE(q.qn) * sqrt(SUM(qd.cn * qd.cn))), 6) AS apx_sim
+      |  FROM enc e CROSS JOIN qs q
+      |  JOIN qd ON qd.qid = q.qid AND qd.cell = e.codes[qd.s + 1]
+      |  GROUP BY q.qid, e.vec_id),
+      |short AS (
+      |  SELECT qid, cid, codes, apx_sim FROM (
+      |    SELECT qid, cid, codes, apx_sim,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY apx_sim DESC, cid ASC) AS srn
+      |    FROM scored)
+      |  WHERE srn <= 25),
+      |rr AS (
+      |  SELECT s.qid, s.cid, s.codes, s.apx_sim,
+      |    round(list_sum(list_transform(list_zip(q.qv, c.v), z -> z[1] * z[2])) / (q.qn * c.nrm), 6) AS sim
+      |  FROM short s
+      |  JOIN ev c ON c.vec_id = s.cid
+      |  JOIN qs q ON q.qid = s.qid),
+      |ranked AS (
+      |  SELECT qid, cid, codes, apx_sim, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+      |  FROM rr)
+      |SELECT qid, rnk, cid, codes, apx_sim, sim
+      |FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_pq_topk"     -> (pqTopK _),
     "emb_cosine_topk" -> (cosineTopK _),
     "emb_ivf_topk"    -> (ivfTopK _),
     "emb_lsh_neardup" -> (lshNearDup _),
@@ -486,6 +713,7 @@ object Embeddings {
     "emb_quantize"    -> (quantize _))
 
   val oracles: Map[String, String] = Map(
+    "emb_pq_topk"     -> pqTopKSql,
     "emb_cosine_topk" -> cosineTopKSql,
     "emb_ivf_topk"    -> ivfTopKSql,
     "emb_lsh_neardup" -> lshNearDupSql,

@@ -189,6 +189,36 @@ class Round8Spec extends SparkSpec {
     assert(got.toSeq === expected)
   }
 
+  test("E6 PQ/ADC: valid codes, bounded scores, ADC recalls brute-force neighbors") {
+    import spark.implicits._
+    val pq = Embeddings.pqTopK(spark, sfDir).cache()
+    try {
+      // exactly top-3 per query, m codes in the trained range, bounded sims
+      assert(pq.groupBy($"qid").count().filter($"count" =!= 3).isEmpty)
+      assert(pq.filter(size($"codes") =!= 8).isEmpty)
+      assert(pq.filter(exists($"codes", c => c < 0 || c > 15)).isEmpty)
+      assert(pq.filter(abs($"sim") > 1.000001).isEmpty)
+      // re-rank contract: sim is the EXACT cosine (matches brute force)
+      val brute5 = Embeddings.cosineTopK(spark, sfDir).select($"qid", $"cid", $"sim")
+      val simMismatch = pq.select($"qid", $"cid", $"sim")
+        .join(brute5, Seq("qid", "cid"), "inner")
+        .filter(brute5("sim") =!= pq("sim"))
+      assert(simMismatch.isEmpty, "re-ranked sim diverges from exact cosine")
+      // label-free, like IVF: a real ingest pipeline has no labels
+      assert(!pq.queryExecution.executedPlan.toString.contains("label"),
+        "PQ plan must not touch the label column")
+      // recall pin vs brute force (deterministic — a regression pin, not a
+      // statistical bound): the embeddings are near-orthogonal noise (no
+      // cluster structure), the hard case for any quantizer; 32-bit ADC +
+      // 25-deep re-rank recovers a measured majority of true neighbors
+      val brute = Embeddings.cosineTopK(spark, sfDir)
+        .filter($"rnk" <= 3).select($"qid", $"cid")
+      val hits = pq.select($"qid", $"cid").join(brute, Seq("qid", "cid")).count()
+      info(s"PQ recall: $hits/15 brute-force top-3 neighbors recovered")
+      assert(hits >= 5, s"PQ recall degraded: $hits/15 true neighbors found")
+    } finally { pq.unpersist(); () }
+  }
+
   test("W7 EWMA: matches a driver-side recursive fold over each user's history") {
     import spark.implicits._
     val got = ops.EventWindows.ewma(spark, sfDir)
