@@ -1042,7 +1042,95 @@ object Relational {
       |WHERE abs(round(0.6745 * (ev.xc - mad.med) / mad.mad, 4)) > 3.5
       |ORDER BY ev.event_type, ev.event_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // J9 grid-bucketed spatial join (the 2D member of the band-join family,
+  // and the standard distributed spatial-join shape — GeoSpark/Sedona's
+  // partition-by-grid): points within radius r pair via an EQUI-join on
+  // grid cells of side r — the smaller side expands to its 3×3 neighbor
+  // cells, so every within-r pair shares a cell key and each pair meets
+  // in EXACTLY one cell (a point lives in one cell; the 9 expansions are
+  // distinct), hence no dedup pass. Exact distance verifies candidates.
+  // Coordinates are md5-derived uniforms in [0,100)² (the
+  // cur_weighted_sample hex-decode trick — both engines hash identical
+  // strings; digits 1-12 → x, 13-24 → y of one digest per key), so the
+  // operator runs on driver tables with zero stored geometry.
+  // Determinism: the threshold tests the ROUNDED distance, and output
+  // order is the total (c_custkey, s_suppkey).
+  // 100 TB: cell key equi-join instead of a cross join — candidates are
+  // O(points × density), never |A|×|B|; the 9× expansion rides the SMALL
+  // side (here broadcast — no shuffle at all); dense cells split under
+  // AQE skew handling like any hot key.
+  def j9GridJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val r = 5.0
+    // NB: the 2^48 divisor must be a Scala-side double lit — in SQL text
+    // `281474976710656.0` parses as a DECIMAL literal and silently turns
+    // the whole coordinate into decimal arithmetic
+    def hexU(lo: Int): Column =
+      (expr(s"CAST(conv(substr(h, $lo, 12), 16, 10) AS BIGINT)") + 1)
+        .divide(lit(281474976710656.0)).multiply(lit(100.0))
+    val cust = Tables.customer(spark, dir)
+      .withColumn("h", md5(concat(lit("c|"), $"c_custkey".cast("string"))))
+      .select($"c_custkey", hexU(1).as("cx"), hexU(13).as("cy"))
+      .withColumn("gx", floor($"cx" / r).cast("int"))
+      .withColumn("gy", floor($"cy" / r).cast("int"))
+    val supp = Tables.supplier(spark, dir)
+      .withColumn("h", md5(concat(lit("s|"), $"s_suppkey".cast("string"))))
+      .select($"s_suppkey", hexU(1).as("sx"), hexU(13).as("sy"))
+      .withColumn("g", explode(expr(
+        s"flatten(transform(sequence(-1, 1), dx -> transform(sequence(-1, 1), dy -> " +
+        s"struct(CAST(floor(sx / $r) AS INT) + dx AS gx, CAST(floor(sy / $r) AS INT) + dy AS gy))))")))
+      .select($"s_suppkey", $"sx", $"sy", $"g.gx", $"g.gy")
+    cust.join(broadcast(supp), Seq("gx", "gy"))
+      .withColumn("dist", round(sqrt(($"cx" - $"sx") * ($"cx" - $"sx")
+        + ($"cy" - $"sy") * ($"cy" - $"sy")), 6))
+      .filter($"dist" <= r)
+      .select($"c_custkey", $"s_suppkey", $"dist")
+      .orderBy($"c_custkey", $"s_suppkey")
+  }
+
+  val j9GridJoinSql: String =
+    """WITH cpt AS (
+      |  SELECT c_custkey, md5('c|' || CAST(c_custkey AS VARCHAR)) AS h FROM customer),
+      |spt AS (
+      |  SELECT s_suppkey, md5('s|' || CAST(s_suppkey AS VARCHAR)) AS h FROM supplier),
+      |cxy AS (
+      |  SELECT c_custkey,
+      |    (CAST(list_sum(list_transform([1,2,3,4,5,6,7,8,9,10,11,12], i ->
+      |      CAST(strpos('0123456789abcdef', substr(h, i, 1)) - 1 AS BIGINT)
+      |        * CAST(power(16, 12 - i) AS BIGINT))) AS BIGINT) + 1) / 281474976710656.0 * 100.0 AS cx,
+      |    (CAST(list_sum(list_transform([13,14,15,16,17,18,19,20,21,22,23,24], i ->
+      |      CAST(strpos('0123456789abcdef', substr(h, i, 1)) - 1 AS BIGINT)
+      |        * CAST(power(16, 24 - i) AS BIGINT))) AS BIGINT) + 1) / 281474976710656.0 * 100.0 AS cy
+      |  FROM cpt),
+      |sxy AS (
+      |  SELECT s_suppkey,
+      |    (CAST(list_sum(list_transform([1,2,3,4,5,6,7,8,9,10,11,12], i ->
+      |      CAST(strpos('0123456789abcdef', substr(h, i, 1)) - 1 AS BIGINT)
+      |        * CAST(power(16, 12 - i) AS BIGINT))) AS BIGINT) + 1) / 281474976710656.0 * 100.0 AS sx,
+      |    (CAST(list_sum(list_transform([13,14,15,16,17,18,19,20,21,22,23,24], i ->
+      |      CAST(strpos('0123456789abcdef', substr(h, i, 1)) - 1 AS BIGINT)
+      |        * CAST(power(16, 24 - i) AS BIGINT))) AS BIGINT) + 1) / 281474976710656.0 * 100.0 AS sy
+      |  FROM spt),
+      |cgrid AS (
+      |  SELECT c_custkey, cx, cy,
+      |    CAST(floor(cx / 5.0) AS INTEGER) AS gx, CAST(floor(cy / 5.0) AS INTEGER) AS gy
+      |  FROM cxy),
+      |sgrid AS (
+      |  SELECT s_suppkey, sx, sy,
+      |    CAST(floor(sx / 5.0) AS INTEGER) + dxt.dx AS gx,
+      |    CAST(floor(sy / 5.0) AS INTEGER) + dyt.dy AS gy
+      |  FROM sxy
+      |  CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS dx) dxt
+      |  CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS dy) dyt)
+      |SELECT c.c_custkey, s.s_suppkey,
+      |  round(sqrt((c.cx - s.sx) * (c.cx - s.sx) + (c.cy - s.sy) * (c.cy - s.sy)), 6) AS dist
+      |FROM cgrid c JOIN sgrid s ON c.gx = s.gx AND c.gy = s.gy
+      |WHERE round(sqrt((c.cx - s.sx) * (c.cx - s.sx) + (c.cy - s.sy) * (c.cy - s.sy)), 6) <= 5.0
+      |ORDER BY c_custkey, s_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j9_grid_join" -> (j9GridJoin _),
     "w6_scd2"       -> (w6Scd2 _),
     "a11_regression" -> (a11Regression _),
     "a12_outliers"  -> (a12Outliers _),
@@ -1077,6 +1165,7 @@ object Relational {
     "p457_filter_distinct" -> (p457FilterDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "j9_grid_join" -> j9GridJoinSql,
     "w6_scd2"       -> w6Scd2Sql,
     "a11_regression" -> a11RegressionSql,
     "a12_outliers"  -> a12OutliersSql,

@@ -219,6 +219,30 @@ class Round8Spec extends SparkSpec {
     } finally { pq.unpersist(); () }
   }
 
+  test("J9 grid join: 3x3 neighbor expansion loses no within-radius pair (vs all-pairs)") {
+    import spark.implicits._
+    val got = Relational.j9GridJoin(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def xy(prefix: String, k: Long): (Double, Double) = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$prefix|$k".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      def u(lo: Int) = (java.lang.Long.parseLong(h.substring(lo, lo + 12), 16) + 1)
+        ./(281474976710656.0).*(100.0)
+      (u(0), u(12))
+    }
+    val custs = Tables.customer(spark, sfDir).select($"c_custkey").as[Long].collect()
+    val supps = Tables.supplier(spark, sfDir).select($"s_suppkey").as[Long].collect()
+    val expected = (for {
+      c <- custs; s <- supps
+      (cx, cy) = xy("c", c); (sx, sy) = xy("s", s)
+      d = BigDecimal(math.sqrt((cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if d <= 5.0
+    } yield (c, s, d)).toSet
+    assert(got === expected, "grid-pruned result diverges from all-pairs ground truth")
+    assert(got.nonEmpty)
+  }
+
   test("W7 EWMA: matches a driver-side recursive fold over each user's history") {
     import spark.implicits._
     val got = ops.EventWindows.ewma(spark, sfDir)
