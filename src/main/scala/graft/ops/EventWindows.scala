@@ -323,7 +323,78 @@ object EventWindows {
       |ORDER BY best_streak DESC, o_custkey ASC
       |LIMIT 25""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // W9 seasonal decomposition (the classical additive trend/seasonal/
+  // residual split of monitoring and forecasting pipelines): the event
+  // stream rolls up to an hourly revenue series, trend is a trailing
+  // 24-hour moving average, the seasonal component is the hour-of-day
+  // mean of the detrended series, and the residual is what remains —
+  // value = trend + seasonal + resid (up to the component rounding).
+  // Determinism: hourly cents are exact int64 sums; trend is
+  // exact-sum/count (a ≤24-element sum of cents stays under 2^53, so
+  // both engines divide identical exact values); the seasonal mean does
+  // NOT average raw doubles — each detrended deviation is scaled to
+  // integer nanodollars with the explicit floor(+0.5) rule and summed as
+  // exact int64, because a float mean over an unordered group re-sums in
+  // a different order on every RUN (observed: a one-in-N boundary flip
+  // at sf0.001), not just across engines; resid is computed FROM THE
+  // ROUNDED components, so it is exact given them.
+  // 100 TB: the roll-up is one shuffle that REDUCES the corpus to a
+  // time-bounded series (one row per hour — 10 years ≈ 88 k rows), so
+  // the single-partition ordered window that follows runs on a bounded
+  // input by construction, never on raw-data volume; the hour-of-day
+  // seasonal pass reuses the same tiny series.
+  def seasonalDecomp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", $"ts").as("hr"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    val wTrend = org.apache.spark.sql.expressions.Window
+      .orderBy($"hr").rowsBetween(-23, 0)
+    val wHod = org.apache.spark.sql.expressions.Window.partitionBy(hour($"hr"))
+    hourly
+      .withColumn("trend_c", avg($"cents").over(wTrend))
+      .withColumn("dev_e9", expr(
+        "CAST(floor((cents - trend_c) / 100.0d * 1000000000.0d + 0.5d) AS BIGINT)"))
+      .withColumn("seasonal", round(
+        (sum($"dev_e9").over(wHod).cast("double") / count(lit(1)).over(wHod))
+          / lit(1e9), 6))
+      .withColumn("amount", round($"cents" / 100.0, 6))
+      .withColumn("trend", round($"trend_c" / 100.0, 6))
+      .withColumn("resid", round($"amount" - $"trend" - $"seasonal", 6))
+      .select($"hr", $"n_events", $"amount", $"trend", $"seasonal", $"resid")
+      .orderBy($"hr")
+  }
+
+  val seasonalDecompSql: String =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS n_events,
+      |    SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+      |  FROM events GROUP BY 1),
+      |t AS (
+      |  SELECT hr, n_events, cents,
+      |    AVG(cents) OVER (ORDER BY hr ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS trend_c
+      |  FROM hourly),
+      |d AS (
+      |  SELECT hr, n_events, cents, trend_c,
+      |    CAST(floor((cents - trend_c) / 100.0 * 1000000000.0 + 0.5) AS BIGINT) AS dev_e9
+      |  FROM t),
+      |s AS (
+      |  SELECT hr, n_events, cents, trend_c,
+      |    round((CAST(SUM(dev_e9) OVER (PARTITION BY hour(hr)) AS DOUBLE)
+      |           / COUNT(*) OVER (PARTITION BY hour(hr))) / 1000000000.0, 6) AS seasonal
+      |  FROM d),
+      |f AS (
+      |  SELECT hr, n_events, round(cents / 100.0, 6) AS amount,
+      |    round(trend_c / 100.0, 6) AS trend, seasonal
+      |  FROM s)
+      |SELECT hr, n_events, amount, trend, seasonal,
+      |  round(amount - trend - seasonal, 6) AS resid
+      |FROM f ORDER BY hr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w9_seasonal"  -> (seasonalDecomp _),
     "ev_tumbling"  -> (tumbling _),
     "ev_sliding"   -> (sliding _),
     "ev_session"   -> (session _),
@@ -334,6 +405,7 @@ object EventWindows {
     "w8_streak"    -> (streak _))
 
   val oracles: Map[String, String] = Map(
+    "w9_seasonal"  -> seasonalDecompSql,
     "ev_tumbling"  -> tumblingSql,
     "ev_sliding"   -> slidingSql,
     "ev_session"   -> sessionSql,

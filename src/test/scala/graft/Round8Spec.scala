@@ -243,6 +243,24 @@ class Round8Spec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("W9 seasonal: components reconstruct the series and the output is run-stable") {
+    import spark.implicits._
+    val a = ops.EventWindows.seasonalDecomp(spark, sfDir)
+    val rows = a.collect()
+    assert(rows.nonEmpty)
+    // additive identity: amount = trend + seasonal + resid, exact up to
+    // the final component rounding
+    rows.foreach { r =>
+      val (am, tr, se, re) = (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(math.abs(am - (tr + se + re)) < 2e-6, s"reconstruction broke at ${r.get(0)}")
+    }
+    // run-to-run determinism: the integer-nanodollar seasonal sum must
+    // make a second evaluation bit-identical (this is the regression
+    // guard for the float-mean boundary flip observed at sf0.001)
+    val again = ops.EventWindows.seasonalDecomp(spark, sfDir).collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("W7 EWMA: matches a driver-side recursive fold over each user's history") {
     import spark.implicits._
     val got = ops.EventWindows.ewma(spark, sfDir)
