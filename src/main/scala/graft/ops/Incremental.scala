@@ -77,9 +77,74 @@ object Incremental {
       |GROUP BY event_type, CAST(ts AS DATE)
       |ORDER BY event_type, day""".stripMargin
 
+  /** A15 incremental JOIN maintenance (delta-join view upkeep): the join
+    * view V = orders ⋈ customer is kept on disk and advanced by the
+    * classic delta rule — with ΔR the new orders and ΔS the new
+    * customers,
+    *   V₂ = V₁ ∪ (ΔR ⋈ S_full) ∪ (R_old ⋈ ΔS)
+    * (the first delta term covers ΔR⋈ΔS, the terms are disjoint because
+    * R_old ∩ ΔR = ∅, so nothing double-counts). The demonstration splits
+    * both sides deterministically on key parity, maintains v1 → v2, and
+    * the registered query aggregates the maintained view; the oracle is
+    * the direct join + aggregate, so rows+hash passing proves maintained
+    * == recomputed.
+    *
+    * 100 TB: ΔR ⋈ S_full is the cheap direction — the fact delta is one
+    * batch and the dim broadcasts. R_old ⋈ ΔS is the EXPENSIVE direction
+    * (a full fact scan per dim delta — ΔS broadcasts, but the scan is
+    * corpus-sized); that asymmetry is why production pipelines version
+    * dims as slowly-changing rows (the SCD2 operator) instead of
+    * rejoining history, and the operator keeps the term explicit rather
+    * than hiding the cost. The view advance itself shuffles only
+    * delta-sized data plus an append to stored state.
+    */
+  def incJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val cust = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_mktsegment")
+    val r1 = ord.filter(pmod($"o_orderkey", lit(2)) === 0)
+    val r2 = ord.filter(pmod($"o_orderkey", lit(2)) === 1)
+    val s1 = cust.filter(pmod($"c_custkey", lit(2)) === 0)
+    val s2 = cust.filter(pmod($"c_custkey", lit(2)) === 1)
+    val cols = Seq($"o_orderkey", $"o_orderstatus", $"cents", $"c_mktsegment")
+    // step 1: initial view
+    r1.join(broadcast(s1), $"o_custkey" === $"c_custkey")
+      .select(cols: _*)
+      .write.mode("overwrite").parquet(s"$stateRoot/vj1")
+    // step 2: delta advance — new facts meet the FULL dim, old facts meet
+    // only the dim DELTA; the stored view is appended, never rejoined
+    val delta = r2.join(broadcast(s1.unionByName(s2)), $"o_custkey" === $"c_custkey")
+      .select(cols: _*)
+      .unionByName(r1.join(broadcast(s2), $"o_custkey" === $"c_custkey").select(cols: _*))
+    spark.read.parquet(s"$stateRoot/vj1")
+      .unionByName(delta)
+      .write.mode("overwrite").parquet(s"$stateRoot/vj2")
+    // read the maintained view
+    spark.read.parquet(s"$stateRoot/vj2")
+      .groupBy($"c_mktsegment", $"o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sc"))
+      .select($"c_mktsegment", $"o_orderstatus", $"n",
+        ($"sc" / 100.0).as("total_value"),
+        round($"sc" / $"n" / 100.0, 6).as("avg_value"))
+      .orderBy($"c_mktsegment", $"o_orderstatus")
+  }
+
+  val incJoinSql: String =
+    """SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n,
+      |  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_value,
+      |  round(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / COUNT(*) / 100.0, 6) AS avg_value
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment, o_orderstatus
+      |ORDER BY c_mktsegment, o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "a13_inc_agg" -> (incAgg _))
+    "a13_inc_agg"  -> (incAgg _),
+    "a15_inc_join" -> (incJoin _))
 
   val oracles: Map[String, String] = Map(
-    "a13_inc_agg" -> incAggSql)
+    "a13_inc_agg"  -> incAggSql,
+    "a15_inc_join" -> incJoinSql)
 }

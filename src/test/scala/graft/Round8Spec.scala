@@ -261,6 +261,23 @@ class Round8Spec extends SparkSpec {
     assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("A15 incremental join: maintained view == direct join, reruns idempotent") {
+    import spark.implicits._
+    val got = ops.Incremental.incJoin(spark, sfDir).collect().map(_.toSeq).sortBy(_.toString)
+    val direct = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment", $"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("sc"))
+      .select($"c_mktsegment", $"o_orderstatus", $"n",
+        ($"sc" / 100.0).as("total_value"),
+        round($"sc" / $"n" / 100.0, 6).as("avg_value"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(got === direct, "maintained join view diverges from direct join")
+    val rerun = ops.Incremental.incJoin(spark, sfDir).collect().map(_.toSeq).sortBy(_.toString)
+    assert(got === rerun, "rerun over the same input must be a no-op")
+  }
+
   test("W7 EWMA: matches a driver-side recursive fold over each user's history") {
     import spark.implicits._
     val got = ops.EventWindows.ewma(spark, sfDir)
