@@ -413,6 +413,83 @@ object TextAnalysis {
       |ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------------
+  // T12 multi-round BPE training (the loop T6 shows one statistic of):
+  // three full merge rounds — count adjacent pairs, adopt the argmax
+  // (count desc, pair asc) as a merge rule, rewrite the corpus, repeat —
+  // emitting the learned rule table (rule, its support, corpus token
+  // count after the merge). The corpus rides a delimiter-doubled text
+  // encoding: tokens joined by TWO spaces with single-space sentinels,
+  // so the merge is a plain leftmost non-overlapping replace(' a  b ' →
+  // ' a_b ') whose scan-consume semantics EQUAL real BPE's greedy
+  // left-to-right merge (the shared separator of an overlapping chain
+  // 'a a a' is consumed exactly once) and are identical in Spark and
+  // DuckDB. Merge rules are driver state (the Lloyd/dupClusters shape);
+  // the oracle derives the same rules purely in SQL (per-round argmax
+  // CTE joined into the rewrite).
+  // Determinism: pair counts are exact ints with a total (n desc, pair
+  // asc) order; the rewrite is exact string algebra.
+  // 100 TB: each round is one corpus scan + a vocab²-bounded count; the
+  // rewrite is map-side; a production run would checkpoint the rewritten
+  // corpus every few rounds to cut the growing replace() lineage (the
+  // dupClusters lesson) — 3 rounds stay well under that threshold.
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // sequence(1, n) runs DESCENDING when n < 1 in Spark (no empty range),
+    // so single-token docs need the explicit CASE guard
+    val pairsExpr = expr(
+      """CASE WHEN size(split(trim(w), '  ')) >= 2
+        |THEN transform(sequence(1, size(split(trim(w), '  ')) - 1),
+        |  i -> concat(element_at(split(trim(w), '  '), i), ' ',
+        |              element_at(split(trim(w), '  '), i + 1)))
+        |ELSE CAST(array() AS array<string>) END""".stripMargin)
+    var w = Tables.documents(spark, dir)
+      .select(concat(lit(" "), expr("replace(text, ' ', '  ')"), lit(" ")).as("w"))
+    val rules = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Long)]
+    for (r <- 1 to 3) {
+      val Array(best) = w.select(explode(pairsExpr).as("pair"))
+        .groupBy($"pair").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"pair".asc).limit(1)
+        .collect()
+      val (pair, n) = (best.getString(0), best.getLong(1))
+      val Array(pa, pb) = pair.split(" ", 2)
+      // lit() arguments, not expr-string interpolation: tokens come from
+      // corpus text and may contain any character
+      w = w.withColumn("w", call_function("replace", $"w",
+        lit(s" $pa  $pb "), lit(s" ${pa}_$pb ")))
+      val nTok = w.agg(sum(size(split(trim($"w"), "  ")))).as[Long].collect()(0)
+      rules += ((r, pair, n, nTok))
+    }
+    spark.createDataset(rules.toSeq)
+      .toDF("round", "pair", "pair_count", "n_tokens_after")
+      .orderBy($"round")
+  }
+
+  val bpeTrainSql: String = {
+    def pairsFrom(src: String) =
+      s"""SELECT unnest(list_transform(generate_series(1, len(string_split(trim(w), '  ')) - 1),
+         |    i -> string_split(trim(w), '  ')[i] || ' ' || string_split(trim(w), '  ')[i + 1])) AS pair
+         |  FROM $src""".stripMargin
+    def mergeCte(r: Int) =
+      s"""p$r AS (
+         |  ${pairsFrom(s"w${r - 1}")}),
+         |b$r AS (SELECT pair, COUNT(*) AS n FROM p$r GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 1),
+         |w$r AS (
+         |  SELECT replace(w.w,
+         |    ' ' || string_split(b.pair, ' ')[1] || '  ' || string_split(b.pair, ' ')[2] || ' ',
+         |    ' ' || string_split(b.pair, ' ')[1] || '_' || string_split(b.pair, ' ')[2] || ' ') AS w
+         |  FROM w${r - 1} w CROSS JOIN b$r b)""".stripMargin
+    val rounds = (1 to 3).map(mergeCte).mkString(",\n")
+    val out = (1 to 3).map { r =>
+      s"""SELECT $r AS round, b$r.pair, b$r.n AS pair_count, t$r.n_tok AS n_tokens_after
+         |FROM b$r CROSS JOIN (SELECT CAST(SUM(len(string_split(trim(w), '  '))) AS BIGINT) AS n_tok FROM w$r) t$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w0 AS (SELECT ' ' || replace(text, ' ', '  ') || ' ' AS w FROM documents),
+       |$rounds
+       |$out
+       |ORDER BY round""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // T7 repetition signal (Gopher-style): fraction of duplicated word
   // bigrams per document — the standard "repetitious document" signal.
   // dup_frac = 1 − distinct/total is one exact integer division per doc,
@@ -588,6 +665,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_lm_xent"     -> (lmPerplexity _),
+    "ta_bpe_train"   -> (bpeTrain _),
     "ta_entropy"     -> (entropy _),
     "ta_repetition"  -> (repetition _),
     "ta_tokens"      -> (tokenCounts _),
@@ -601,6 +679,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "ta_lm_xent"     -> lmPerplexitySql,
+    "ta_bpe_train"   -> bpeTrainSql,
     "ta_entropy"     -> entropySql,
     "ta_repetition"  -> repetitionSql,
     "ta_tokens"      -> tokenCountsSql,

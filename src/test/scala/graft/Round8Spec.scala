@@ -278,6 +278,34 @@ class Round8Spec extends SparkSpec {
     assert(got === rerun, "rerun over the same input must be a no-op")
   }
 
+  test("T12 BPE train: string-rewrite merges equal token-level greedy BPE") {
+    import spark.implicits._
+    val got = llm.TextAnalysis.bpeTrain(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // reference: literal token-array BPE on the driver
+    var docs = Tables.documents(spark, sfDir).select($"text").as[String]
+      .collect().map(_.split(" ", -1).toVector)
+    val expected = (1 to 3).map { r =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      docs.foreach(ts => ts.indices.dropRight(1).foreach { i =>
+        counts((ts(i), ts(i + 1))) = counts.getOrElse((ts(i), ts(i + 1)), 0L) + 1
+      })
+      val ((pa, pb), n) = counts.toSeq.minBy { case ((a, b), c) => (-c, s"$a $b") }
+      docs = docs.map { ts =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < ts.length) {
+          if (i + 1 < ts.length && ts(i) == pa && ts(i + 1) == pb) {
+            out += s"${pa}_$pb"; i += 2
+          } else { out += ts(i); i += 1 }
+        }
+        out.result()
+      }
+      (r, s"$pa $pb", n, docs.map(_.size.toLong).sum)
+    }
+    assert(got.toSeq === expected)
+  }
+
   test("W7 EWMA: matches a driver-side recursive fold over each user's history") {
     import spark.implicits._
     val got = ops.EventWindows.ewma(spark, sfDir)
