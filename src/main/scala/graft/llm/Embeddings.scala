@@ -517,7 +517,7 @@ object Embeddings {
   // ranking window sees a BOUNDED ≤25-row partition per query, never
   // corpus-sized data. Composed with the E2b bucketed IVF layout this is
   // the IVFADC of the paper.
-  private val PqM = 8; private val PqSub = 8; private val PqK = 16; private val PqIters = 3
+  private val PqM = 8; private val PqSub = 8; private val PqK = 16; private val PqIters = 2
 
   /** Expression: per-row array of m subspace codes against broadcast
     * codebooks `cs` (array of struct(s, cell, cv, cn)); argmin-L2 via

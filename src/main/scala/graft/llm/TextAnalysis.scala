@@ -435,30 +435,40 @@ object TextAnalysis {
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // sequence(1, n) runs DESCENDING when n < 1 in Spark (no empty range),
-    // so single-token docs need the explicit CASE guard
+    // so single-token docs need the explicit CASE guard; the split runs
+    // ONCE into a column — referencing split(...) inside the transform
+    // lambda re-tokenizes the document per element (the T6 lesson)
     val pairsExpr = expr(
-      """CASE WHEN size(split(trim(w), '  ')) >= 2
-        |THEN transform(sequence(1, size(split(trim(w), '  ')) - 1),
-        |  i -> concat(element_at(split(trim(w), '  '), i), ' ',
-        |              element_at(split(trim(w), '  '), i + 1)))
+      """CASE WHEN size(toks) >= 2
+        |THEN transform(sequence(1, size(toks) - 1),
+        |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
         |ELSE CAST(array() AS array<string>) END""".stripMargin)
+    // each round's corpus feeds TWO actions (pair count, token count) and
+    // the next round's rewrite: cache the current rewrite and drop the
+    // previous one, so no action replays the growing replace() chain
     var w = Tables.documents(spark, dir)
       .select(concat(lit(" "), expr("replace(text, ' ', '  ')"), lit(" ")).as("w"))
+      .cache()
     val rules = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Long)]
-    for (r <- 1 to 3) {
-      val Array(best) = w.select(explode(pairsExpr).as("pair"))
-        .groupBy($"pair").agg(count(lit(1)).as("n"))
-        .orderBy($"n".desc, $"pair".asc).limit(1)
-        .collect()
-      val (pair, n) = (best.getString(0), best.getLong(1))
-      val Array(pa, pb) = pair.split(" ", 2)
-      // lit() arguments, not expr-string interpolation: tokens come from
-      // corpus text and may contain any character
-      w = w.withColumn("w", call_function("replace", $"w",
-        lit(s" $pa  $pb "), lit(s" ${pa}_$pb ")))
-      val nTok = w.agg(sum(size(split(trim($"w"), "  ")))).as[Long].collect()(0)
-      rules += ((r, pair, n, nTok))
-    }
+    try {
+      for (r <- 1 to 3) {
+        val Array(best) = w.select(split(trim($"w"), "  ").as("toks"))
+          .select(explode(pairsExpr).as("pair"))
+          .groupBy($"pair").agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"pair".asc).limit(1)
+          .collect()
+        val (pair, n) = (best.getString(0), best.getLong(1))
+        val Array(pa, pb) = pair.split(" ", 2)
+        // lit() arguments, not expr-string interpolation: tokens come from
+        // corpus text and may contain any character
+        val next = w.withColumn("w", call_function("replace", $"w",
+          lit(s" $pa  $pb "), lit(s" ${pa}_$pb "))).cache()
+        val nTok = next.agg(sum(size(split(trim($"w"), "  ")))).as[Long].collect()(0)
+        w.unpersist(false)
+        w = next
+        rules += ((r, pair, n, nTok))
+      }
+    } finally { w.unpersist(false); () }
     spark.createDataset(rules.toSeq)
       .toDF("round", "pair", "pair_count", "n_tokens_after")
       .orderBy($"round")
@@ -466,9 +476,9 @@ object TextAnalysis {
 
   val bpeTrainSql: String = {
     def pairsFrom(src: String) =
-      s"""SELECT unnest(list_transform(generate_series(1, len(string_split(trim(w), '  ')) - 1),
-         |    i -> string_split(trim(w), '  ')[i] || ' ' || string_split(trim(w), '  ')[i + 1])) AS pair
-         |  FROM $src""".stripMargin
+      s"""SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i + 1])) AS pair
+         |  FROM (SELECT string_split(trim(w), '  ') AS toks FROM $src)""".stripMargin
     def mergeCte(r: Int) =
       s"""p$r AS (
          |  ${pairsFrom(s"w${r - 1}")}),
