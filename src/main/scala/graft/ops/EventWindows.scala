@@ -324,6 +324,78 @@ object EventWindows {
       |LIMIT 25""".stripMargin
 
   // ---------------------------------------------------------------------
+  // W10 linear time-weighted interpolation (the missing member of the W5
+  // gapfill family — pandas interpolate(method='time')): a null point
+  // takes v_prev + (v_next − v_prev)·(t − t_prev)/(t_next − t_prev) from
+  // its nearest non-null neighbors in event time; leading/trailing gaps
+  // degrade to bfill/ffill. Each neighbor is carried as ONE ignoreNulls
+  // window struct (timestamp + value together — two scalar windows could
+  // pair a value with the wrong timestamp), so the whole operator is two
+  // window passes, same cost shape as W5.
+  // Determinism: values ride exact integer cents and timestamps exact
+  // micros; the only float ops are one division, one multiply, one add in
+  // a fixed order, then the 6dp round.
+  // 100 TB: one shuffle on user_id shared by both frames; no joins.
+  def interpolate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .withColumn("t", unix_micros($"ts"))
+      .withColumn("vc",
+        when($"event_type" === "view", lit(null).cast("bigint"))
+          .otherwise(expr("CAST(round(value * 100) AS BIGINT)")))
+    val wPast = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"t", $"event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wNext = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"t", $"event_id")
+      .rowsBetween(1, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    ev.select($"event_id", $"user_id", $"t", $"vc",
+        last(when($"vc".isNotNull, struct($"t".as("pt"), $"vc".as("pv"))), ignoreNulls = true)
+          .over(wPast).as("p"),
+        first(when($"vc".isNotNull, struct($"t".as("nt"), $"vc".as("nv"))), ignoreNulls = true)
+          .over(wNext).as("n"))
+      .withColumn("interp_c",
+        when($"vc".isNotNull, $"vc".cast("double"))
+          .when($"p".isNull && $"n".isNull, lit(null).cast("double"))
+          .when($"p".isNull, $"n.nv".cast("double"))
+          .when($"n".isNull, $"p.pv".cast("double"))
+          .otherwise($"p.pv" + ($"n.nv" - $"p.pv").cast("double")
+            * (($"t" - $"p.pt").cast("double") / ($"n.nt" - $"p.pt"))))
+      .select($"event_id", $"user_id",
+        ($"vc" / 100.0).as("value_raw"),
+        round($"interp_c" / 100.0, 6).as("interp"))
+      .orderBy($"event_id")
+  }
+
+  val interpolateSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS t,
+      |    CASE WHEN event_type = 'view' THEN NULL
+      |         ELSE CAST(round(value * 100) AS BIGINT) END AS vc
+      |  FROM events),
+      |w AS (
+      |  SELECT event_id, user_id, t, vc,
+      |    last_value(CASE WHEN vc IS NOT NULL THEN struct_pack(pt := t, pv := vc) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY t, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p,
+      |    first_value(CASE WHEN vc IS NOT NULL THEN struct_pack(nt := t, nv := vc) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY t, event_id
+      |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS n
+      |  FROM e),
+      |x AS (
+      |  SELECT event_id, user_id, vc,
+      |    CASE WHEN vc IS NOT NULL THEN CAST(vc AS DOUBLE)
+      |         WHEN p IS NULL AND n IS NULL THEN NULL
+      |         WHEN p IS NULL THEN CAST(n.nv AS DOUBLE)
+      |         WHEN n IS NULL THEN CAST(p.pv AS DOUBLE)
+      |         ELSE p.pv + CAST(n.nv - p.pv AS DOUBLE)
+      |           * (CAST(t - p.pt AS DOUBLE) / (n.nt - p.pt)) END AS interp_c
+      |  FROM w)
+      |SELECT event_id, user_id, vc / 100.0 AS value_raw,
+      |  round(interp_c / 100.0, 6) AS interp
+      |FROM x ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // W9 seasonal decomposition (the classical additive trend/seasonal/
   // residual split of monitoring and forecasting pipelines): the event
   // stream rolls up to an hourly revenue series, trend is a trailing
@@ -395,6 +467,7 @@ object EventWindows {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w9_seasonal"  -> (seasonalDecomp _),
+    "w10_interp"   -> (interpolate _),
     "ev_tumbling"  -> (tumbling _),
     "ev_sliding"   -> (sliding _),
     "ev_session"   -> (session _),
@@ -406,6 +479,7 @@ object EventWindows {
 
   val oracles: Map[String, String] = Map(
     "w9_seasonal"  -> seasonalDecompSql,
+    "w10_interp"   -> interpolateSql,
     "ev_tumbling"  -> tumblingSql,
     "ev_sliding"   -> slidingSql,
     "ev_session"   -> sessionSql,

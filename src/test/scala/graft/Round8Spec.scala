@@ -306,6 +306,39 @@ class Round8Spec extends SparkSpec {
     assert(got.toSeq === expected)
   }
 
+  test("W10 interpolation: matches a driver-side nearest-neighbor replay") {
+    import spark.implicits._
+    val got = ops.EventWindows.interpolate(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("event_id", "user_id", "unix_micros(ts) AS t",
+        "CASE WHEN event_type = 'view' THEN NULL ELSE CAST(round(value * 100) AS BIGINT) END AS vc")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    ev.groupBy(_._2).foreach { case (_, rows) =>
+      val s = rows.sortBy(r => (r._3, r._1)).toVector
+      s.indices.foreach { i =>
+        val (id, _, t, vc) = s(i)
+        val expC: Option[Double] = vc.map(_.toDouble).orElse {
+          val p = s.slice(0, i).reverse.collectFirst { case (_, _, pt, Some(pv)) => (pt, pv) }
+          val n = s.drop(i + 1).collectFirst { case (_, _, nt, Some(nv)) => (nt, nv) }
+          (p, n) match {
+            case (Some((pt, pv)), Some((nt, nv))) =>
+              Some(pv + (nv - pv).toDouble * ((t - pt).toDouble / (nt - pt)))
+            case (Some((_, pv)), None) => Some(pv.toDouble)
+            case (None, Some((_, nv))) => Some(nv.toDouble)
+            case _ => None
+          }
+        }
+        val exp = expC.map(c => BigDecimal(c / 100.0)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        assert(got(id) === exp, s"interp mismatch at event $id")
+      }
+    }
+  }
+
   test("W7 EWMA: matches a driver-side recursive fold over each user's history") {
     import spark.implicits._
     val got = ops.EventWindows.ewma(spark, sfDir)
