@@ -28,6 +28,7 @@ object SparkEntry {
     ops.NestedOps.queries ++
     ops.EventWindows.queries ++
     ops.Incremental.queries ++
+    ops.Graph.queries ++
     weather.FileIngest.queries ++
     llm.TextDedup.queries ++
     llm.Embeddings.queries ++
@@ -49,6 +50,7 @@ object SparkEntry {
     ops.NestedOps.oracles ++
     ops.EventWindows.oracles ++
     ops.Incremental.oracles ++
+    ops.Graph.oracles ++
     weather.FileIngest.oracles ++
     llm.TextDedup.oracles ++
     llm.Embeddings.oracles ++

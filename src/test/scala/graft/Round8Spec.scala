@@ -339,6 +339,34 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("G1 PageRank: matches a driver-side replay of the damped iteration") {
+    import spark.implicits._
+    val got = ops.Graph.pagerank(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val pairs = Tables.orders(spark, sfDir).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(spark, sfDir).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select(concat(lit("c|"), $"o_custkey".cast("string")),
+        concat(lit("s|"), $"l_suppkey".cast("string")))
+      .distinct().as[(String, String)].collect()
+    val edges = pairs.flatMap { case (c, s) => Seq((c, s), (s, c)) }
+    val outdeg = edges.groupBy(_._1).map { case (k, es) => k -> es.length.toLong }
+    val n = outdeg.size
+    var pr: Map[String, Double] = outdeg.map { case (k, _) => k -> 1.0 / n }
+    for (_ <- 1 to 3) {
+      val in = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      edges.foreach { case (src, dst) =>
+        in(dst) += math.floor((pr(src) / outdeg(src)) * 1e9 + 0.5).toLong
+      }
+      pr = in.map { case (k, e9) => k -> (0.15 / n + 0.85 * (e9.toDouble / 1e9)) }.toMap
+    }
+    val expected = pr.toSeq
+      .map { case (k, v) => (k, outdeg(k), BigDecimal(v)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .sortBy { case (k, _, v) => (-v, k) }.take(25)
+    assert(got.toSeq === expected)
+  }
+
   test("W7 EWMA: matches a driver-side recursive fold over each user's history") {
     import spark.implicits._
     val got = ops.EventWindows.ewma(spark, sfDir)
