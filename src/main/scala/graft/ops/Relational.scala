@@ -1129,7 +1129,85 @@ object Relational {
       |WHERE round(sqrt((c.cx - s.sx) * (c.cx - s.sx) + (c.cy - s.sy) * (c.cy - s.sy)), 6) <= 5.0
       |ORDER BY c_custkey, s_suppkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // A16 Spearman rank correlation (the robust member of the correlation
+  // family; a7_stats has the raw-moment Pearson): does order size track
+  // account balance within a market segment? Spearman = Pearson over
+  // AVERAGE ranks; to keep every sum exact-integer the ranks ride the
+  // doubled-rank trick — r2 = 2·rank + (ties−1) is the average rank × 2,
+  // an integer, and Pearson is affine-invariant per variable so the
+  // doubling cancels. All five sufficient statistics (Σx, Σy, Σx², Σy²,
+  // Σxy) are exact int64 (r2 ≤ 2n keeps Σ(r2²) < 2⁶³ far beyond these
+  // SFs); the closed form runs in doubles DERIVED from those exact ints,
+  // so both engines compute identical values before the 6dp round. A
+  // dollar-resolution Pearson on the raw values rides the same
+  // statistics shape for comparison.
+  // 100 TB: one join shuffle + two rank windows on the segment key +
+  // one partial-agg shuffle; the output is segment-sized.
+  def a16Spearman(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_mktsegment")
+    val base = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment",
+        expr("CAST(round(o_totalprice) AS BIGINT)").as("xd"),
+        expr("CAST(round(c_acctbal) AS BIGINT)").as("yd"))
+    val ranked = base
+      .withColumn("r2x", lit(2) * rank().over(w.orderBy($"xd"))
+        + count(lit(1)).over(Window.partitionBy($"c_mktsegment", $"xd")) - 1)
+      .withColumn("r2y", lit(2) * rank().over(w.orderBy($"yd"))
+        + count(lit(1)).over(Window.partitionBy($"c_mktsegment", $"yd")) - 1)
+    def corrExpr(sx: String, sy: String, sxx: String, syy: String, sxy: String) =
+      ((col("n").cast("double") * col(sxy) - col(sx).cast("double") * col(sy))
+        / sqrt((col("n").cast("double") * col(sxx) - col(sx).cast("double") * col(sx))
+          * (col("n").cast("double") * col(syy) - col(sy).cast("double") * col(sy))))
+    ranked.groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum($"r2x").as("srx"), sum($"r2y").as("sry"),
+        sum($"r2x" * $"r2x").as("srxx"), sum($"r2y" * $"r2y").as("sryy"),
+        sum($"r2x" * $"r2y").as("srxy"),
+        sum($"xd").as("sx"), sum($"yd").as("sy"),
+        sum($"xd" * $"xd").as("sxx"), sum($"yd" * $"yd").as("syy"),
+        sum($"xd" * $"yd").as("sxy"))
+      .select($"c_mktsegment", $"n",
+        round(corrExpr("srx", "sry", "srxx", "sryy", "srxy"), 6).as("spearman"),
+        round(corrExpr("sx", "sy", "sxx", "syy", "sxy"), 6).as("pearson"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val a16SpearmanSql: String =
+    """WITH b AS (
+      |  SELECT c_mktsegment,
+      |    CAST(round(o_totalprice) AS BIGINT) AS xd,
+      |    CAST(round(c_acctbal) AS BIGINT) AS yd
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |r AS (
+      |  SELECT c_mktsegment, xd, yd,
+      |    2 * rank() OVER (PARTITION BY c_mktsegment ORDER BY xd)
+      |      + COUNT(*) OVER (PARTITION BY c_mktsegment, xd) - 1 AS r2x,
+      |    2 * rank() OVER (PARTITION BY c_mktsegment ORDER BY yd)
+      |      + COUNT(*) OVER (PARTITION BY c_mktsegment, yd) - 1 AS r2y
+      |  FROM b),
+      |s AS (
+      |  SELECT c_mktsegment, COUNT(*) AS n,
+      |    CAST(SUM(r2x) AS BIGINT) AS srx, CAST(SUM(r2y) AS BIGINT) AS sry,
+      |    CAST(SUM(r2x * r2x) AS BIGINT) AS srxx, CAST(SUM(r2y * r2y) AS BIGINT) AS sryy,
+      |    CAST(SUM(r2x * r2y) AS BIGINT) AS srxy,
+      |    CAST(SUM(xd) AS BIGINT) AS sx, CAST(SUM(yd) AS BIGINT) AS sy,
+      |    CAST(SUM(xd * xd) AS BIGINT) AS sxx, CAST(SUM(yd * yd) AS BIGINT) AS syy,
+      |    CAST(SUM(xd * yd) AS BIGINT) AS sxy
+      |  FROM r GROUP BY c_mktsegment)
+      |SELECT c_mktsegment, n,
+      |  round((CAST(n AS DOUBLE) * srxy - CAST(srx AS DOUBLE) * sry)
+      |    / sqrt((CAST(n AS DOUBLE) * srxx - CAST(srx AS DOUBLE) * srx)
+      |         * (CAST(n AS DOUBLE) * sryy - CAST(sry AS DOUBLE) * sry)), 6) AS spearman,
+      |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |    / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+      |         * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS pearson
+      |FROM s ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a16_spearman" -> (a16Spearman _),
     "j9_grid_join" -> (j9GridJoin _),
     "w6_scd2"       -> (w6Scd2 _),
     "a11_regression" -> (a11Regression _),
@@ -1165,6 +1243,7 @@ object Relational {
     "p457_filter_distinct" -> (p457FilterDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "a16_spearman" -> a16SpearmanSql,
     "j9_grid_join" -> j9GridJoinSql,
     "w6_scd2"       -> w6Scd2Sql,
     "a11_regression" -> a11RegressionSql,

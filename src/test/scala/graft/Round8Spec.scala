@@ -367,6 +367,39 @@ class Round8Spec extends SparkSpec {
     assert(got.toSeq === expected)
   }
 
+  test("A16 Spearman: doubled-rank formulation equals textbook average-rank Spearman") {
+    import spark.implicits._
+    val got = Relational.a16Spearman(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val rows = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), $"o_custkey" === $"c_custkey")
+      .selectExpr("c_mktsegment", "CAST(round(o_totalprice) AS BIGINT)",
+        "CAST(round(c_acctbal) AS BIGINT)")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def avgRanks(xs: Seq[Long]): Map[Long, Double] = {
+      val sorted = xs.sorted.zipWithIndex.map { case (v, i) => (v, i + 1.0) }
+      sorted.groupBy(_._1).map { case (v, g) => v -> g.map(_._2).sum / g.size }
+    }
+    def pearson(ps: Seq[(Double, Double)]): Double = {
+      val n = ps.size
+      val (mx, my) = (ps.map(_._1).sum / n, ps.map(_._2).sum / n)
+      val cov = ps.map { case (a, b) => (a - mx) * (b - my) }.sum
+      val vx = ps.map(p => (p._1 - mx) * (p._1 - mx)).sum
+      val vy = ps.map(p => (p._2 - my) * (p._2 - my)).sum
+      cov / math.sqrt(vx * vy)
+    }
+    rows.groupBy(_._1).foreach { case (seg, g) =>
+      val rx = avgRanks(g.map(_._2).toSeq)
+      val ry = avgRanks(g.map(_._3).toSeq)
+      val sp = pearson(g.map(r => (rx(r._2), ry(r._3))).toSeq)
+      val (n, gotSp) = got(seg)
+      assert(n === g.length)
+      // the engine emits round(·, 6); textbook value is unrounded
+      assert(math.abs(gotSp - sp) < 5.1e-7,
+        s"segment $seg: engine spearman $gotSp vs textbook $sp")
+    }
+  }
+
   test("W7 EWMA: matches a driver-side recursive fold over each user's history") {
     import spark.implicits._
     val got = ops.EventWindows.ewma(spark, sfDir)
