@@ -40,22 +40,31 @@ object Graph {
       .select(concat(lit("c|"), $"o_custkey".cast("string")).as("c"),
         concat(lit("s|"), $"l_suppkey".cast("string")).as("s"))
       .distinct()
-    val edges = graft.ops.ScopedCache.untilConsumed(
-      pairs.select($"c".as("src"), $"s".as("dst"))
-        .unionByName(pairs.select($"s".as("src"), $"c".as("dst"))))
-    val out = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    // plain cache for the eager phase: the node-count action below would
+    // CONSUME an action-scoped cache and leave the three rounds
+    // recomputing the edge build; the scoped listener is attached after,
+    // so the caller's single action still releases the blocks
+    val edgesPlain = pairs.select($"c".as("src"), $"s".as("dst"))
+      .unionByName(pairs.select($"s".as("src"), $"c".as("dst")))
+      .cache()
+    val out = edgesPlain.groupBy($"src").agg(count(lit(1)).as("outdeg"))
     val n = out.count() // node count: a scalar, the tfidf N precedent
+    val edges = graft.ops.ScopedCache.untilConsumed(edgesPlain)
+    // rank state here is dimension-sized (customers + suppliers), so it
+    // BROADCASTS into each round's edge join — one partial-agg shuffle on
+    // dst per round. On a graph whose node set outgrows a broadcast, drop
+    // the hints: the same plan runs as a shuffle join on src.
     var pr = out.select($"src".as("node"), $"outdeg",
       (lit(1.0) / lit(n)).as("pr"))
     for (_ <- 1 to 3) {
-      val contrib = edges.join(pr, $"src" === $"node")
+      val contrib = edges.join(broadcast(pr), $"src" === $"node")
         .select($"dst",
           floor(($"pr" / $"outdeg") * lit(1e9) + lit(0.5)).cast("long").as("share_e9"))
         .groupBy($"dst").agg(sum($"share_e9").as("in_e9"))
       pr = contrib
         .select($"dst".as("node"),
           (lit(0.15) / lit(n) + lit(0.85) * ($"in_e9".cast("double") / lit(1e9))).as("pr"))
-        .join(out.select($"src".as("node"), $"outdeg"), Seq("node"))
+        .join(broadcast(out.select($"src".as("node"), $"outdeg")), Seq("node"))
         .select($"node", $"outdeg", $"pr")
     }
     pr.select($"node", $"outdeg", round($"pr", 6).as("pagerank"))
