@@ -329,6 +329,47 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("w8 streak: lag window, island sum and both group-bys share one custkey shuffle") {
+    spark.catalog.clearCache() // other suites cache these exact plans
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.ops.EventWindows.streak(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val nHash = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(nHash == 1,
+        s"the whole gaps-and-islands chain must reuse one partitioning, got $nHash:\n${plan.take(1500)}")
+      assert(plan.contains("TakeOrderedAndProject"),
+        "top-25 must be a bounded TakeOrderedAndProject, not a global sort")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("w10 interpolation: both neighbor windows share one user_id shuffle") {
+    spark.catalog.clearCache()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.ops.EventWindows.interpolate(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val nHash = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(nHash == 1,
+        s"past+future neighbor windows must reuse one partitioning, got $nHash:\n${plan.take(1500)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("a16 spearman: all four rank windows and the final aggregate share one shuffle") {
+    spark.catalog.clearCache()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Relational.a16Spearman(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      // hashpartitioning(segment) satisfies the (segment, value) tie-count
+      // windows too (coarser partitioning ⊇ finer clustering), so the
+      // join shuffle aside, the whole rank pipeline rides one exchange
+      val nHash = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(nHash <= 3,
+        s"expected join + at most one window/agg shuffle, got $nHash:\n${plan.take(2000)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("a9 battery is one partial+final hash aggregate over one shuffle") {
     spark.catalog.clearCache() // other suites cache these exact plans
     spark.conf.set("spark.sql.adaptive.enabled", "false")
