@@ -204,7 +204,9 @@ object Embeddings {
 
   // ---------------------------------------------------------------------
   // E2 IVF ANN with LEARNED coarse centroids: k=10 cells trained by 5
-  // deterministic Lloyd rounds (spherical k-means on max-cosine) — no use
+  // deterministic Lloyd rounds (spherical k-means on max-cosine; 3 rounds
+  // were measured to cost one recalled neighbor at sf0.001, so the count
+  // stays at 5) — no use
   // of `label`, which a real ingest pipeline doesn't have. Determinism:
   // seeds are the k corpus vectors ranked by md5(vec_id) (both engines
   // hash identical strings), every assignment similarity and every
