@@ -465,7 +465,38 @@ object EventWindows {
       |  round(amount - trend - seasonal, 6) AS resid
       |FROM f ORDER BY hr""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // EV6 sliding distinct users: unique-actor counts per sliding window —
+  // THE streaming product metric (DAU/WAU shape). Written as the explicit
+  // two-phase form: dedupe (window, user) first (one shuffle whose
+  // partial aggregation collapses repeat actors map-side), then a
+  // window-sized count — the scalable expansion of COUNT(DISTINCT), kept
+  // explicit so each phase partial-aggregates.
+  // 100 TB: phase 1 shuffles at most one row per (window, user) —
+  // repeat-heavy traffic collapses before the exchange; phase 2 is
+  // window-count-sized. The slide duplication factor (len/slide = 2)
+  // rides the same bound as EV2.
+  def slidingUniques(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select(window($"ts", "1 hour", "30 minutes").as("w"), $"user_id")
+      .select($"w.start".as("window_start"), $"user_id")
+      .distinct()
+      .groupBy($"window_start").agg(count(lit(1)).as("n_users"))
+      .orderBy($"window_start")
+  }
+
+  val slidingUniquesSql: String =
+    """SELECT window_start, COUNT(*) AS n_users FROM (
+      |  SELECT DISTINCT
+      |    time_bucket(INTERVAL '30 minutes', ts) - o.off * INTERVAL '30 minutes' AS window_start,
+      |    user_id
+      |  FROM events CROSS JOIN (VALUES (0), (1)) o(off))
+      |GROUP BY window_start
+      |ORDER BY window_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_uniques"   -> (slidingUniques _),
     "w9_seasonal"  -> (seasonalDecomp _),
     "w10_interp"   -> (interpolate _),
     "ev_tumbling"  -> (tumbling _),
@@ -478,6 +509,7 @@ object EventWindows {
     "w8_streak"    -> (streak _))
 
   val oracles: Map[String, String] = Map(
+    "ev_uniques"   -> slidingUniquesSql,
     "w9_seasonal"  -> seasonalDecompSql,
     "w10_interp"   -> interpolateSql,
     "ev_tumbling"  -> tumblingSql,

@@ -400,6 +400,24 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("EV6 sliding uniques: two-phase distinct equals count(distinct) semantics") {
+    import spark.implicits._
+    val got = ops.EventWindows.slidingUniques(spark, sfDir)
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val direct = Tables.events(spark, sfDir)
+      .groupBy(window($"ts", "1 hour", "30 minutes").as("w"))
+      .agg(countDistinct($"user_id").as("n"))
+      .select($"w.start", $"n")
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(got === direct)
+    // every window's distinct count is bounded by its event count
+    val events = Tables.events(spark, sfDir)
+      .groupBy(window($"ts", "1 hour", "30 minutes").as("w")).count()
+      .select($"w.start", $"count")
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    got.foreach { case (w, n) => assert(n <= events(w)) }
+  }
+
   test("W7 EWMA: matches a driver-side recursive fold over each user's history") {
     import spark.implicits._
     val got = ops.EventWindows.ewma(spark, sfDir)
