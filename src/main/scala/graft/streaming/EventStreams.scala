@@ -28,6 +28,26 @@ object EventStreams {
   def sessionStream(events: DataFrame): DataFrame =
     EventWindows.sessionAgg(events.withWatermark("ts", "1 hour"))
 
+  /** Streaming form of EV6 sliding distinct users (ops/EventWindows
+    * slidingUniques): watermarked dropDuplicates bounds the
+    * (window, user) dedup state — a key can be evicted once the
+    * watermark passes its window — then the windowed count aggregates
+    * the survivors. The same two-phase shape as batch, with state
+    * lifetime made explicit by the watermark.
+    */
+  def uniquesStream(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .select(org.apache.spark.sql.functions.window($"ts", "1 hour", "30 minutes").as("w"),
+        $"user_id", $"ts")
+      .dropDuplicates("w", "user_id")
+      .groupBy($"w")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_users"))
+      .select($"w.start".as("window_start"), $"n_users")
+  }
+
   /** Stream-stream interval join: each purchase attributed to the same
     * user's clicks in the preceding hour — the streaming form of the J6
     * band join (ops/Relational.scala j6BandJoin). Both sides carry

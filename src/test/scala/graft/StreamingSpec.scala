@@ -39,6 +39,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding distinct users: streaming two-phase dedup+count equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (ts("2024-01-01 10:05:00"), 1L), // user 1 twice in the 10:00 window
+      (ts("2024-01-01 10:20:00"), 1L),
+      (ts("2024-01-01 10:25:00"), 2L),
+      (ts("2024-01-01 10:50:00"), 3L), // lands in 10:00 and 10:30 windows
+      (ts("2024-01-01 11:10:00"), 1L))
+    val input = MemoryStream[(Timestamp, Long)]
+    val stream = EventStreams.uniquesStream(input.toDF.toDF("ts", "user_id"))
+    val q = stream.writeStream.format("memory")
+      .queryName("stream_uniques").outputMode("complete").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("stream_uniques")
+        .orderBy($"window_start").collect()
+      val batch = rows.toDF("ts", "user_id")
+        .select(window($"ts", "1 hour", "30 minutes").as("w"), $"user_id")
+        .distinct()
+        .groupBy($"w").agg(count(lit(1)).as("n_users"))
+        .select($"w.start".as("window_start"), $"n_users")
+        .orderBy($"window_start").collect()
+      assert(streamed.toSeq === batch.toSeq)
+      // user 1's duplicate within a window counted once
+      val w10 = spark.table("stream_uniques")
+        .filter($"window_start" === ts("2024-01-01 10:00:00")).collect()
+      assert(w10.head.getLong(1) === 3L)
+    } finally q.stop()
+  }
+
   test("stream-static join: broadcast dim enriches the stream, equals batch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
