@@ -9,17 +9,25 @@ import graft.Tables
 /** Similarity search over the `embeddings` table (vec_id, embedding:
   * array<float>, label) — the vector half of an LLM data pipeline.
   *
-  * Three operators, baseline → scale path:
+  * The operator family, baseline → scale paths:
   *  - emb_cosine_topk: brute-force cosine top-k. The query set is tiny and
   *    BROADCAST; the corpus streams — one scan, no shuffle of the corpus.
-  *  - emb_ivf_topk: IVF (inverted-file) ANN. A coarse quantizer (centroids)
-  *    partitions the corpus into cells; queries probe only the nearest
-  *    `nprobe` cells. At 100 TB the cell assignment IS the partitioning key
-  *    (write bucketed by cell), so a probe reads `nprobe/k` of the data —
-  *    the FAISS IVF-flat layout expressed relationally.
+  *  - emb_ivf_topk: IVF (inverted-file) ANN. A coarse quantizer (learned
+  *    centroids) partitions the corpus into cells; queries probe only the
+  *    nearest `nprobe` cells. At 100 TB the cell assignment IS the
+  *    partitioning key (write bucketed by cell), so a probe reads
+  *    `nprobe/k` of the data — the FAISS IVF-flat layout relationally.
+  *  - emb_pq_topk: product quantization + ADC + exact re-rank — the
+  *    MEMORY scale path (32-bit codes, 64× compression); composes with
+  *    the IVF layout as IVFADC.
   *  - emb_lsh_neardup: near-duplicate pairs via sign-random-projection LSH:
   *    banded signature equi-join generates candidates (never all-pairs),
   *    exact cosine verifies. Same band-join shape as TextDedup.minhashLsh.
+  *  - emb_semdedup: SemDeDup semantic dedup inside learned IVF cells.
+  *  - emb_quantize: int8 scalar quantization with fidelity report.
+  *  Graph-ANN (HNSW) is deliberately out of scope: its greedy sequential
+  *  search doesn't map to set-oriented plans; the distributed norm is
+  *  exactly this IVF/PQ/LSH family.
   *
   * Determinism contract with the DuckDB oracle: all float math is element-
   * wise double products followed by a sequential sum, and every emitted or
