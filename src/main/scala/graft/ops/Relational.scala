@@ -1206,7 +1206,63 @@ object Relational {
       |         * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS pearson
       |FROM s ORDER BY c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // A17 Welch's t-test (the A/B-experiment primitive): for every pair of
+  // event types, does mean value differ? Welch's unequal-variance t
+  //   t = (m1 − m2) / sqrt(s1²/n1 + s2²/n2)
+  // with the Welch–Satterthwaite degrees of freedom, computed ENTIRELY
+  // from per-group exact-int64 sufficient statistics (n, Σcents,
+  // Σcents²) — one aggregation pass over the data, then a 5-row
+  // self-join; every double derives from the same exact integers in both
+  // engines, so values agree before the 6dp round.
+  // 100 TB: ONE shuffle (the tiny stats pass); the pairwise join runs on
+  // a group-count-sized table. This is why experiment platforms store
+  // sufficient statistics, not samples.
+  def a17Welch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stats = Tables.events(spark, dir)
+      .select($"event_type", expr("CAST(round(value * 100) AS BIGINT)").as("xc"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"xc").as("s"), sum($"xc" * $"xc").as("ss"))
+    def m(p: String) = col(s"$p.s").cast("double") / col(s"$p.n")
+    // unbiased variance from exact sums: (ss − s²/n) / (n − 1)
+    def v(p: String) = (col(s"$p.ss").cast("double")
+      - col(s"$p.s").cast("double") * col(s"$p.s") / col(s"$p.n")) / (col(s"$p.n") - 1)
+    val se2 = v("a") / col("a.n") + v("b") / col("b.n")
+    stats.as("a").join(stats.as("b"),
+        $"a.event_type" < $"b.event_type")
+      .select(
+        $"a.event_type".as("type_a"), $"b.event_type".as("type_b"),
+        $"a.n".as("n_a"), $"b.n".as("n_b"),
+        round((m("a") - m("b")) / lit(100.0), 6).as("mean_diff"),
+        round((m("a") - m("b")) / sqrt(se2), 6).as("t_stat"),
+        round(pow(se2, 2) / (pow(v("a") / col("a.n"), 2) / (col("a.n") - 1)
+          + pow(v("b") / col("b.n"), 2) / (col("b.n") - 1)), 6).as("welch_df"))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  val a17WelchSql: String =
+    """WITH st AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS ss
+      |  FROM events GROUP BY event_type),
+      |p AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    a.n AS n_a, b.n AS n_b,
+      |    CAST(a.s AS DOUBLE) / a.n AS ma, CAST(b.s AS DOUBLE) / b.n AS mb,
+      |    (CAST(a.ss AS DOUBLE) - CAST(a.s AS DOUBLE) * a.s / a.n) / (a.n - 1) AS va,
+      |    (CAST(b.ss AS DOUBLE) - CAST(b.s AS DOUBLE) * b.s / b.n) / (b.n - 1) AS vb
+      |  FROM st a JOIN st b ON a.event_type < b.event_type)
+      |SELECT type_a, type_b, n_a, n_b,
+      |  round((ma - mb) / 100.0, 6) AS mean_diff,
+      |  round((ma - mb) / sqrt(va / n_a + vb / n_b), 6) AS t_stat,
+      |  round(pow(va / n_a + vb / n_b, 2)
+      |    / (pow(va / n_a, 2) / (n_a - 1) + pow(vb / n_b, 2) / (n_b - 1)), 6) AS welch_df
+      |FROM p ORDER BY type_a, type_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a17_welch"    -> (a17Welch _),
     "a16_spearman" -> (a16Spearman _),
     "j9_grid_join" -> (j9GridJoin _),
     "w6_scd2"       -> (w6Scd2 _),
@@ -1243,6 +1299,7 @@ object Relational {
     "p457_filter_distinct" -> (p457FilterDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "a17_welch"    -> a17WelchSql,
     "a16_spearman" -> a16SpearmanSql,
     "j9_grid_join" -> j9GridJoinSql,
     "w6_scd2"       -> w6Scd2Sql,

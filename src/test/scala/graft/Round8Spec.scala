@@ -418,6 +418,35 @@ class Round8Spec extends SparkSpec {
     got.foreach { case (w, n) => assert(n <= events(w)) }
   }
 
+  test("A17 Welch: matches a textbook two-sample computation per type pair") {
+    import spark.implicits._
+    val got = Relational.a17Welch(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    val vals = Tables.events(spark, sfDir)
+      .selectExpr("event_type", "CAST(round(value * 100) AS BIGINT)")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2.toDouble) }
+    val types = vals.keys.toSeq.sorted
+    for { i <- types.indices; j <- i + 1 until types.length } {
+      val (a, b) = (vals(types(i)), vals(types(j)))
+      def mean(x: Iterable[Double]) = x.sum / x.size
+      def vr(x: Iterable[Double]) = {
+        val m = mean(x); x.map(v => (v - m) * (v - m)).sum / (x.size - 1)
+      }
+      val (ma, mb, va, vb) = (mean(a), mean(b), vr(a), vr(b))
+      val se2 = va / a.size + vb / b.size
+      val t = (ma - mb) / math.sqrt(se2)
+      val df = se2 * se2 / (math.pow(va / a.size, 2) / (a.size - 1)
+        + math.pow(vb / b.size, 2) / (b.size - 1))
+      val (na, nb, gmd, gt, gdf) = got((types(i), types(j)))
+      assert(na === a.size.toLong && nb === b.size.toLong)
+      assert(math.abs(gmd - (ma - mb) / 100.0) < 1e-4)
+      assert(math.abs(gt - t) < 1e-4, s"t mismatch ${types(i)}/${types(j)}: $gt vs $t")
+      assert(math.abs(gdf - df) / df < 1e-6)
+    }
+  }
+
   test("W7 EWMA: matches a driver-side recursive fold over each user's history") {
     import spark.implicits._
     val got = ops.EventWindows.ewma(spark, sfDir)
