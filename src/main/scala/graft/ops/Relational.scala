@@ -1261,7 +1261,53 @@ object Relational {
       |    / (pow(va / n_a, 2) / (n_a - 1) + pow(vb / n_b, 2) / (n_b - 1)), 6) AS welch_df
       |FROM p ORDER BY type_a, type_b""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // J5b as-of join WITH TOLERANCE (pandas merge_asof(tolerance=...) /
+  // kdb wj semantics): each purchase takes the same user's LATEST PRIOR
+  // VIEW, but only within a 1-hour lookback — last-touch attribution,
+  // where a stale touchpoint must not claim the sale. Same one-shuffle
+  // union-and-carry-forward plan as J5; the carried value is ONE struct
+  // (view timestamp + id together — the W10 lesson: two scalar windows
+  // could pair an id with the wrong timestamp), and the tolerance test
+  // is exact timestamp arithmetic, no float math at all.
+  def j5bAsOfTol(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    // one row per (user, ts): max event_id → deterministic match under ties
+    val viewSide = ev.filter($"event_type" === "view")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("vid"))
+      .select($"user_id", $"ts".as("t"), lit(0).as("tag"),
+        $"vid", lit(null).cast(LongType).as("event_id"))
+    val buySide = ev.filter($"event_type" === "purchase").select(
+      $"user_id", $"ts".as("t"), lit(1).as("tag"),
+      lit(null).cast(LongType).as("vid"), $"event_id")
+    val w = Window.partitionBy($"user_id").orderBy($"t".asc, $"tag".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    viewSide.unionByName(buySide)
+      .withColumn("m", last(when($"tag" === 0, struct($"t".as("vt"), $"vid")),
+        ignoreNulls = true).over(w))
+      .filter($"tag" === 1)
+      .select($"event_id", $"user_id",
+        when($"m".isNotNull && $"t" <= $"m.vt" + expr("INTERVAL 1 HOUR"), $"m.vid")
+          .as("attributed_view"))
+      .orderBy($"event_id")
+  }
+
+  val j5bAsOfTolSql: String =
+    """WITH v AS (
+      |  SELECT user_id, ts, MAX(event_id) AS vid FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id, ts),
+      |b AS (
+      |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+      |SELECT b.event_id, b.user_id,
+      |  CASE WHEN v.ts IS NOT NULL AND b.ts <= v.ts + INTERVAL '1 hour'
+      |       THEN v.vid END AS attributed_view
+      |FROM b ASOF LEFT JOIN v
+      |  ON b.user_id = v.user_id AND b.ts >= v.ts
+      |ORDER BY b.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j5b_asof_tol" -> (j5bAsOfTol _),
     "a17_welch"    -> (a17Welch _),
     "a16_spearman" -> (a16Spearman _),
     "j9_grid_join" -> (j9GridJoin _),
@@ -1299,6 +1345,7 @@ object Relational {
     "p457_filter_distinct" -> (p457FilterDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "j5b_asof_tol" -> j5bAsOfTolSql,
     "a17_welch"    -> a17WelchSql,
     "a16_spearman" -> a16SpearmanSql,
     "j9_grid_join" -> j9GridJoinSql,

@@ -447,6 +447,32 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("J5b as-of tolerance: matches a driver-side latest-view-within-lookback scan") {
+    import spark.implicits._
+    val tol = Relational.j5bAsOfTol(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("event_id", "user_id", "unix_micros(ts)", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val hour = 3600L * 1000000
+    val viewsByUser = ev.filter(_._4 == "view").groupBy(_._2)
+      .map { case (u, vs) =>
+        // dedupe tied timestamps to the max id, like the operator
+        u -> vs.groupBy(_._3).map { case (t, g) => (t, g.map(_._1).max) }.toSeq
+      }
+    ev.filter(_._4 == "purchase").foreach { case (eid, u, t, _) =>
+      val prior = viewsByUser.getOrElse(u, Seq.empty).filter(_._1 <= t)
+      val expected = if (prior.isEmpty) None else {
+        val (vt, vid) = prior.maxBy(v => (v._1, v._2))
+        if (t - vt <= hour) Some(vid) else None
+      }
+      assert(tol(eid) === expected, s"attribution mismatch at purchase $eid")
+    }
+    assert(tol.values.exists(_.isEmpty) && tol.values.exists(_.nonEmpty),
+      "lookback should null some attributions and keep others at this SF")
+  }
+
   test("W7 EWMA: matches a driver-side recursive fold over each user's history") {
     import spark.implicits._
     val got = ops.EventWindows.ewma(spark, sfDir)
