@@ -714,7 +714,115 @@ object Embeddings {
       |FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // E7 MMR-diversified top-k (maximal marginal relevance, Carbonell &
+  // Goldstein 1998 — the diversity rerank RAG retrieval ships): from each
+  // query's top-25 cosine candidates, greedily pick 3 results maximizing
+  // λ·sim(q,c) − (1−λ)·max_{p∈picked} sim(c,p) with λ=0.7 — relevance
+  // minus redundancy, so near-duplicate hits don't crowd the result
+  // list. The greedy loop is SEQUENTIAL by nature, but k=3 unrolls into
+  // three window-argmax stages over a BOUNDED 25-candidate set per
+  // query, so every per-query computation (including the ≤25×2 pairwise
+  // penalty sims) is constant-size regardless of corpus scale.
+  // Determinism: all sims and scores round(·,6), every argmax breaks
+  // ties on cid — same contract as E1.
+  // 100 TB: the candidate stage is E1's broadcast-query × corpus scan
+  // with a map-side bounded top-k; everything after operates on q×25
+  // rows. The rerank never touches the corpus again.
+  def mmrTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.ensure(spark)
+    import spark.implicits._
+    val topk = udaf(new graft.functions.TopKAggregator(25),
+      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+    val e = graft.ops.ScopedCache.untilConsumed(
+      Tables.embeddings(spark, dir)
+        .select($"vec_id", $"embedding".as("v"))
+        .withColumn("nrm", norm($"v")))
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
+    val c = e.filter($"vec_id" >= 5)
+      .select($"vec_id".as("cid"), $"v".as("cv"), $"nrm".as("cn"))
+    val cands = c.join(broadcast(q))
+      .withColumn("sim", round(dot($"qv", $"cv") / ($"qn" * $"cn"), 6))
+      .groupBy($"qid").agg(topk($"cid", $"sim").as("top"))
+      .select($"qid", explode($"top").as("s"))
+      .select($"qid", $"s.cid".as("cid"), $"s.sim".as("sim"))
+      .join(c, Seq("cid"))
+    def pick(df: DataFrame, score: String) = {
+      val w = Window.partitionBy($"qid").orderBy(col(score).desc, $"cid".asc)
+      df.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+    }
+    val p1 = pick(cands, "sim")
+      .select($"qid", $"cid".as("p1id"), $"cv".as("p1v"), $"cn".as("p1n"), $"sim".as("s1"))
+    val p2 = pick(
+      cands.join(broadcast(p1), Seq("qid")).filter($"cid" =!= $"p1id")
+        .withColumn("mmr", round(lit(0.7) * $"sim"
+          - lit(0.3) * round(dot($"cv", $"p1v") / ($"cn" * $"p1n"), 6), 6)),
+      "mmr")
+      .select($"qid", $"cid".as("p2id"), $"cv".as("p2v"), $"cn".as("p2n"), $"mmr".as("s2"))
+    val p3 = pick(
+      cands.join(broadcast(p1), Seq("qid")).join(broadcast(p2), Seq("qid"))
+        .filter($"cid" =!= $"p1id" && $"cid" =!= $"p2id")
+        .withColumn("pen", greatest(
+          round(dot($"cv", $"p1v") / ($"cn" * $"p1n"), 6),
+          round(dot($"cv", $"p2v") / ($"cn" * $"p2n"), 6)))
+        .withColumn("mmr", round(lit(0.7) * $"sim" - lit(0.3) * $"pen", 6)),
+      "mmr")
+      .select($"qid", $"cid".as("p3id"), $"mmr".as("s3"))
+    p1.select($"qid", lit(1).as("step"), $"p1id".as("cid"), $"s1".as("score"))
+      .unionByName(p2.select($"qid", lit(2).as("step"), $"p2id".as("cid"), $"s2".as("score")))
+      .unionByName(p3.select($"qid", lit(3).as("step"), $"p3id".as("cid"), $"s3".as("score")))
+      .orderBy($"qid", $"step")
+  }
+
+  val mmrTopKSql: String =
+    embCte + """,
+      |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM ev WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM ev WHERE vec_id >= 5),
+      |scored AS (
+      |  SELECT qid, cid,
+      |    round(list_sum(list_transform(list_zip(qv, cv), t -> t[1] * t[2])) / (qn * cn), 6) AS sim
+      |  FROM c CROSS JOIN q),
+      |cands AS (
+      |  SELECT s.qid, s.cid, s.sim, c.cv, c.cn FROM (
+      |    SELECT qid, cid, sim,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+      |    FROM scored) s JOIN c ON c.cid = s.cid
+      |  WHERE s.rnk <= 25),
+      |p1 AS (
+      |  SELECT qid, cid AS p1id, cv AS p1v, cn AS p1n, sim AS s1 FROM (
+      |    SELECT qid, cid, sim, cv, cn,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rn
+      |    FROM cands) WHERE rn = 1),
+      |s2 AS (
+      |  SELECT x.qid, x.cid, x.cv, x.cn,
+      |    round(0.7 * x.sim
+      |      - 0.3 * round(list_sum(list_transform(list_zip(x.cv, p.p1v), t -> t[1] * t[2])) / (x.cn * p.p1n), 6), 6) AS mmr
+      |  FROM cands x JOIN p1 p USING (qid) WHERE x.cid <> p.p1id),
+      |p2 AS (
+      |  SELECT qid, cid AS p2id, cv AS p2v, cn AS p2n, mmr AS s2 FROM (
+      |    SELECT qid, cid, cv, cn, mmr,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY mmr DESC, cid ASC) AS rn
+      |    FROM s2) WHERE rn = 1),
+      |s3 AS (
+      |  SELECT x.qid, x.cid,
+      |    round(0.7 * x.sim - 0.3 * greatest(
+      |      round(list_sum(list_transform(list_zip(x.cv, a.p1v), t -> t[1] * t[2])) / (x.cn * a.p1n), 6),
+      |      round(list_sum(list_transform(list_zip(x.cv, b.p2v), t -> t[1] * t[2])) / (x.cn * b.p2n), 6)), 6) AS mmr
+      |  FROM cands x JOIN p1 a USING (qid) JOIN p2 b USING (qid)
+      |  WHERE x.cid <> a.p1id AND x.cid <> b.p2id),
+      |p3 AS (
+      |  SELECT qid, cid AS p3id, mmr AS s3 FROM (
+      |    SELECT qid, cid, mmr,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY mmr DESC, cid ASC) AS rn
+      |    FROM s3) WHERE rn = 1)
+      |SELECT qid, 1 AS step, p1id AS cid, s1 AS score FROM p1
+      |UNION ALL SELECT qid, 2 AS step, p2id AS cid, s2 AS score FROM p2
+      |UNION ALL SELECT qid, 3 AS step, p3id AS cid, s3 AS score FROM p3
+      |ORDER BY qid, step""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_mmr_topk"    -> (mmrTopK _),
     "emb_pq_topk"     -> (pqTopK _),
     "emb_cosine_topk" -> (cosineTopK _),
     "emb_ivf_topk"    -> (ivfTopK _),
@@ -723,6 +831,7 @@ object Embeddings {
     "emb_quantize"    -> (quantize _))
 
   val oracles: Map[String, String] = Map(
+    "emb_mmr_topk"    -> mmrTopKSql,
     "emb_pq_topk"     -> pqTopKSql,
     "emb_cosine_topk" -> cosineTopKSql,
     "emb_ivf_topk"    -> ivfTopKSql,

@@ -17,7 +17,7 @@ class PlanAuditSpec extends SparkSpec {
     "ta_bm25", "ta_heavy_hitters", "ta_lm_xent",
     "a17_welch", // pairwise < join of the GROUP-COUNT-sized stats table (5 rows)
     "emb_cosine_topk", "emb_ivf_topk", "emb_lsh_neardup", "emb_semdedup",
-    "emb_pq_topk",
+    "emb_pq_topk", "emb_mmr_topk",
     "wx_dim_condition", "wx_dim_location", "wx_staging", "wx_incremental",
     "wx_fact_params_forecast", "wx_fact_params_history",
     "wx_fact_sun_forecast", "wx_fact_sun_history")

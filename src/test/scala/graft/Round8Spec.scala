@@ -473,6 +473,36 @@ class Round8Spec extends SparkSpec {
       "lookback should null some attributions and keep others at this SF")
   }
 
+  test("E7 MMR: matches a driver-side greedy rerank of the top-25 candidates") {
+    import spark.implicits._
+    val got = Embeddings.mmrTopK(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val e = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE))")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val corpus = e.keys.filter(_ >= 5).toSeq
+    (0L until 5L).foreach { qid =>
+      val sims = corpus.map(c => c -> cos(e(qid), e(c))).toMap
+      val cands = corpus.sortBy(c => (-sims(c), c)).take(25)
+      val s1 = cands.minBy(c => (-sims(c), c))
+      val s2 = cands.filter(_ != s1)
+        .map(c => c -> r6(0.7 * sims(c) - 0.3 * cos(e(c), e(s1))))
+        .minBy { case (c, m) => (-m, c) }
+      val s3 = cands.filter(c => c != s1 && c != s2._1)
+        .map(c => c -> r6(0.7 * sims(c)
+          - 0.3 * math.max(cos(e(c), e(s1)), cos(e(c), e(s2._1)))))
+        .minBy { case (c, m) => (-m, c) }
+      val expect = Seq((qid, 1, s1, sims(s1)), (qid, 2, s2._1, s2._2), (qid, 3, s3._1, s3._2))
+      assert(got.filter(_._1 == qid).toSeq === expect, s"MMR divergence for query $qid")
+    }
+  }
+
   test("W7 EWMA: matches a driver-side recursive fold over each user's history") {
     import spark.implicits._
     val got = ops.EventWindows.ewma(spark, sfDir)
