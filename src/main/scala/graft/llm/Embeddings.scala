@@ -363,12 +363,15 @@ object Embeddings {
   // >= 0.4 verifies. 100 TB: the hyperplane table is a broadcast constant,
   // signatures are one corpus scan + a (vec, plane)-grouped sum, and the
   // candidate join shuffles on (band, chunk) — never all-pairs.
-  def lshNearDup(spark: SparkSession, dir: String): DataFrame = {
-    graft.GraftExtensions.ensure(spark)
+  /** SRP-banded candidate pairs (va < vb), shared by E3 (lshNearDup) and
+    * E6 (knnGraph): 16 sign-random-projection hyperplanes (weights ±1 from
+    * md5(plane|dim) — identical in both engines), signature split into 4
+    * bands × 4 bits; pairs sharing any band are candidates. One corpus
+    * scan for signatures, candidate join shuffles on (band, chunk).
+    */
+  private def srpCandidates(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
     import spark.implicits._
-    val e = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding".as("v"))
-      .withColumn("nrm", norm($"v"))
     // hyperplane weights: w(h, d) = +1 if first hex digit of md5("h|d") < 8
     val planes = broadcast(
       spark.range(16).select($"id".cast("int").as("h"))
@@ -390,10 +393,18 @@ object Embeddings {
       .select($"vec_id", explode(sequence(lit(0), lit(3))).as("band"), $"bits")
       .withColumn("chunk", expr("substr(bits, band * 4 + 1, 4)"))
       .select($"vec_id", $"band", $"chunk")
-    val cand = bands.as("a").join(bands.as("b"),
+    bands.as("a").join(bands.as("b"),
         $"a.band" === $"b.band" && $"a.chunk" === $"b.chunk" && $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("va"), $"b.vec_id".as("vb")).distinct()
-    cand
+  }
+
+  def lshNearDup(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.ensure(spark)
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".as("v"))
+      .withColumn("nrm", norm($"v"))
+    srpCandidates(e)
       .join(e.select($"vec_id".as("va"), $"v".as("av"), $"nrm".as("an")), Seq("va"))
       .join(e.select($"vec_id".as("vb"), $"v".as("bv"), $"nrm".as("bn")), Seq("vb"))
       .withColumn("sim", round(dot($"av", $"bv") / ($"an" * $"bn"), 6))
@@ -402,9 +413,9 @@ object Embeddings {
       .orderBy($"va", $"vb")
   }
 
-  val lshNearDupSql: String =
-    embCte + """,
-      |planes AS (
+  /** Oracle CTE chain producing the same (va, vb) SRP candidate pairs. */
+  private val srpCandSql: String =
+    """planes AS (
       |  SELECT h.h, d.d,
       |    CASE WHEN strpos('01234567', substr(md5(h.h::VARCHAR || '|' || d.d::VARCHAR), 1, 1)) > 0
       |         THEN 1.0 ELSE -1.0 END AS w
@@ -421,11 +432,78 @@ object Embeddings {
       |cand AS (
       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
       |  FROM bands a JOIN bands b
-      |    ON a.band = b.band AND a.chunk = b.chunk AND a.vec_id < b.vec_id)
+      |    ON a.band = b.band AND a.chunk = b.chunk AND a.vec_id < b.vec_id)""".stripMargin
+
+  val lshNearDupSql: String =
+    embCte + ",\n" + srpCandSql + """
       |SELECT va, vb,
       |  round(list_sum(list_transform(list_zip(x.v, y.v), t -> t[1] * t[2])) / (x.nrm * y.nrm), 6) AS sim
       |FROM cand JOIN ev x ON x.vec_id = va JOIN ev y ON y.vec_id = vb
       |WHERE round(list_sum(list_transform(list_zip(x.v, y.v), t -> t[1] * t[2])) / (x.nrm * y.nrm), 6) >= 0.4
+      |ORDER BY va, vb""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // E6 mutual k-NN graph: the data structure behind graph-based ANN
+  // indexes (NN-descent, HNSW's base layer) and graph-side corpus work
+  // (near-dup clustering, diversity sampling). Candidates come from the
+  // SAME SRP band join as E3 — never all-pairs — then each vector keeps
+  // its 5 best candidate neighbors (exact cosine, map-side bounded
+  // TopKAggregator: only n_partitions × k rows cross the exchange, where
+  // a ranking window would shuffle every scored candidate), and an edge
+  // survives only if BOTH endpoints keep it (mutual filter = equi-join of
+  // two node×k-sized directed lists on the reversed key).
+  // Determinism: sims round(·,6); per-vector ranking (sim desc, id asc)
+  // is total; output (va<vb) ordered by (va, vb).
+  // Coverage caveat (honest): banded LSH recall bounds neighbor recall —
+  // a vector with no band collision contributes no edges; more bands or
+  // multi-probe raise recall at linear candidate cost. At 100 TB the
+  // band join + bounded top-k is exactly the NN-descent seeding shape.
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.ensure(spark)
+    import spark.implicits._
+    val topk = udaf(new graft.functions.TopKAggregator(5),
+      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+    val e = graft.ops.ScopedCache.untilConsumed(
+      Tables.embeddings(spark, dir)
+        .select($"vec_id", $"embedding".as("v"))
+        .withColumn("nrm", norm($"v")))
+    val scored = srpCandidates(e)
+      .join(e.select($"vec_id".as("va"), $"v".as("av"), $"nrm".as("an")), Seq("va"))
+      .join(e.select($"vec_id".as("vb"), $"v".as("bv"), $"nrm".as("bn")), Seq("vb"))
+      .withColumn("sim", round(dot($"av", $"bv") / ($"an" * $"bn"), 6))
+      .select($"va", $"vb", $"sim")
+    val directed = scored
+      .select($"va".as("src"), $"vb".as("dst"), $"sim")
+      .unionByName(scored.select($"vb".as("src"), $"va".as("dst"), $"sim"))
+      .groupBy($"src").agg(topk($"dst", $"sim").as("top"))
+      .select($"src", posexplode($"top").as(Seq("pos", "s")))
+      .select($"src", ($"pos" + 1).as("rnk"), $"s.cid".as("dst"), $"s.sim".as("sim"))
+    val d = graft.ops.ScopedCache.untilConsumed(directed)
+    d.as("x").join(d.as("y"),
+        $"x.src" === $"y.dst" && $"x.dst" === $"y.src" && $"x.src" < $"x.dst")
+      .select($"x.src".as("va"), $"x.dst".as("vb"), $"x.sim".as("sim"),
+        $"x.rnk".cast("long").as("rnk_ab"), $"y.rnk".cast("long").as("rnk_ba"))
+      .orderBy($"va", $"vb")
+  }
+
+  val knnGraphSql: String =
+    embCte + ",\n" + srpCandSql + """,
+      |scored AS (
+      |  SELECT va, vb,
+      |    round(list_sum(list_transform(list_zip(x.v, y.v), t -> t[1] * t[2])) / (x.nrm * y.nrm), 6) AS sim
+      |  FROM cand JOIN ev x ON x.vec_id = va JOIN ev y ON y.vec_id = vb),
+      |directed AS (
+      |  SELECT va AS src, vb AS dst, sim FROM scored
+      |  UNION ALL
+      |  SELECT vb AS src, va AS dst, sim FROM scored),
+      |ranked AS (
+      |  SELECT src, dst, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rnk
+      |  FROM directed),
+      |d AS (SELECT * FROM ranked WHERE rnk <= 5)
+      |SELECT x.src AS va, x.dst AS vb, x.sim AS sim,
+      |  CAST(x.rnk AS BIGINT) AS rnk_ab, CAST(y.rnk AS BIGINT) AS rnk_ba
+      |FROM d x JOIN d y ON x.src = y.dst AND x.dst = y.src AND x.src < x.dst
       |ORDER BY va, vb""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -827,6 +905,7 @@ object Embeddings {
     "emb_cosine_topk" -> (cosineTopK _),
     "emb_ivf_topk"    -> (ivfTopK _),
     "emb_lsh_neardup" -> (lshNearDup _),
+    "emb_knn_graph"   -> (knnGraph _),
     "emb_semdedup"    -> (semDedup _),
     "emb_quantize"    -> (quantize _))
 
@@ -836,6 +915,7 @@ object Embeddings {
     "emb_cosine_topk" -> cosineTopKSql,
     "emb_ivf_topk"    -> ivfTopKSql,
     "emb_lsh_neardup" -> lshNearDupSql,
+    "emb_knn_graph"   -> knnGraphSql,
     "emb_semdedup"    -> semDedupSql,
     "emb_quantize"    -> quantizeSql)
 }

@@ -107,6 +107,21 @@ class LlmSpec extends SparkSpec {
     nd.unpersist()
   }
 
+  test("knn graph: edges are mutual, ordered, rank-bounded, and deduped") {
+    import spark.implicits._
+    val g = Embeddings.knnGraph(spark, sfDir).cache()
+    assert(g.filter($"va" >= $"vb").isEmpty)
+    assert(g.filter($"rnk_ab" < 1 || $"rnk_ab" > 5 || $"rnk_ba" < 1 || $"rnk_ba" > 5).isEmpty)
+    assert(g.filter($"sim" < -1.000001 || $"sim" > 1.000001).isEmpty)
+    // (va, vb) is a key: the mutual join emits each surviving edge once
+    assert(g.groupBy($"va", $"vb").count().filter($"count" > 1).isEmpty)
+    // substring dedup: rates bounded and totals consistent
+    val sd = TextDedup.substringDup(spark, sfDir)
+    assert(sd.filter($"dup_tokens" > $"total_tokens" || $"dup_tokens" < 0).isEmpty)
+    assert(sd.filter($"n_docs_spanned" > $"n_docs").isEmpty)
+    g.unpersist()
+  }
+
   test("fingerprint: identical texts share fp; quality ratios in [0,1]") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
