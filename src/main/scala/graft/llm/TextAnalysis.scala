@@ -673,6 +673,76 @@ object TextAnalysis {
       |SELECT doc_id, n_tok, xent, round(exp(xent), 6) AS ppl
       |FROM x ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // T13 PMI collocation mining: adjacent word bigrams scored by pointwise
+  // mutual information against unigram frequencies — the classic
+  // collocation extractor (Church & Hanks 1990), and the association
+  // measure behind phrase-vocab induction for tokenizers. Support floor
+  // c(w1,w2) >= 5 removes one-off pairs; top 25 by association.
+  //
+  // Determinism: PMI's log is MONOTONE in the lift ratio, so no log is
+  // computed at all — ranking uses lift = P(w1,w2)/(P(w1)·P(w2)) directly.
+  // The lift is a FIXED IEEE expression tree over exact int64 counts
+  // (identical in both engines), snapped to an integer micro-grid with
+  // floor(·×1e6 + 0.5) (the g1 discipline), so ties and order are exact.
+  //
+  // 100 TB: bigram enumeration is map-side (tokenize ONCE into a column,
+  // then a positional transform — the T6/BPE lambda lesson); counts are
+  // two partial-agg shuffles (unigram, bigram); the two unigram-count
+  // joins hit a vocab-sized table — broadcast here, shuffle-join on w1/w2
+  // if the vocabulary outgrows a broadcast (Zipf makes the candidate set
+  // after the support floor tiny either way).
+  def pmi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select(split($"text", " ").as("t"))
+    val tC = graft.ops.ScopedCache.untilConsumed(toks)
+    val ucnt = tC.select(explode($"t").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+    val nuni = ucnt.agg(sum($"c").cast("double").as("nuni"))
+    val bcnt = tC.filter(size($"t") >= 2)
+      .select(explode(transform(sequence(lit(1), size($"t") - 1),
+        i => struct(element_at($"t", i).as("w1"), element_at($"t", i + 1).as("w2")))).as("bg"))
+      .select($"bg.w1".as("w1"), $"bg.w2".as("w2"))
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("cxy"))
+    val nbig = bcnt.agg(sum($"cxy").cast("double").as("nbig"))
+    bcnt.filter($"cxy" >= 5)
+      .join(broadcast(ucnt.select($"w".as("w1"), $"c".as("c1"))), Seq("w1"))
+      .join(broadcast(ucnt.select($"w".as("w2"), $"c".as("c2"))), Seq("w2"))
+      .crossJoin(broadcast(nuni))
+      .crossJoin(broadcast(nbig))
+      .withColumn("lift",
+        ($"cxy".cast("double") / $"nbig") /
+          (($"c1".cast("double") / $"nuni") * ($"c2".cast("double") / $"nuni")))
+      .withColumn("lift_e6", floor($"lift" * lit(1e6) + lit(0.5)).cast("long"))
+      .select($"w1", $"w2", $"cxy", $"c1", $"c2", $"lift_e6")
+      .orderBy($"lift_e6".desc, $"w1".asc, $"w2".asc)
+      .limit(25)
+  }
+
+  val pmiSql: String =
+    """WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+      |uni AS (SELECT unnest(t) AS w FROM tok),
+      |ucnt AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY 1),
+      |nu AS (SELECT CAST(SUM(c) AS DOUBLE) AS nuni FROM ucnt),
+      |big AS (
+      |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+      |    i -> {'w1': t[i], 'w2': t[i+1]})) AS bg
+      |  FROM tok WHERE len(t) >= 2),
+      |bcnt AS (SELECT bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS cxy FROM big GROUP BY 1, 2),
+      |nb AS (SELECT CAST(SUM(cxy) AS DOUBLE) AS nbig FROM bcnt)
+      |SELECT w1, w2, cxy, c1.c AS c1, c2.c AS c2,
+      |  CAST(floor(((CAST(cxy AS DOUBLE) / nbig) /
+      |    ((CAST(c1.c AS DOUBLE) / nuni) * (CAST(c2.c AS DOUBLE) / nuni))) * 1e6
+      |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS lift_e6
+      |FROM bcnt
+      |JOIN ucnt c1 ON c1.w = bcnt.w1
+      |JOIN ucnt c2 ON c2.w = bcnt.w2
+      |CROSS JOIN nu CROSS JOIN nb
+      |WHERE cxy >= 5
+      |ORDER BY lift_e6 DESC, w1 ASC, w2 ASC
+      |LIMIT 25""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_lm_xent"     -> (lmPerplexity _),
     "ta_bpe_train"   -> (bpeTrain _),
@@ -685,7 +755,8 @@ object TextAnalysis {
     "ta_tfidf"       -> (tfidf _),
     "ta_bm25"        -> (bm25 _),
     "ta_heavy_hitters" -> (heavyHitters _),
-    "ta_bpe_pairs"   -> (bpePairs _))
+    "ta_bpe_pairs"   -> (bpePairs _),
+    "ta_pmi"         -> (pmi _))
 
   val oracles: Map[String, String] = Map(
     "ta_lm_xent"     -> lmPerplexitySql,
@@ -699,5 +770,6 @@ object TextAnalysis {
     "ta_tfidf"       -> tfidfSql,
     "ta_bm25"        -> bm25Sql,
     "ta_heavy_hitters" -> heavyHittersSql,
-    "ta_bpe_pairs"   -> bpePairsSql)
+    "ta_bpe_pairs"   -> bpePairsSql,
+    "ta_pmi"         -> pmiSql)
 }

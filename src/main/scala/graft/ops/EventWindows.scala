@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -495,7 +496,57 @@ object EventWindows {
       |GROUP BY window_start
       |ORDER BY window_start""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // W11 CUSUM changepoint detection over the hourly event-count series:
+  // the classic mean-shift statistic S_i = Σ_{j<=i}(c_j − mean), peak |S|
+  // marks the most likely change hour. Kept EXACT: with n hours and total
+  // T events, n·S_i = n·cum_i − i·T is integer — the statistic is scaled
+  // by n and computed entirely in int64 (no float mean, no summation-
+  // order exposure; the w9/g1 discipline taken to its limit: zero floats).
+  // Output: top 5 candidate change hours by (|n·S| desc, hr asc).
+  //
+  // 100 TB: the raw scan reduces to an hour-keyed partial-agg (map-side
+  // combine) — the only full-data pass. The cumulative sweep then runs on
+  // the AGGREGATED series (one row per hour: years fit in a node), so the
+  // single-partition window is bounded by calendar length, not data size;
+  // a decades-long series would window over (year) ranges with carried
+  // offsets (the w5 gapfill two-phase shape).
+  def cusum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", $"ts").as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy($"hr").rowsBetween(Window.unboundedPreceding, 0)
+    val tot = hourly.agg(sum($"cnt").as("t_all"), count(lit(1)).as("n_hr"))
+    hourly
+      .withColumn("cum", sum($"cnt").over(wCum))
+      .withColumn("i", row_number().over(Window.orderBy($"hr")).cast("long"))
+      .crossJoin(broadcast(tot))
+      .withColumn("ns", $"n_hr" * $"cum" - $"i" * $"t_all")
+      .select($"hr", $"cnt", $"cum", $"ns", abs($"ns").as("abs_ns"))
+      .orderBy($"abs_ns".desc, $"hr".asc)
+      .limit(5)
+  }
+
+  val cusumSql: String =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t_all, COUNT(*) AS n_hr FROM hourly),
+      |sweep AS (
+      |  SELECT hr, cnt,
+      |    CAST(SUM(cnt) OVER (ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY hr) AS BIGINT) AS i
+      |  FROM hourly)
+      |SELECT hr, cnt, cum,
+      |  n_hr * cum - i * t_all AS ns,
+      |  abs(n_hr * cum - i * t_all) AS abs_ns
+      |FROM sweep CROSS JOIN tot
+      |ORDER BY abs_ns DESC, hr ASC
+      |LIMIT 5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w11_cusum"    -> (cusum _),
     "ev_uniques"   -> (slidingUniques _),
     "w9_seasonal"  -> (seasonalDecomp _),
     "w10_interp"   -> (interpolate _),
@@ -509,6 +560,7 @@ object EventWindows {
     "w8_streak"    -> (streak _))
 
   val oracles: Map[String, String] = Map(
+    "w11_cusum"    -> cusumSql,
     "ev_uniques"   -> slidingUniquesSql,
     "w9_seasonal"  -> seasonalDecompSql,
     "w10_interp"   -> interpolateSql,

@@ -524,4 +524,35 @@ class Round8Spec extends SparkSpec {
       assert(got(k) === v, s"ewma mismatch for (user,event)=$k")
     }
   }
+
+  test("W11 CUSUM: peak statistic matches a sequential recompute") {
+    import spark.implicits._
+    val got = ops.EventWindows.cusum(spark, sfDir).collect()
+    assert(got.length <= 5 && got.nonEmpty)
+    got.foreach(r => assert(r.getLong(4) === math.abs(r.getLong(3))))
+    // independent sequential sweep on the driver (sf0.001 series is tiny)
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", $"ts").as("hr")).agg(count(lit(1)).as("cnt"))
+      .orderBy($"hr").collect().map(r => r.getLong(1))
+    val n = hourly.length.toLong
+    val t = hourly.sum
+    val peaks = hourly.scanLeft(0L)(_ + _).tail.zipWithIndex
+      .map { case (cum, i0) => math.abs(n * cum - (i0 + 1).toLong * t) }
+    assert(got.head.getLong(4) === peaks.max)
+  }
+
+  test("T13 PMI: support floor holds and lift recomputes from the row's own counts") {
+    import spark.implicits._
+    val rows = llm.TextAnalysis.pmi(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    rows.foreach(r => assert(r.getLong(2) >= 5L))
+    val toks = Tables.documents(spark, sfDir).select(split($"text", " ").as("t"))
+    val nuni = toks.select(explode($"t")).count().toDouble
+    val nbig = toks.select((size($"t") - 1).cast("long").as("nb"))
+      .agg(sum(when($"nb" > 0, $"nb").otherwise(0L))).head.getLong(0).toDouble
+    rows.foreach { r =>
+      val lift = (r.getLong(2) / nbig) / ((r.getLong(3) / nuni) * (r.getLong(4) / nuni))
+      assert(r.getLong(5) === math.floor(lift * 1e6 + 0.5).toLong)
+    }
+  }
 }
