@@ -113,13 +113,74 @@ object ApproxAggs {
       |  TRUE AS within_5pct
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** CMS bucket for (seed, key): top-8 hex chars of md5("seed|key") mod w.
+    * Pure md5 arithmetic — DuckDB replays the identical sketch. */
+  private def cmsBucket(seedCol: String, keyCol: String): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(col(seedCol).cast("string"), lit("|"),
+      col(keyCol).cast("string"))), 1, 8), 16, 10).cast("long") % 64
+
+  /** A19 Count-Min sketch, relationally: d=4 hash rows × w=64 buckets over
+    * o_custkey. The sketch build is one pass — each row lands in d cells,
+    * cells partial-agg map-side, and the WHOLE sketch is d×w=256 int64s
+    * regardless of data size (the reason CMS displaces exact frequency
+    * maps at 100 TB; it also merges across partitions/days by cell-wise
+    * addition). Probes (custkey < 20) read back est = min over the d
+    * cells — CMS guarantees est >= exact, surfaced as `overcount`.
+    *
+    * Unlike a8/a10 the oracle needs NO boolean verdict: the hash mixer is
+    * md5, so DuckDB rebuilds the byte-identical sketch and the driver
+    * hash-compares estimates directly.
+    */
+  def a19Cms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.orders(spark, dir)
+      .select(explode(sequence(lit(0), lit(3))).as("seed"), $"o_custkey")
+      .withColumn("bucket", cmsBucket("seed", "o_custkey"))
+      .groupBy($"seed", $"bucket").agg(count(lit(1)).as("c"))
+    val probes = Tables.orders(spark, dir).filter($"o_custkey" < 20)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("exact_cnt"))
+      .select($"o_custkey", $"exact_cnt", explode(sequence(lit(0), lit(3))).as("seed"))
+      .withColumn("bucket", cmsBucket("seed", "o_custkey"))
+    probes.join(cells, Seq("seed", "bucket"))
+      .groupBy($"o_custkey", $"exact_cnt")
+      .agg(min($"c").as("cms_est"))
+      .select($"o_custkey", $"exact_cnt", $"cms_est",
+        ($"cms_est" - $"exact_cnt").as("overcount"))
+      .orderBy($"o_custkey")
+  }
+
+  val a19CmsSql: String = {
+    val bucket = (seed: String, key: String) =>
+      s"""CAST(list_sum(list_transform([1,2,3,4,5,6,7,8], i ->
+         |    CAST(strpos('0123456789abcdef', substr(md5(CAST($seed AS VARCHAR) || '|' || CAST($key AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+         |      * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT) % 64""".stripMargin
+    s"""WITH cells AS (
+       |  SELECT s.seed, ${bucket("s.seed", "o_custkey")} AS bucket, COUNT(*) AS c
+       |  FROM orders CROSS JOIN generate_series(0, 3) s(seed)
+       |  GROUP BY 1, 2),
+       |probes AS (
+       |  SELECT o_custkey, COUNT(*) AS exact_cnt
+       |  FROM orders WHERE o_custkey < 20 GROUP BY 1),
+       |pb AS (
+       |  SELECT p.o_custkey, p.exact_cnt, s.seed,
+       |    ${bucket("s.seed", "p.o_custkey")} AS bucket
+       |  FROM probes p CROSS JOIN generate_series(0, 3) s(seed))
+       |SELECT pb.o_custkey, pb.exact_cnt,
+       |  MIN(c.c) AS cms_est, MIN(c.c) - pb.exact_cnt AS overcount
+       |FROM pb JOIN cells c ON c.seed = pb.seed AND c.bucket = pb.bucket
+       |GROUP BY 1, 2
+       |ORDER BY pb.o_custkey""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a8_approx"     -> (a8Approx _),
-    "a10_hll_merge" -> (a10HllMerge _))
+    "a10_hll_merge" -> (a10HllMerge _),
+    "a19_cms"       -> (a19Cms _))
 
-  /** Both sketch queries use boolean-verdict oracles: exact answers are
-    * compared cross-engine, sketch fidelity is a pinned TRUE column. */
+  /** a8/a10 use boolean-verdict oracles (sketch values are engine-
+    * defined); a19's md5-built CMS is replayed exactly — full hash match. */
   val oracles: Map[String, String] = Map(
     "a8_approx"     -> a8ApproxSql,
-    "a10_hll_merge" -> a10HllMergeSql)
+    "a10_hll_merge" -> a10HllMergeSql,
+    "a19_cms"       -> a19CmsSql)
 }

@@ -736,6 +736,41 @@ object Relational {
       |FROM documents GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
 
   // -------------------------------------------------------------------------
+  // A18 equi-DEPTH histogram (A6's dual): 8 buckets of equal row count via
+  // ntile over a TOTAL order — the tie-break on (l_orderkey, l_linenumber)
+  // makes the bucket assignment structural, not data-dependent, so ties at
+  // a bucket boundary land identically in both engines (the round-6
+  // max_by lesson applied to ntile). Money totals follow the
+  // DECIMAL(12,2) rule.
+  // 100 TB: a global ntile is a single-partition sort — fine at bench SF,
+  // wrong at scale; there the boundaries come from approx_percentile over
+  // a sample (one scan, map-side sketch) and bucket assignment is a
+  // map-side binary search against the broadcast boundaries. The output
+  // contract (count/min/max/sum per depth bucket) is unchanged.
+  def a18EquiDepth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
+    Tables.lineitem(spark, dir)
+      .withColumn("bucket", ntile(8).over(w).cast("long"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"l_extendedprice").as("lo"),
+        max($"l_extendedprice").as("hi"),
+        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)").as("sum_price"))
+      .orderBy($"bucket")
+  }
+
+  val a18EquiDepthSql: String =
+    """WITH t AS (
+      |  SELECT l_extendedprice,
+      |    NTILE(8) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket
+      |  FROM lineitem)
+      |SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_rows,
+      |  MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // -------------------------------------------------------------------------
   // A7 statistical aggregates: stddev / variance / correlation / covariance
   // per group, one pass. 4-dp rounding absorbs summation-order last-ulp
   // differences between engines (the inputs are ints, magnitudes ~1e2).
@@ -1316,6 +1351,7 @@ object Relational {
     "a12_outliers"  -> (a12Outliers _),
     "f_map_funcs"   -> (fMapFuncs _),
     "a6_histogram"  -> (a6Histogram _),
+    "a18_equidepth" -> (a18EquiDepth _),
     "a7_stats"      -> (a7Stats _),
     "a9_agg_battery" -> (a9AggBattery _),
     "f_null_funcs"  -> (fNullFuncs _),
@@ -1354,6 +1390,7 @@ object Relational {
     "a12_outliers"  -> a12OutliersSql,
     "f_map_funcs"   -> fMapFuncsSql,
     "a6_histogram"  -> a6HistogramSql,
+    "a18_equidepth" -> a18EquiDepthSql,
     "a7_stats"      -> a7StatsSql,
     "a9_agg_battery" -> a9AggBatterySql,
     "f_null_funcs"  -> fNullFuncsSql,

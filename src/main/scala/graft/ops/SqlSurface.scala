@@ -431,7 +431,54 @@ object SqlSurface {
       |WHERE o_orderstatus = 'F' AND o_orderdate >= TIMESTAMP '1996-06-01 00:00:00'
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** TPC-H Q22 shape (global-sales-opportunity): above-average-balance
+    * customers with no recent orders, grouped by country. Adapted to the
+    * driver tables: c_nationkey stands in for the phone country code, and
+    * "never ordered" (empty on this synthetic data — every customer has
+    * orders) becomes "no order since 2000-01-01". Exercises the two
+    * remaining correlated-subquery muscles together: a scalar aggregate
+    * subquery feeding a filter, and NOT EXISTS (anti-join).
+    *
+    * Determinism: the above-average test runs in integer CENTS —
+    * acctbal_cents × n > sum_cents avoids cross-engine decimal-average
+    * rounding entirely; the emitted total is the DECIMAL(12,2) sum rule.
+    * 100 TB: both scalar subqueries collapse to one-row broadcasts;
+    * NOT EXISTS lowers to a broadcast/shuffle anti-join on o_custkey with
+    * the date filter pushed below it.
+    */
+  def sqlTpchQ22(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        |FROM g_customer
+        |WHERE CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) *
+        |    (SELECT COUNT(*) FROM g_customer WHERE c_acctbal > 0.0)
+        |  > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)) * 100) AS BIGINT)
+        |     FROM g_customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM g_orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY c_nationkey
+        |ORDER BY cntrycode""".stripMargin)
+  }
+
+  val sqlTpchQ22Sql: String =
+    """SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |WHERE CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) *
+      |    (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0.0)
+      |  > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)) * 100) AS BIGINT)
+      |     FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |GROUP BY c_nationkey
+      |ORDER BY cntrycode""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_tpch_q22"    -> (sqlTpchQ22 _),
     "sql_pipe"        -> (sqlPipe _),
     "sql_udf"         -> (sqlUdf _),
     "sql_params"      -> (sqlParams _),
@@ -447,6 +494,7 @@ object SqlSurface {
     "sql_scalar_subq" -> (sqlScalarSubq _))
 
   val oracles: Map[String, String] = Map(
+    "sql_tpch_q22"    -> sqlTpchQ22Sql,
     "sql_pipe"        -> sqlPipeSql,
     "sql_udf"         -> sqlUdfSql,
     "sql_params"      -> sqlParamsSql,

@@ -525,6 +525,24 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("A19 CMS: estimates never undercount and equal exact when no collision") {
+    import spark.implicits._
+    val r = ops.ApproxAggs.a19Cms(spark, sfDir).cache()
+    assert(r.filter($"overcount" < 0).isEmpty)
+    assert(r.filter($"cms_est" =!= $"exact_cnt" + $"overcount").isEmpty)
+    r.unpersist()
+  }
+
+  test("A18 equi-depth: bucket sizes within 1, boundaries non-decreasing") {
+    import spark.implicits._
+    val h = ops.Relational.a18EquiDepth(spark, sfDir).orderBy($"bucket").collect()
+    assert(h.length === 8)
+    val sizes = h.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1)
+    val bounds = h.flatMap(r => Seq(r.getDouble(2), r.getDouble(3)))
+    assert(bounds.zip(bounds.tail).forall { case (a, b) => a <= b })
+  }
+
   test("W11 CUSUM: peak statistic matches a sequential recompute") {
     import spark.implicits._
     val got = ops.EventWindows.cusum(spark, sfDir).collect()
