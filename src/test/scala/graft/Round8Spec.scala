@@ -525,6 +525,19 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("G2 triangles: incidences divide by 3, clustering bounded, degrees even-sum") {
+    import spark.implicits._
+    val g = ops.Graph.triangles(spark, sfDir).cache()
+    val (triSum, degSum) = {
+      val r = g.agg(sum($"n_tri"), sum($"deg")).head
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(triSum % 3 === 0, "each triangle is counted at its 3 corners")
+    assert(degSum % 2 === 0, "handshake: degree total is twice the edge count")
+    assert(g.filter($"clustering" < 0.0 || $"clustering" > 1.0).isEmpty)
+    g.unpersist()
+  }
+
   test("A19 CMS: estimates never undercount and equal exact when no collision") {
     import spark.implicits._
     val r = ops.ApproxAggs.a19Cms(spark, sfDir).cache()
