@@ -443,7 +443,7 @@ object Embeddings {
       |ORDER BY va, vb""".stripMargin
 
   // ---------------------------------------------------------------------
-  // E6 mutual k-NN graph: the data structure behind graph-based ANN
+  // E8 mutual k-NN graph: the data structure behind graph-based ANN
   // indexes (NN-descent, HNSW's base layer) and graph-side corpus work
   // (near-dup clustering, diversity sampling). Candidates come from the
   // SAME SRP band join as E3 — never all-pairs — then each vector keeps

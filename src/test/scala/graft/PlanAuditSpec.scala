@@ -15,9 +15,13 @@ class PlanAuditSpec extends SparkSpec {
 
   private val bnljAllowed = Set(
     "ta_bm25", "ta_heavy_hitters", "ta_lm_xent",
+    "ta_pmi",      // ONE-row broadcasts of the unigram/bigram totals
+    "w11_cusum",   // ONE-row broadcast of (total, n_hours)
+    "g2_triangles", // ONE-row broadcasts of edge count + backbone threshold
     "a17_welch", // pairwise < join of the GROUP-COUNT-sized stats table (5 rows)
     "emb_cosine_topk", "emb_ivf_topk", "emb_lsh_neardup", "emb_semdedup",
     "emb_pq_topk", "emb_mmr_topk",
+    "emb_knn_graph", // same fixed-size hyperplane broadcast as emb_lsh_neardup
     "wx_dim_condition", "wx_dim_location", "wx_staging", "wx_incremental",
     "wx_fact_params_forecast", "wx_fact_params_history",
     "wx_fact_sun_forecast", "wx_fact_sun_history")
