@@ -545,8 +545,49 @@ object EventWindows {
       |ORDER BY abs_ns DESC, hr ASC
       |LIMIT 5""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // W12 rolling exact median (w7 EWMA's robust sibling — the smoother
+  // that shrugs off the outliers A12 flags): per-user trailing-16-event
+  // median of `value`. Exact integer cents ride the bounded collected
+  // frame (the w7 shape); the median of a sorted int array is pure
+  // element access, and the one even-count interpolation is a FIXED
+  // IEEE tree ((a+b)/2/100) both engines share — no percentile builtin,
+  // whose interpolation conventions differ across engines.
+  // 100 TB: one shuffle on user_id; frame is ROWS-bounded (16 int64s per
+  // row), so state never scales with history length.
+  def rollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-15, 0)
+    Tables.events(spark, dir)
+      .withColumn("xc", expr("CAST(round(value * 100) AS BIGINT)"))
+      .withColumn("frame", array_sort(collect_list($"xc").over(w)))
+      .withColumn("n", size($"frame"))
+      .select($"user_id", $"event_id", $"value",
+        expr("""CAST(element_at(frame, CAST(((n - 1) div 2) + 1 AS INT))
+               |     + element_at(frame, CAST((n div 2) + 1 AS INT)) AS DOUBLE) / 2.0d / 100.0d"""
+          .stripMargin.replace("\n", " ")).as("rolling_median"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val rollingMedianSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CAST(round(value * 100) AS BIGINT) AS xc
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, event_id, value,
+      |    list_sort(list(xc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)) AS frame
+      |  FROM e)
+      |SELECT user_id, event_id, value,
+      |  CAST(frame[(len(frame) - 1) // 2 + 1]
+      |       + frame[len(frame) // 2 + 1] AS DOUBLE) / 2.0 / 100.0 AS rolling_median
+      |FROM f ORDER BY user_id, event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w11_cusum"    -> (cusum _),
+    "w12_rollmed"  -> (rollingMedian _),
     "ev_uniques"   -> (slidingUniques _),
     "w9_seasonal"  -> (seasonalDecomp _),
     "w10_interp"   -> (interpolate _),
@@ -561,6 +602,7 @@ object EventWindows {
 
   val oracles: Map[String, String] = Map(
     "w11_cusum"    -> cusumSql,
+    "w12_rollmed"  -> rollingMedianSql,
     "ev_uniques"   -> slidingUniquesSql,
     "w9_seasonal"  -> seasonalDecompSql,
     "w10_interp"   -> interpolateSql,

@@ -129,7 +129,14 @@ object Graph {
     * inverted-index discipline; not needed at these SFs and noted here);
     * everything after runs on the edge list, shuffling on endpoint keys.
     */
-  def triangles(spark: SparkSession, dir: String): DataFrame = {
+  /** Top-decile co-purchase backbone shared by G2 (triangles) and G3
+    * (k-core): suppliers as nodes, an edge where the shared-customer
+    * count reaches the value at descending rank ⌊m/10⌋ (see the G2
+    * scaladoc for why the raw projection is complete and how the
+    * threshold stays exact). Returns the (u < v) edge list, action-
+    * scoped-cached for the caller's single consuming action.
+    */
+  private def backboneEdges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pairs = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
       .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
@@ -147,8 +154,31 @@ object Graph {
       .crossJoin(broadcast(vc.agg(sum($"cv").as("m"))))
       .filter($"cume" >= expr("m div 10"))
       .agg(max($"sv").as("t"))
-    val edges = graft.ops.ScopedCache.untilConsumed(
+    graft.ops.ScopedCache.untilConsumed(
       w.crossJoin(broadcast(thr)).filter($"shared" >= $"t").select($"u", $"v"))
+  }
+
+  /** Oracle CTE chain producing the same backbone `edges(u, v)`. */
+  private val backboneSql: String =
+    """pairs AS (
+      |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |w AS (
+      |  SELECT a.s AS u, b.s AS v, COUNT(*) AS shared
+      |  FROM pairs a JOIN pairs b ON a.c = b.c AND a.s < b.s
+      |  GROUP BY 1, 2),
+      |vc AS (SELECT shared AS sv, COUNT(*) AS cv FROM w GROUP BY 1),
+      |m AS (SELECT CAST(SUM(cv) AS BIGINT) AS m FROM vc),
+      |cum AS (
+      |  SELECT sv, CAST(SUM(cv) OVER (ORDER BY sv DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cume
+      |  FROM vc),
+      |thr AS (SELECT MAX(sv) AS t FROM cum CROSS JOIN m WHERE cume >= m // 10),
+      |edges AS (SELECT u, v FROM w CROSS JOIN thr WHERE shared >= t)""".stripMargin
+
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = backboneEdges(spark, dir)
     val deg = edges.select($"u".as("node"))
       .unionByName(edges.select($"v".as("node")))
       .groupBy($"node").agg(count(lit(1)).as("deg"))
@@ -170,21 +200,7 @@ object Graph {
   }
 
   val trianglesSql: String =
-    """WITH pairs AS (
-      |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
-      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-      |w AS (
-      |  SELECT a.s AS u, b.s AS v, COUNT(*) AS shared
-      |  FROM pairs a JOIN pairs b ON a.c = b.c AND a.s < b.s
-      |  GROUP BY 1, 2),
-      |vc AS (SELECT shared AS sv, COUNT(*) AS cv FROM w GROUP BY 1),
-      |m AS (SELECT CAST(SUM(cv) AS BIGINT) AS m FROM vc),
-      |cum AS (
-      |  SELECT sv, CAST(SUM(cv) OVER (ORDER BY sv DESC
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cume
-      |  FROM vc),
-      |thr AS (SELECT MAX(sv) AS t FROM cum CROSS JOIN m WHERE cume >= m // 10),
-      |edges AS (SELECT u, v FROM w CROSS JOIN thr WHERE shared >= t),
+    "WITH " + backboneSql + """,
       |deg AS (
       |  SELECT node, COUNT(*) AS deg FROM (
       |    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges)
@@ -205,11 +221,99 @@ object Graph {
       |FROM deg d LEFT JOIN pernode p ON p.node = d.node
       |ORDER BY d.node""".stripMargin
 
+  /** G3 k-core peel (k=5, 3 FIXED rounds) over the G2 backbone — the
+    * degeneracy-ordering kernel (dense-subgraph mining, graph-ANN index
+    * pruning). Each round drops every node whose CURRENT degree is < k
+    * and every edge touching a dropped node; after 3 rounds the survivor
+    * set is a superset of the true 5-core (peeling is monotone from
+    * above), and `stable` reports whether round 3 changed anything —
+    * i.e. whether the fixpoint was already reached. A FIXED round count
+    * (no convergence loop) keeps both engines on the same trajectory,
+    * the a13/G1 discipline; production would iterate with the
+    * dupClusters localCheckpoint pattern.
+    *
+    * Determinism: pure integer degree arithmetic; output is every
+    * original backbone node with its round-by-round degrees, total order
+    * on node.
+    *
+    * 100 TB: each round is one degree partial-agg + two semi-joins on
+    * endpoint keys — edge-list-sized shuffles, node-sized state, no
+    * driver participation.
+    */
+  def kcore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 5
+    val e0 = backboneEdges(spark, dir)
+    def degreeOf(e: DataFrame): DataFrame =
+      e.select($"u".as("node")).unionByName(e.select($"v".as("node")))
+        .groupBy($"node").agg(count(lit(1)).as("deg"))
+    // each round's edge list feeds 2–3 downstream chains (next round's
+    // semi-joins + the final report), and DataFrames don't share common
+    // subplans across branches — so every round is eagerly cut to an
+    // edge-list-sized localCheckpoint (the dupClusters iteration
+    // pattern). Without the cut the peel re-executes round t inside
+    // every round > t and re-derives the backbone per branch (measured
+    // 8.8 s; nesting action-scoped caches inside the loop instead
+    // measured WORSE — the per-round broadcast subtrees multiply).
+    var e = e0.localCheckpoint()
+    var degs = List(degreeOf(e))
+    for (_ <- 1 to 3) {
+      val alive = degs.head.filter($"deg" >= k).select($"node")
+      e = e
+        .join(alive.select($"node".as("u")), Seq("u"), "left_semi")
+        .join(alive.select($"node".as("v")), Seq("v"), "left_semi")
+        .select($"u", $"v")
+        .localCheckpoint()
+      degs = degreeOf(e) :: degs
+    }
+    val (d3, d2, d0) = (degs(0), degs(1), degs(3))
+    d0.select($"node", $"deg".as("deg0"))
+      .join(d2.select($"node", $"deg".as("deg2")), Seq("node"), "left")
+      .join(d3.select($"node", $"deg".as("deg3")), Seq("node"), "left")
+      .select($"node", $"deg0",
+        coalesce($"deg2", lit(0L)).as("deg2"),
+        coalesce($"deg3", lit(0L)).as("deg3"))
+      .withColumn("in_core", $"deg3" >= k)
+      .withColumn("stable", $"deg3" === $"deg2")
+      .orderBy($"node")
+  }
+
+  val kcoreSql: String = {
+    def round_(t: Int) =
+      s"""alive$t AS (SELECT node FROM deg${t - 1} WHERE deg >= 5),
+         |e$t AS (
+         |  SELECT e.u, e.v FROM e${t - 1} e
+         |  JOIN alive$t au ON au.node = e.u
+         |  JOIN alive$t av ON av.node = e.v),
+         |deg$t AS (
+         |  SELECT node, COUNT(*) AS deg FROM (
+         |    SELECT u AS node FROM e$t UNION ALL SELECT v AS node FROM e$t)
+         |  GROUP BY 1)""".stripMargin
+    "WITH " + backboneSql + """,
+      |e0 AS (SELECT u, v FROM edges),
+      |deg0 AS (
+      |  SELECT node, COUNT(*) AS deg FROM (
+      |    SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0)
+      |  GROUP BY 1),
+      |""".stripMargin +
+      (1 to 3).map(round_).mkString(",\n") + """
+      |SELECT d0.node, d0.deg AS deg0,
+      |  COALESCE(d2.deg, 0) AS deg2, COALESCE(d3.deg, 0) AS deg3,
+      |  COALESCE(d3.deg, 0) >= 5 AS in_core,
+      |  COALESCE(d3.deg, 0) = COALESCE(d2.deg, 0) AS stable
+      |FROM deg0 d0
+      |LEFT JOIN deg2 d2 ON d2.node = d0.node
+      |LEFT JOIN deg3 d3 ON d3.node = d0.node
+      |ORDER BY d0.node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_pagerank"  -> (pagerank _),
-    "g2_triangles" -> (triangles _))
+    "g2_triangles" -> (triangles _),
+    "g3_kcore"     -> (kcore _))
 
   val oracles: Map[String, String] = Map(
     "g1_pagerank"  -> pagerankSql,
-    "g2_triangles" -> trianglesSql)
+    "g2_triangles" -> trianglesSql,
+    "g3_kcore"     -> kcoreSql)
 }

@@ -18,6 +18,7 @@ class PlanAuditSpec extends SparkSpec {
     "ta_pmi",      // ONE-row broadcasts of the unigram/bigram totals
     "w11_cusum",   // ONE-row broadcast of (total, n_hours)
     "g2_triangles", // ONE-row broadcasts of edge count + backbone threshold
+    "g3_kcore",     // same backbone threshold broadcasts (shared builder)
     "a17_welch", // pairwise < join of the GROUP-COUNT-sized stats table (5 rows)
     "emb_cosine_topk", "emb_ivf_topk", "emb_lsh_neardup", "emb_semdedup",
     "emb_pq_topk", "emb_mmr_topk",

@@ -525,6 +525,29 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("G3 k-core: degrees peel monotonically and in_core matches deg3") {
+    import spark.implicits._
+    val r = ops.Graph.kcore(spark, sfDir).cache()
+    assert(r.filter($"deg2" > $"deg0" || $"deg3" > $"deg2").isEmpty,
+      "peeling can only lower degrees")
+    assert(r.filter($"in_core" =!= ($"deg3" >= 5)).isEmpty)
+    r.unpersist()
+  }
+
+  test("W12 rolling median: first event per user is its own median") {
+    import spark.implicits._
+    val first = Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"user_id").orderBy($"ts", $"event_id")))
+      .filter($"rn" === 1).select($"user_id", $"event_id",
+        (expr("CAST(round(value * 100) AS BIGINT)").cast("double") / 2.0 / 100.0 * 2.0).as("expect"))
+    val med = ops.EventWindows.rollingMedian(spark, sfDir)
+      .select($"user_id", $"event_id", $"rolling_median")
+    val bad = med.join(first, Seq("user_id", "event_id"))
+      .filter(abs($"rolling_median" - $"expect") > 1e-9)
+    assert(bad.isEmpty)
+  }
+
   test("G2 triangles: incidences divide by 3, clustering bounded, degrees even-sum") {
     import spark.implicits._
     val g = ops.Graph.triangles(spark, sfDir).cache()
