@@ -1341,7 +1341,102 @@ object Relational {
       |  ON b.user_id = v.user_id AND b.ts >= v.ts
       |ORDER BY b.event_id""".stripMargin
 
+  // -------------------------------------------------------------------------
+  // J10 Bloom-pruned join — the runtime-filter pattern that matters most at
+  // 100 TB: build a Bloom bitmap over the (filtered) dim keys, broadcast it,
+  // and drop non-matching fact rows AT THE SCAN, before any shuffle; only
+  // the surviving candidates pay the exact join. Spark's own
+  // spark.sql.optimizer.runtimeFilter does this opportunistically — this
+  // operator is the explicit, plannable form with the FP accounting
+  // surfaced (n_candidates vs n_matches per group).
+  //
+  // The bitmap is built relationally (explode 3 hash positions → bit_or
+  // per 64-bit word → one-row map, ≤4 Ki words / 32 KiB broadcast; m=2^17 sized so sf0.01 exercises the FP-recheck path) and
+  // the hashes are pure int64 arithmetic ((k·C + D) mod P mod m) — no
+  // engine hash builtin — so DuckDB replays the byte-identical filter via
+  // three LEFT JOINs against the same word table: full hash-match oracle
+  // including the false-positive counts. At 100 TB: size m ≈ 10×|dim keys|
+  // (still ≪ the fact shuffle it prevents) or band the dim into multiple
+  // bitmaps; the probe side stays a scan-local filter either way.
+  def j10BloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = 1L << 17
+    val P = 2147483647L // 2^31 − 1; keys ≤ ~6e9 keep k·C + D < 2^63
+    val hashes = Seq((1000003L, 12345L), (999983L, 67891L), (1000033L, 54321L))
+    def pos(k: Column, cd: (Long, Long)): Column =
+      ((k * lit(cd._1) + lit(cd._2)) % lit(P)) % lit(m)
+    // 32-bit packing: shift ≤ 31 keeps the mask engine-portable (DuckDB
+    // range-checks a signed 1L << 63; bit 31 of an int64 is safe in both).
+    // Shift amounts are columns, so the SQL shiftleft (expr) is used — the
+    // Scala shiftleft overload only takes a literal Int.
+    val mask = expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))")
+
+    val dim = Tables.orders(spark, dir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey".cast(LongType).as("k"))
+    val bloom = dim
+      .select(explode(array(hashes.map(cd => pos($"k", cd)): _*)).as("p"))
+      .groupBy(($"p" / 32L).cast(LongType).as("w")).agg(bit_or(mask).as("bits"))
+      .agg(map_from_entries(collect_list(struct($"w", $"bits"))).as("bm"))
+
+    val probe = Tables.lineitem(spark, dir)
+      .select($"l_orderkey".cast(LongType).as("k"), $"l_returnflag")
+      .withColumns(hashes.zipWithIndex.map { case (cd, i) =>
+        s"p${i + 1}" -> pos($"k", cd)
+      }.toMap)
+    val isSet = (1 to hashes.size).map { i =>
+      expr(s"""coalesce(element_at(bm, CAST(p$i div 32 AS BIGINT)), CAST(0 AS BIGINT))
+              | & shiftleft(CAST(1 AS BIGINT), CAST(p$i % 32 AS INT)) != 0"""
+        .stripMargin.replace("\n", " "))
+    }.reduce(_ && _)
+    val cand = probe.crossJoin(broadcast(bloom)).filter(isSet)
+      .select($"k", $"l_returnflag")
+
+    cand.join(dim.withColumnRenamed("k", "dk"), $"k" === $"dk", "left")
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        count($"dk").as("n_matches"),
+        (count(lit(1)) - count($"dk")).as("n_false_pos"))
+      .orderBy($"l_returnflag")
+  }
+
+  val j10BloomJoinSql: String =
+    """WITH dim AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders
+      |  WHERE o_orderpriority = '1-URGENT'),
+      |hp AS (
+      |  SELECT ((k * 1000003 + 12345) % 2147483647) % 131072 AS p FROM dim
+      |  UNION ALL
+      |  SELECT ((k * 999983 + 67891) % 2147483647) % 131072 FROM dim
+      |  UNION ALL
+      |  SELECT ((k * 1000033 + 54321) % 2147483647) % 131072 FROM dim),
+      |bm AS (
+      |  SELECT p // 32 AS w, BIT_OR(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+      |  FROM hp GROUP BY 1),
+      |probe AS (
+      |  SELECT k, l_returnflag,
+      |    ((k * 1000003 + 12345) % 2147483647) % 131072 AS p1,
+      |    ((k * 999983 + 67891) % 2147483647) % 131072 AS p2,
+      |    ((k * 1000033 + 54321) % 2147483647) % 131072 AS p3
+      |  FROM (SELECT CAST(l_orderkey AS BIGINT) AS k, l_returnflag FROM lineitem)),
+      |cand AS (
+      |  SELECT pr.k, pr.l_returnflag FROM probe pr
+      |  LEFT JOIN bm b1 ON b1.w = pr.p1 // 32
+      |  LEFT JOIN bm b2 ON b2.w = pr.p2 // 32
+      |  LEFT JOIN bm b3 ON b3.w = pr.p3 // 32
+      |  WHERE COALESCE(b1.bits, 0) & (CAST(1 AS BIGINT) << CAST(pr.p1 % 32 AS INT)) <> 0
+      |    AND COALESCE(b2.bits, 0) & (CAST(1 AS BIGINT) << CAST(pr.p2 % 32 AS INT)) <> 0
+      |    AND COALESCE(b3.bits, 0) & (CAST(1 AS BIGINT) << CAST(pr.p3 % 32 AS INT)) <> 0)
+      |SELECT c.l_returnflag,
+      |  COUNT(*) AS n_candidates,
+      |  COUNT(d.k) AS n_matches,
+      |  COUNT(*) - COUNT(d.k) AS n_false_pos
+      |FROM cand c LEFT JOIN dim d ON d.k = c.k
+      |GROUP BY c.l_returnflag ORDER BY c.l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j10_bloom_join" -> (j10BloomJoin _),
     "j5b_asof_tol" -> (j5bAsOfTol _),
     "a17_welch"    -> (a17Welch _),
     "a16_spearman" -> (a16Spearman _),
@@ -1381,6 +1476,7 @@ object Relational {
     "p457_filter_distinct" -> (p457FilterDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "j10_bloom_join" -> j10BloomJoinSql,
     "j5b_asof_tol" -> j5bAsOfTolSql,
     "a17_welch"    -> a17WelchSql,
     "a16_spearman" -> a16SpearmanSql,

@@ -19,6 +19,7 @@ class PlanAuditSpec extends SparkSpec {
     "w11_cusum",   // ONE-row broadcast of (total, n_hours)
     "g2_triangles", // ONE-row broadcasts of edge count + backbone threshold
     "g3_kcore",     // same backbone threshold broadcasts (shared builder)
+    "j10_bloom_join", // ONE-row broadcast of the Bloom bitmap map
     "a17_welch", // pairwise < join of the GROUP-COUNT-sized stats table (5 rows)
     "emb_cosine_topk", "emb_ivf_topk", "emb_lsh_neardup", "emb_semdedup",
     "emb_pq_topk", "emb_mmr_topk",

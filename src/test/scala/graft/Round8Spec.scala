@@ -525,6 +525,21 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("J10 bloom join: zero false negatives — n_matches equals the exact join") {
+    import spark.implicits._
+    val got = Relational.j10BloomJoin(spark, sfDir).cache()
+    // the exact (bloom-free) reference: urgent-order lineitems per flag
+    val exact = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).filter($"o_orderpriority" === "1-URGENT"),
+        $"l_orderkey" === $"o_orderkey", "left_semi")
+      .groupBy($"l_returnflag").agg(count(lit(1)).as("n_exact"))
+    val bad = got.join(exact, Seq("l_returnflag"), "full")
+      .filter($"n_matches" =!= $"n_exact")
+    assert(bad.isEmpty, "bloom+recheck must lose nothing vs the exact join")
+    assert(got.filter($"n_false_pos" < 0 || $"n_candidates" < $"n_matches").isEmpty)
+    got.unpersist()
+  }
+
   test("G3 k-core: degrees peel monotonically and in_core matches deg3") {
     import spark.implicits._
     val r = ops.Graph.kcore(spark, sfDir).cache()
