@@ -101,46 +101,16 @@ object Curation {
   // node-sized (not edge-sized).
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // localCheckpoint (eager) materializes the candidate pairs ONCE and
-    // truncates the minhash lineage — without it every loop round re-plans
-    // the whole LSH pipeline and the plan snowballs.
-    val pairs = TextDedup.minhashLsh(spark, dir)
-      .select($"doc_a", $"doc_b").localCheckpoint()
-    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
-      .unionByName(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
-    var labels = edges.select($"src".as("doc_id")).distinct()
-      .withColumn("lbl", $"doc_id").localCheckpoint()
-    // Min-propagation is monotone: a node's label only ever decreases, so
-    // sum(lbl) strictly decreases until the fixed point. One cheap aggregate
-    // per round replaces the old join-based change detection (which was a
-    // full extra shuffle + job every round). None = empty graph (sum of an
-    // empty frame is null): no pairs → nothing to propagate, loop skipped.
-    def labelSum(df: DataFrame): Option[BigInt] =
-      Option(df.agg(sum($"lbl".cast("decimal(38,0)"))).head().getDecimal(0))
-        .map(d => BigInt(d.toBigInteger))
-    var prevSum = labelSum(labels)
-    var converged = prevSum.isEmpty
-    var rounds = 0
-    while (!converged && rounds < 20) {
-      val neighborMin = edges
-        .join(labels.select($"doc_id".as("dst"), $"lbl".as("dst_lbl")), Seq("dst"))
-        .groupBy($"src".as("doc_id")).agg(min($"dst_lbl").as("nb_lbl"))
-      val prop = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select($"doc_id", least($"lbl", coalesce($"nb_lbl", $"lbl")).as("lbl"))
-      // pointer jumping: also adopt the label OF my label — path lengths
-      // halve each round, so convergence is O(log n) rounds instead of
-      // O(diameter) (long dup chains at scale would otherwise dominate)
-      val next = prop.as("x")
-        .join(prop.select($"doc_id".as("lbl"), $"lbl".as("lbl2")).as("m"), Seq("lbl"), "left")
-        .select($"doc_id", least($"lbl", coalesce($"lbl2", $"lbl")).as("lbl"))
-        .localCheckpoint() // eager: one job; each round starts from stored blocks
-      val s = labelSum(next)
-      converged = s == prevSum
-      prevSum = s
-      labels = next
-      rounds += 1
-    }
-    labels
+    // The iteration core (min-label + pointer jumping, monotone label-sum
+    // convergence, per-round localCheckpoint) lives in
+    // graft.ops.Graph.connectedComponents — shared with the G4 graph
+    // query; this operator owns the LSH pair generation and the cluster
+    // report. The helper's first localCheckpoint materializes the
+    // candidate pairs ONCE and truncates the minhash lineage — without it
+    // every loop round re-plans the whole LSH pipeline.
+    graft.ops.Graph.connectedComponents(
+      TextDedup.minhashLsh(spark, dir).select($"doc_a", $"doc_b"))
+      .select($"node".as("doc_id"), $"component".as("lbl"))
       .groupBy($"lbl".as("cluster_root"))
       .agg(count(lit(1)).as("n_members"), max($"doc_id").as("max_doc"))
       .filter($"n_members" >= 2)

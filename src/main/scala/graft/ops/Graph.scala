@@ -307,13 +307,157 @@ object Graph {
       |ORDER BY d0.node""".stripMargin
   }
 
+  /** Connected components over an undirected pair list `(u, v)` (numeric
+    * node ids): min-label propagation with pointer jumping, the Pregel/
+    * GraphX CC algorithm expressed relationally. Extracted from
+    * [[graft.llm.Curation.dupClusters]] so the dup-cluster resolver and
+    * the graph query family share ONE iteration core. The driver loop
+    * coordinates rounds and checks a converged label SUM (monotone: min-
+    * propagation only ever decreases a label, so sum(lbl) strictly
+    * decreases until fixpoint) — no data is collected. Pointer jumping
+    * (adopt the label OF my label) halves path lengths each round:
+    * O(log n) rounds, not O(diameter).
+    *
+    * Returns (node, component) where component = min node id reachable.
+    * 100 TB: each round is one shuffle join on node id; label frames stay
+    * node-sized (never edge-sized); localCheckpoint per round truncates
+    * the snowballing lineage (the round-4 dupClusters lesson).
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
+    val p = pairs.toDF("u", "v").localCheckpoint()
+    val edges = p.select($"u".as("src"), $"v".as("dst"))
+      .unionByName(p.select($"v".as("src"), $"u".as("dst")))
+    var labels = edges.select($"src".as("node")).distinct()
+      .withColumn("lbl", $"node").localCheckpoint()
+    def labelSum(df: DataFrame): Option[BigInt] =
+      Option(df.agg(sum($"lbl".cast("decimal(38,0)"))).head().getDecimal(0))
+        .map(d => BigInt(d.toBigInteger))
+    var prevSum = labelSum(labels)
+    var converged = prevSum.isEmpty
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val neighborMin = edges
+        .join(labels.select($"node".as("dst"), $"lbl".as("dst_lbl")), Seq("dst"))
+        .groupBy($"src".as("node")).agg(min($"dst_lbl").as("nb_lbl"))
+      val prop = labels.join(neighborMin, Seq("node"), "left")
+        .select($"node", least($"lbl", coalesce($"nb_lbl", $"lbl")).as("lbl"))
+      val next = prop.as("x")
+        .join(prop.select($"node".as("lbl"), $"lbl".as("lbl2")).as("m"), Seq("lbl"), "left")
+        .select($"node", least($"lbl", coalesce($"lbl2", $"lbl")).as("lbl"))
+        .localCheckpoint()
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+      rounds += 1
+    }
+    labels.select($"node", $"lbl".as("component"))
+  }
+
+  /** G4 connected components of the co-purchase backbone — the component
+    * structure of the supplier graph (market segments), the third classic
+    * kernel after ranking (G1) and density (G2/G3). The Spark side runs
+    * [[connectedComponents]] (pointer jumping, O(log n) rounds); the
+    * DuckDB oracle computes the SAME labels from first principles with a
+    * recursive CTE (min reachable node id), so the gate checks algorithm-
+    * independent ground truth, not a replay of our iteration schedule.
+    * Output: every backbone node with its component root and the
+    * component's size — total order on node.
+    */
+  def concomp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cc = connectedComponents(backboneEdges(spark, dir).select($"u", $"v"))
+    val sizes = cc.groupBy($"component").agg(count(lit(1)).as("comp_size"))
+    cc.join(broadcast(sizes), Seq("component"))
+      .select($"node", $"component", $"comp_size")
+      .orderBy($"node")
+  }
+
+  val concompSql: String =
+    "WITH RECURSIVE " + backboneSql + """,
+      |und AS (
+      |  SELECT u AS src, v AS dst FROM edges
+      |  UNION ALL
+      |  SELECT v AS src, u AS dst FROM edges),
+      |reach(node, lbl) AS (
+      |  SELECT DISTINCT src AS node, src AS lbl FROM und
+      |  UNION
+      |  SELECT und.dst AS node, reach.lbl
+      |  FROM reach JOIN und ON und.src = reach.node),
+      |cc AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+      |sz AS (SELECT component, COUNT(*) AS comp_size FROM cc GROUP BY component)
+      |SELECT cc.node, cc.component, sz.comp_size
+      |FROM cc JOIN sz ON sz.component = cc.component
+      |ORDER BY cc.node""".stripMargin
+
+  /** G5 BFS hop distance from a deterministic seed (the minimum backbone
+    * node id) — single-source reachability, the traversal kernel backing
+    * "within k hops of a trusted set" curation filters. FRONTIER
+    * expansion: round t joins only the frontier (nodes first reached at
+    * t−1) against the edge list and anti-joins the visited set, so work
+    * per round is frontier-sized, not graph-sized — the textbook
+    * distributed BFS shape. A FIXED 6-round horizon (not a convergence
+    * loop) keeps both engines on the same trajectory; the oracle replays
+    * reachability with a depth-bounded recursive CTE and takes MIN(d).
+    * Unreached nodes report dist = −1 (explicit, not dropped).
+    * 100 TB: per-round cost ∝ |frontier| × avg-degree; visited/frontier
+    * frames are node-sized; localCheckpoint truncates per-round lineage.
+    */
+  def hopDist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e0 = backboneEdges(spark, dir).localCheckpoint()
+    val und = e0.select($"u".as("src"), $"v".as("dst"))
+      .unionByName(e0.select($"v".as("src"), $"u".as("dst")))
+    val nodes = und.select($"src".as("node")).distinct()
+    val seed = nodes.agg(min($"node").as("seed"))
+    var visited = nodes.join(broadcast(seed), $"node" === $"seed")
+      .select($"node", lit(0).as("dist")).localCheckpoint()
+    var frontier = visited.select($"node")
+    for (t <- 1 to 6) {
+      frontier = und
+        .join(frontier.select($"node".as("src")), Seq("src"), "left_semi")
+        .select($"dst".as("node")).distinct()
+        .join(visited.select($"node"), Seq("node"), "left_anti")
+        .localCheckpoint()
+      visited = visited
+        .unionByName(frontier.select($"node", lit(t).as("dist")))
+        .localCheckpoint()
+    }
+    nodes.join(visited, Seq("node"), "left")
+      .select($"node", coalesce($"dist", lit(-1)).as("dist"))
+      .orderBy($"node")
+  }
+
+  val hopDistSql: String =
+    "WITH RECURSIVE " + backboneSql + """,
+      |und AS (
+      |  SELECT u AS src, v AS dst FROM edges
+      |  UNION ALL
+      |  SELECT v AS src, u AS dst FROM edges),
+      |nodes AS (SELECT DISTINCT src AS node FROM und),
+      |reach(node, d) AS (
+      |  SELECT MIN(node), 0 FROM nodes
+      |  UNION
+      |  SELECT und.dst, reach.d + 1
+      |  FROM reach JOIN und ON und.src = reach.node
+      |  WHERE reach.d < 6),
+      |dist AS (SELECT node, CAST(MIN(d) AS INTEGER) AS d FROM reach GROUP BY node)
+      |SELECT n.node, COALESCE(dist.d, -1) AS dist
+      |FROM nodes n LEFT JOIN dist ON dist.node = n.node
+      |ORDER BY n.node""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_pagerank"  -> (pagerank _),
     "g2_triangles" -> (triangles _),
-    "g3_kcore"     -> (kcore _))
+    "g3_kcore"     -> (kcore _),
+    "g4_concomp"   -> (concomp _),
+    "g5_hopdist"   -> (hopDist _))
 
   val oracles: Map[String, String] = Map(
     "g1_pagerank"  -> pagerankSql,
     "g2_triangles" -> trianglesSql,
-    "g3_kcore"     -> kcoreSql)
+    "g3_kcore"     -> kcoreSql,
+    "g4_concomp"   -> concompSql,
+    "g5_hopdist"   -> hopDistSql)
 }

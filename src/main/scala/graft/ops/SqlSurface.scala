@@ -446,6 +446,56 @@ object SqlSurface {
     * NOT EXISTS lowers to a broadcast/shuffle anti-join on o_custkey with
     * the date filter pushed below it.
     */
+  /** TPC-H Q7 shape (volume shipping): revenue flowing between two
+    * nations, by supplier-nation × customer-nation × ship year. The
+    * interesting plan property is the TWO-ROLE dimension: `nation` joins
+    * the fact twice under different aliases (supplier side and customer
+    * side) — each role broadcasts independently, and the disjunctive
+    * nation-pair predicate lands AFTER both joins (it references both
+    * roles, so it cannot push into either scan; Catalyst evaluates it on
+    * the joined row). Revenue follows the DECIMAL(12,2) determinism rule;
+    * year() is identical SQL text in both engines.
+    * 100 TB: both nation roles are tiny broadcasts, lineitem⋈orders⋈
+    * customer shuffle on their keys, and the date range prunes the
+    * lineitem scan (PushedFilters on l_shipdate).
+    */
+  def sqlTpchQ7(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |       * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM g_supplier JOIN g_lineitem ON s_suppkey = l_suppkey
+        |  JOIN g_orders ON o_orderkey = l_orderkey
+        |  JOIN g_customer ON c_custkey = o_custkey
+        |  JOIN g_nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN g_nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+        |                     AND TIMESTAMP '1997-12-31 00:00:00'
+        |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+  }
+
+  val sqlTpchQ7Sql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  year(l_shipdate) AS l_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |       * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+      |                     AND TIMESTAMP '1997-12-31 00:00:00'
+      |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
   def sqlTpchQ22(spark: SparkSession, dir: String): DataFrame = {
     registerViews(spark, dir)
     spark.sql(
@@ -478,6 +528,7 @@ object SqlSurface {
       |ORDER BY cntrycode""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_tpch_q7"     -> (sqlTpchQ7 _),
     "sql_tpch_q22"    -> (sqlTpchQ22 _),
     "sql_pipe"        -> (sqlPipe _),
     "sql_udf"         -> (sqlUdf _),
@@ -494,6 +545,7 @@ object SqlSurface {
     "sql_scalar_subq" -> (sqlScalarSubq _))
 
   val oracles: Map[String, String] = Map(
+    "sql_tpch_q7"     -> sqlTpchQ7Sql,
     "sql_tpch_q22"    -> sqlTpchQ22Sql,
     "sql_pipe"        -> sqlPipeSql,
     "sql_udf"         -> sqlUdfSql,
