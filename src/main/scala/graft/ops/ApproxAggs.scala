@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -172,15 +173,136 @@ object ApproxAggs {
        |ORDER BY pb.o_custkey""".stripMargin
   }
 
+  /** KMV hash value for a customer key: top-8 hex chars of md5 → uniform
+    * 32-bit integer. Pure md5 arithmetic (the a19 CMS discipline) —
+    * DuckDB replays the identical sketch, so estimates hash-match exactly
+    * with NO boolean-verdict oracle. */
+  private def kmvHash(keyCol: String): org.apache.spark.sql.Column =
+    conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** A20 KMV (k-minimum-values / bottom-k) distinct sketch, k=256, over
+    * customers per order priority — the mergeable distinct sketch that,
+    * unlike HLL (A10), ALSO supports set intersection: keep the k
+    * smallest hash values per group; est = (k−1)·2³² div max(sketch)
+    * (exact when a group has < k values). Sketches merge by "union the
+    * values, keep the k smallest" — the per-group sketches roll up to the
+    * ALL row exactly as partition sketches roll up across executors.
+    * The intersection row estimates |URGENT ∩ HIGH| as
+    * cnt_both · est(union) div |union sketch| (the KMV inclusion
+    * estimator: the union's k minima are a uniform sample of A ∪ B;
+    * cnt_both of them lie in both sketches).
+    *
+    * Determinism: everything up to the estimates is distinct/min/max/count
+    * over int64 hash values; the estimates are integer `div` — both
+    * engines produce byte-identical rows.
+    * 100 TB: a sketch is k int64s per group regardless of data size;
+    * min-k partially aggregates map-side (each partition keeps its own
+    * bottom-k before the tiny merge), and the group-wise sketches are the
+    * unit of reuse — daily sketches union into monthly rollups without
+    * touching raw data.
+    */
+  def a20Kmv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 256
+    // estimate over columns named (nsk, hk); the literal is (k−1)·2³²
+    val est =
+      expr(s"CASE WHEN nsk < $k THEN nsk ELSE CAST(${(k - 1).toLong * 4294967296L}L div hk AS BIGINT) END")
+    val pc = Tables.orders(spark, dir)
+      .select($"o_orderpriority".as("g"), $"o_custkey".as("ck")).distinct()
+    val hv = graft.ops.ScopedCache.untilConsumed(
+      pc.withColumn("hv", kmvHash("ck")))
+    val rnW = Window.partitionBy($"g").orderBy($"hv")
+    val gsk = graft.ops.ScopedCache.untilConsumed(
+      hv.select($"g", $"hv").distinct()
+        .withColumn("rn", row_number().over(rnW)).filter($"rn" <= k)
+        .select($"g", $"hv"))
+    val gRows = gsk.groupBy($"g").agg(count(lit(1)).as("nsk"), max($"hv").as("hk"))
+      .join(hv.groupBy($"g").agg(countDistinct($"ck").as("n_exact")), Seq("g"))
+      .select($"g".as("scope"), $"n_exact", est.as("kmv_est"))
+    val uRow = gsk.select($"hv").distinct().orderBy($"hv").limit(k)
+      .agg(count(lit(1)).as("nsk"), max($"hv").as("hk"))
+      .crossJoin(broadcast(hv.agg(countDistinct($"ck").as("n_exact"))))
+      .select(lit("ALL|union").as("scope"), $"n_exact", est.as("kmv_est"))
+    val ask = gsk.filter($"g" === "1-URGENT").select($"hv")
+    val bsk = gsk.filter($"g" === "2-HIGH").select($"hv")
+    val abStats = ask.unionByName(bsk).distinct().orderBy($"hv").limit(k)
+      .join(ask.withColumn("ina", lit(1)).dropDuplicates("hv"), Seq("hv"), "left")
+      .join(bsk.withColumn("inb", lit(1)).dropDuplicates("hv"), Seq("hv"), "left")
+      .agg(count(lit(1)).as("nsk"), max($"hv").as("hk"),
+        sum(when($"ina" === 1 && $"inb" === 1, 1L).otherwise(0L)).as("cnt_both"))
+    val abExact = hv.filter($"g" === "1-URGENT").select($"ck")
+      .join(hv.filter($"g" === "2-HIGH").select($"ck"), Seq("ck"), "left_semi")
+      .agg(countDistinct($"ck").as("n_exact"))
+    val abRow = abStats.crossJoin(broadcast(abExact))
+      .select(lit("1-URGENT&2-HIGH").as("scope"), $"n_exact",
+        expr("CAST((cnt_both * " +
+          s"(CASE WHEN nsk < $k THEN nsk ELSE CAST(${(k - 1).toLong * 4294967296L}L div hk AS BIGINT) END)) div nsk AS BIGINT)")
+          .as("kmv_est"))
+    gRows.unionByName(uRow).unionByName(abRow).orderBy($"scope")
+  }
+
+  val a20KmvSql: String = {
+    val hvExpr = (key: String) =>
+      s"""CAST(list_sum(list_transform([1,2,3,4,5,6,7,8], i ->
+         |    CAST(strpos('0123456789abcdef', substr(md5(CAST($key AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+         |      * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT)""".stripMargin
+    val k = 256
+    val kc = (k - 1).toLong * 4294967296L
+    val estExpr = (nsk: String, hk: String) =>
+      s"CASE WHEN $nsk < $k THEN $nsk ELSE CAST($kc AS BIGINT) // $hk END"
+    s"""WITH pc AS (SELECT DISTINCT o_orderpriority AS g, o_custkey AS ck FROM orders),
+       |hv AS (SELECT g, ck, ${hvExpr("ck")} AS hv FROM pc),
+       |gsk AS (
+       |  SELECT g, hv FROM (
+       |    SELECT g, hv, ROW_NUMBER() OVER (PARTITION BY g ORDER BY hv) AS rn
+       |    FROM (SELECT DISTINCT g, hv FROM hv)) WHERE rn <= $k),
+       |gest AS (SELECT g, COUNT(*) AS nsk, MAX(hv) AS hk FROM gsk GROUP BY g),
+       |gexact AS (SELECT g, COUNT(DISTINCT ck) AS n_exact FROM hv GROUP BY g),
+       |grows AS (
+       |  SELECT g AS scope, n_exact, ${estExpr("nsk", "hk")} AS kmv_est
+       |  FROM gest JOIN gexact USING (g)),
+       |usk AS (SELECT DISTINCT hv FROM gsk ORDER BY hv LIMIT $k),
+       |uest AS (SELECT COUNT(*) AS nsk, MAX(hv) AS hk FROM usk),
+       |urow AS (
+       |  SELECT 'ALL|union' AS scope,
+       |    (SELECT COUNT(DISTINCT ck) FROM hv) AS n_exact,
+       |    ${estExpr("nsk", "hk")} AS kmv_est
+       |  FROM uest),
+       |ask AS (SELECT hv FROM gsk WHERE g = '1-URGENT'),
+       |bsk AS (SELECT hv FROM gsk WHERE g = '2-HIGH'),
+       |absk AS (
+       |  SELECT DISTINCT hv FROM (SELECT hv FROM ask UNION ALL SELECT hv FROM bsk)
+       |  ORDER BY hv LIMIT $k),
+       |abstats AS (
+       |  SELECT COUNT(*) AS nsk, MAX(hv) AS hk,
+       |    CAST(SUM(CASE WHEN hv IN (SELECT hv FROM ask)
+       |                   AND hv IN (SELECT hv FROM bsk) THEN 1 ELSE 0 END) AS BIGINT) AS cnt_both
+       |  FROM absk),
+       |abexact AS (
+       |  SELECT COUNT(DISTINCT a.ck) AS n_exact
+       |  FROM (SELECT ck FROM hv WHERE g = '1-URGENT') a
+       |  JOIN (SELECT ck FROM hv WHERE g = '2-HIGH') b ON b.ck = a.ck),
+       |abrow AS (
+       |  SELECT '1-URGENT&2-HIGH' AS scope, abexact.n_exact,
+       |    CAST((cnt_both * (${estExpr("nsk", "hk")})) // nsk AS BIGINT) AS kmv_est
+       |  FROM abstats CROSS JOIN abexact)
+       |SELECT scope, n_exact, kmv_est FROM grows
+       |UNION ALL SELECT scope, n_exact, kmv_est FROM urow
+       |UNION ALL SELECT scope, n_exact, kmv_est FROM abrow
+       |ORDER BY scope""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a8_approx"     -> (a8Approx _),
     "a10_hll_merge" -> (a10HllMerge _),
-    "a19_cms"       -> (a19Cms _))
+    "a19_cms"       -> (a19Cms _),
+    "a20_kmv"       -> (a20Kmv _))
 
   /** a8/a10 use boolean-verdict oracles (sketch values are engine-
     * defined); a19's md5-built CMS is replayed exactly — full hash match. */
   val oracles: Map[String, String] = Map(
     "a8_approx"     -> a8ApproxSql,
     "a10_hll_merge" -> a10HllMergeSql,
-    "a19_cms"       -> a19CmsSql)
+    "a19_cms"       -> a19CmsSql,
+    "a20_kmv"       -> a20KmvSql)
 }
