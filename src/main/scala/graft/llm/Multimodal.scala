@@ -228,11 +228,156 @@ object Multimodal {
       |  TRUE AS all_decoded
       |FROM px GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // M3 video frame sampling over a binary container column: each doc
+  // carries a "video" — n_frames raw grayscale frames (w×h bytes each)
+  // concatenated into ONE binary value, with a typed {n_frames, w, h}
+  // metadata struct (the production shape: opaque bytes + queryable
+  // metadata riding the row). The pipeline stride-samples every 2nd frame
+  // WITHOUT decoding the rest: sampled offsets come from `sequence`, the
+  // frame is sliced out of the container with binary `substring` (so
+  // unsampled bytes are never touched past the slice arithmetic), and
+  // only the sampled slices hit the raw-frame reader. Pixels follow
+  // (d1 + 5f + 7x + 13y) mod 256 (d1 = md5 digit sum), so DuckDB replays
+  // every decoded statistic in closed form.
+  // 100 TB: sampling drops (stride−1)/stride of decode work before any
+  // codec runs; containers never shuffle — the explode emits frame-sized
+  // slices inside the map stage and only small ints cross the exchange
+  // after feature extraction. With real codecs the same plan holds: the
+  // container's frame INDEX (byte ranges in metadata) replaces the
+  // fixed-size arithmetic.
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val meta = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", md5($"text").as("md5hex"),
+        (lit(3) + $"n_chars" % 6).cast("int").as("n_frames"),
+        (lit(4) + $"n_chars" % 5).cast("int").as("w"),
+        (lit(4) + ($"n_chars" * 3) % 5).cast("int").as("h"))
+      .withColumn("vmeta", struct($"n_frames", $"w", $"h"))
+    val sampled = encodeVideos(meta)
+      .select($"doc_id", $"source", $"vmeta", $"video",
+        posexplode(sequence(lit(0), $"vmeta.n_frames" - 1, lit(2))))
+      .withColumnRenamed("col", "fidx")
+      .select($"doc_id", $"source", $"vmeta", $"fidx",
+        expr("substring(video, fidx * vmeta.w * vmeta.h + 1, vmeta.w * vmeta.h)").as("frame"))
+    decodeRawFrames(sampled)
+      .groupBy($"source")
+      .agg(
+        countDistinct($"doc_id").as("n_videos"),
+        count(lit(1)).as("n_sampled_frames"),
+        // frame 0 is sampled from every container (stride anchor), so
+        // conditioning on it counts each container's n_frames exactly once
+        sum(when($"fidx" === 0, $"vmeta.n_frames").otherwise(0L)).as("sum_container_frames"),
+        sum($"f_px_sum").as("sum_px"),
+        expr("bool_and(f_len_ok)").as("all_frames_complete"))
+      .orderBy($"source")
+  }
+
+  /** Container encoder behind a `mapPartitions` batch boundary: packs
+    * n_frames w×h raw grayscale frames into one binary `video` column.
+    * Stands in for data arrival, like [[encodeImages]]. Expects columns
+    * `md5hex`, `n_frames`, `w`, `h`. */
+  def encodeVideos(meta: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.BinaryType
+    val outSchema = meta.schema.add("video", BinaryType)
+    val hexIdx = meta.schema.fieldIndex("md5hex")
+    val nfIdx = meta.schema.fieldIndex("n_frames")
+    val wIdx = meta.schema.fieldIndex("w")
+    val hIdx = meta.schema.fieldIndex("h")
+    meta.mapPartitions { rows =>
+      rows.map { r =>
+        val hex = r.getString(hexIdx)
+        if (hex == null) Row.fromSeq(r.toSeq :+ null)
+        else {
+          var d1 = 0
+          var i = 0
+          while (i < hex.length) { d1 += Character.digit(hex.charAt(i), 16); i += 1 }
+          val nf = r.getInt(nfIdx); val w = r.getInt(wIdx); val h = r.getInt(hIdx)
+          val bytes = new Array[Byte](nf * w * h)
+          var f = 0
+          var o = 0
+          while (f < nf) {
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                bytes(o) = ((d1 + 5 * f + 7 * x + 13 * y) % 256).toByte
+                o += 1; x += 1
+              }
+              y += 1
+            }
+            f += 1
+          }
+          Row.fromSeq(r.toSeq :+ bytes)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Raw-frame reader behind a `mapPartitions` batch boundary: widens each
+    * row with the frame's unsigned-byte pixel sum and a length check
+    * (truncated slice → f_len_ok=false, the decode error side-channel).
+    * Expects columns `frame` (binary) and `vmeta{w, h}`. */
+  def decodeRawFrames(frames: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{BooleanType, LongType}
+    val outSchema = frames.schema
+      .add("f_len_ok", BooleanType)
+      .add("f_px_sum", LongType)
+    val frameIdx = frames.schema.fieldIndex("frame")
+    val metaIdx = frames.schema.fieldIndex("vmeta")
+    frames.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](frameIdx)
+        val m = r.getStruct(metaIdx)
+        val expected = m.getInt(m.fieldIndex("w")) * m.getInt(m.fieldIndex("h"))
+        if (bytes == null || bytes.length != expected)
+          Row.fromSeq(r.toSeq :+ false :+ null)
+        else {
+          var s = 0L
+          var i = 0
+          while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
+          Row.fromSeq(r.toSeq :+ true :+ s)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Closed-form replay of the sampled-frame pixel sums (raw frames are
+    * byte-exact, so the decoded sums ARE the formula values). */
+  val frameSampleSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, source,
+      |    CAST(3 + n_chars % 6 AS INT) AS n_frames,
+      |    CAST(4 + n_chars % 5 AS INT) AS w,
+      |    CAST(4 + (n_chars * 3) % 5 AS INT) AS h,
+      |    list_sum(list_transform(generate_series(1, 32), i ->
+      |      strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1)) AS d1
+      |  FROM documents),
+      |sampled AS (
+      |  SELECT m.*, unnest(generate_series(0, n_frames - 1, 2)) AS fidx FROM m),
+      |px AS (
+      |  SELECT *,
+      |    list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+      |      list_transform(generate_series(0, w - 1), x ->
+      |        (d1 + 5 * fidx + 7 * x + 13 * y) % 256)))) AS f_px_sum
+      |  FROM sampled)
+      |SELECT source,
+      |  COUNT(DISTINCT doc_id) AS n_videos,
+      |  COUNT(*) AS n_sampled_frames,
+      |  CAST(SUM(CASE WHEN fidx = 0 THEN n_frames ELSE 0 END) AS BIGINT) AS sum_container_frames,
+      |  CAST(SUM(f_px_sum) AS BIGINT) AS sum_px,
+      |  TRUE AS all_frames_complete
+      |FROM px GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_struct_join"   -> (structJoin _),
-    "mm_media_pipeline" -> (mediaPipeline _))
+    "mm_media_pipeline" -> (mediaPipeline _),
+    "mm_frame_sample"  -> (frameSample _))
 
   val oracles: Map[String, String] = Map(
     "mm_struct_join"   -> structJoinSql,
-    "mm_media_pipeline" -> mediaPipelineSql)
+    "mm_media_pipeline" -> mediaPipelineSql,
+    "mm_frame_sample"  -> frameSampleSql)
 }

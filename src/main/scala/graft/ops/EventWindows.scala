@@ -585,7 +585,74 @@ object EventWindows {
       |       + frame[len(frame) // 2 + 1] AS DOUBLE) / 2.0 / 100.0 AS rolling_median
       |FROM f ORDER BY user_id, event_id""".stripMargin
 
+  /** EV7 position-based (U-shaped) multi-touch attribution: each purchase
+    * credits the view/click touches of the same user in the 7 days before
+    * it — 40% to the first touch, 40% to the last, the middle 20% split
+    * across interior touches (the standard U-curve; 100%/50-50 for 1- and
+    * 2-touch paths). The per-(purchase, touch) credit is INTEGER
+    * milli-units (floor(20000/(m−2)+0.5) for interior touches), so the
+    * per-channel totals are exact int64 sums — no float accumulation
+    * order anywhere (the w9/G1 discipline).
+    *
+    * Shape: purchases ⋈ touches is a per-user equi-join with the 7-day
+    * lookback as a band predicate; position/m come from one window keyed
+    * by the purchase event id. A touch may legitimately credit several
+    * purchases (standard MTA semantics).
+    * 100 TB: the join shuffles on user_id (bounded fan-out = touches
+    * within one week, not all history); the position window shuffles on
+    * purchase id — no global sort, no driver state; per-channel rollup
+    * partial-aggregates map-side.
+    */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("p_eid"), $"ts".as("p_ts"))
+    val touches = ev.filter($"event_type".isin("view", "click"))
+      .select($"user_id", $"event_id".as("t_eid"), $"ts".as("t_ts"),
+        $"event_type".as("channel"))
+    val paired = purchases.join(touches, Seq("user_id"))
+      .filter($"t_ts" < $"p_ts" && $"t_ts" >= $"p_ts" - expr("INTERVAL 7 DAY"))
+    val w = Window.partitionBy($"p_eid").orderBy($"t_ts", $"t_eid")
+    val credited = paired
+      .withColumn("rn", row_number().over(w))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy($"p_eid")))
+      .withColumn("credit_milli",
+        when($"m" === 1, lit(100000L))
+          .when($"m" === 2, lit(50000L))
+          .when($"rn" === 1 || $"rn" === $"m", lit(40000L))
+          .otherwise(floor(lit(20000.0) / ($"m" - 2) + lit(0.5)).cast("long")))
+    credited.groupBy($"channel")
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct($"p_eid").as("n_purchases"),
+        sum($"credit_milli").as("credit_milli"))
+      .orderBy($"channel")
+  }
+
+  val attributionSql: String =
+    """WITH purchases AS (
+      |  SELECT user_id, event_id AS p_eid, ts AS p_ts
+      |  FROM events WHERE event_type = 'purchase'),
+      |touches AS (
+      |  SELECT user_id, event_id AS t_eid, ts AS t_ts, event_type AS channel
+      |  FROM events WHERE event_type IN ('view', 'click')),
+      |paired AS (
+      |  SELECT p.p_eid, t.t_eid, t.t_ts, t.channel,
+      |    ROW_NUMBER() OVER (PARTITION BY p.p_eid ORDER BY t.t_ts, t.t_eid) AS rn,
+      |    COUNT(*) OVER (PARTITION BY p.p_eid) AS m
+      |  FROM purchases p JOIN touches t ON t.user_id = p.user_id
+      |  WHERE t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 7 DAY)
+      |SELECT channel, COUNT(*) AS n_touches,
+      |  COUNT(DISTINCT p_eid) AS n_purchases,
+      |  CAST(SUM(CASE WHEN m = 1 THEN 100000
+      |                WHEN m = 2 THEN 50000
+      |                WHEN rn = 1 OR rn = m THEN 40000
+      |                ELSE CAST(floor(CAST(20000 AS DOUBLE) / (m - 2) + 0.5) AS BIGINT) END) AS BIGINT)
+      |    AS credit_milli
+      |FROM paired GROUP BY channel ORDER BY channel""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev7_attrib"   -> (attribution _),
     "w11_cusum"    -> (cusum _),
     "w12_rollmed"  -> (rollingMedian _),
     "ev_uniques"   -> (slidingUniques _),
@@ -601,6 +668,7 @@ object EventWindows {
     "w8_streak"    -> (streak _))
 
   val oracles: Map[String, String] = Map(
+    "ev7_attrib"   -> attributionSql,
     "w11_cusum"    -> cusumSql,
     "w12_rollmed"  -> rollingMedianSql,
     "ev_uniques"   -> slidingUniquesSql,

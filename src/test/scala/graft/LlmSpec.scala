@@ -322,4 +322,43 @@ class LlmSpec extends SparkSpec {
       }
     }
   }
+
+  test("frame sampler: sampled slices match the formula; truncated container flagged") {
+    import spark.implicits._
+    val meta = Tables.documents(spark, sfDir).filter($"doc_id" < 4)
+      .select($"doc_id", md5($"text").as("md5hex"),
+        (lit(3) + $"n_chars" % 6).cast("int").as("n_frames"),
+        (lit(4) + $"n_chars" % 5).cast("int").as("w"),
+        (lit(4) + ($"n_chars" * 3) % 5).cast("int").as("h"))
+      .withColumn("vmeta", struct($"n_frames", $"w", $"h"))
+    val sliced = Multimodal.encodeVideos(meta)
+      // truncate doc 0's container so its LAST sampled frame comes up short
+      .withColumn("video",
+        when($"doc_id" === 0, expr("substring(video, 1, vmeta.w * vmeta.h * (vmeta.n_frames - 1) - 1)"))
+          .otherwise($"video"))
+      .select($"doc_id", $"md5hex", $"vmeta",
+        posexplode(sequence(lit(0), $"vmeta.n_frames" - 1, lit(2))).as(Seq("pos", "fidx")),
+        $"video")
+      .select($"doc_id", $"md5hex", $"vmeta", $"fidx",
+        expr("substring(video, fidx * vmeta.w * vmeta.h + 1, vmeta.w * vmeta.h)").as("frame"))
+    val dec = Multimodal.decodeRawFrames(sliced).collect()
+    assert(dec.nonEmpty)
+    dec.foreach { r =>
+      val m = r.getStruct(r.fieldIndex("vmeta"))
+      val (nf, w, h) = (m.getInt(0), m.getInt(1), m.getInt(2))
+      val fidx = r.getAs[Int]("fidx")
+      val doc = r.getAs[Long]("doc_id")
+      // the cut lands one byte INSIDE frame nf−2, so that frame and
+      // everything after it slice short; earlier frames stay complete
+      val truncated = doc == 0 && fidx >= nf - 2
+      assert(r.getAs[Boolean]("f_len_ok") === !truncated,
+        s"doc $doc frame $fidx: unexpected len_ok")
+      if (!truncated) {
+        val d1 = r.getAs[String]("md5hex").map(Character.digit(_, 16)).sum
+        val expected = (for { y <- 0 until h; x <- 0 until w }
+          yield ((d1 + 5 * fidx + 7 * x + 13 * y) % 256).toLong).sum
+        assert(r.getAs[Long]("f_px_sum") === expected, s"doc $doc frame $fidx sum")
+      }
+    }
+  }
 }
