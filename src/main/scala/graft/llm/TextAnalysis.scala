@@ -743,7 +743,94 @@ object TextAnalysis {
       |ORDER BY lift_e6 DESC, w1 ASC, w2 ASC
       |LIMIT 25""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // T13 RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+  // maximal stopword-free token runs (capped at 4 words — the classic
+  // candidate-length cap), word scores are co-occurrence degree over
+  // frequency, and a phrase scores the sum of its words. The whole
+  // algorithm is relational: ONE running-sum window turns stopword
+  // positions into phrase ids (the W8-streak trick), phrases reassemble
+  // with an ordered collect, and the deg/freq tables are per-doc
+  // aggregates joined back to members. Scores are integer micro-units
+  // ((deg+freq)·10⁶ div freq, then an int64 sum per phrase) — no float
+  // accumulation anywhere (the w9 discipline). Output: top-3 phrases per
+  // doc (docs 0–49), ties broken (score desc, phrase asc) — total order.
+  // 100 TB: tokenization explodes map-side; the two shuffles key on
+  // (doc, phrase) and (doc, word) — both partial-agg; no corpus-global
+  // state beyond the final per-doc top-k window over ≤ a few phrases/doc.
+  def rake(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wPos = Window.partitionBy($"doc_id").orderBy($"pos")
+    val ph = Tables.documents(spark, dir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "word")))
+      .withColumn("is_stop", $"word".isin("the", "a"))
+      .withColumn("phrase_id", sum(when($"is_stop", 1).otherwise(0)).over(wPos))
+      .filter(!$"is_stop")
+      .select($"doc_id", $"phrase_id", $"pos", $"word")
+    val phrases = ph.groupBy($"doc_id", $"phrase_id")
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(struct(pos, word))), s -> s.word), ' ')")
+          .as("phrase"),
+        count(lit(1)).as("plen"))
+      .filter($"plen" <= 4)
+    val members = ph.join(phrases.select($"doc_id", $"phrase_id", $"plen"),
+      Seq("doc_id", "phrase_id"))
+    val wordScores = members.groupBy($"doc_id", $"word")
+      .agg(count(lit(1)).as("freq"), sum($"plen" - 1).as("deg"))
+      .withColumn("score_micro",
+        expr("CAST((deg + freq) * 1000000 div freq AS BIGINT)"))
+    val phraseScores = members
+      .join(wordScores.select($"doc_id", $"word", $"score_micro"), Seq("doc_id", "word"))
+      .groupBy($"doc_id", $"phrase_id")
+      .agg(sum($"score_micro").as("phrase_score_micro"))
+    val wRank = Window.partitionBy($"doc_id")
+      .orderBy($"phrase_score_micro".desc, $"phrase".asc)
+    phrases.join(phraseScores, Seq("doc_id", "phrase_id"))
+      .filter($"doc_id" < 50)
+      .select($"doc_id", $"phrase", $"plen", $"phrase_score_micro").distinct()
+      .withColumn("rk", row_number().over(wRank)).filter($"rk" <= 3)
+      .select($"doc_id", $"rk", $"phrase", $"plen", $"phrase_score_micro")
+      .orderBy($"doc_id", $"rk")
+  }
+
+  val rakeSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |tk AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS p, toks FROM t),
+      |tw AS (SELECT doc_id, p, toks[p] AS word FROM tk),
+      |ph AS (
+      |  SELECT doc_id, p, word,
+      |    SUM(CASE WHEN word IN ('the', 'a') THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY p) AS phrase_id,
+      |    word IN ('the', 'a') AS is_stop
+      |  FROM tw),
+      |m AS (SELECT doc_id, phrase_id, p, word FROM ph WHERE NOT is_stop),
+      |phr AS (
+      |  SELECT doc_id, phrase_id, string_agg(word, ' ' ORDER BY p) AS phrase,
+      |    COUNT(*) AS plen
+      |  FROM m GROUP BY doc_id, phrase_id HAVING COUNT(*) <= 4),
+      |mem AS (SELECT m.*, phr.plen FROM m JOIN phr USING (doc_id, phrase_id)),
+      |ws AS (
+      |  SELECT doc_id, word, COUNT(*) AS freq, CAST(SUM(plen - 1) AS BIGINT) AS deg
+      |  FROM mem GROUP BY doc_id, word),
+      |wsx AS (SELECT doc_id, word,
+      |    CAST((deg + freq) * 1000000 // freq AS BIGINT) AS score_micro FROM ws),
+      |ps AS (
+      |  SELECT mem.doc_id, mem.phrase_id, CAST(SUM(score_micro) AS BIGINT) AS phrase_score_micro
+      |  FROM mem JOIN wsx ON wsx.doc_id = mem.doc_id AND wsx.word = mem.word
+      |  GROUP BY mem.doc_id, mem.phrase_id),
+      |sc AS (
+      |  SELECT DISTINCT phr.doc_id, phr.phrase, phr.plen, ps.phrase_score_micro
+      |  FROM phr JOIN ps USING (doc_id, phrase_id) WHERE phr.doc_id < 50),
+      |rk AS (
+      |  SELECT doc_id, phrase, plen, phrase_score_micro,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY phrase_score_micro DESC, phrase ASC) AS rk
+      |  FROM sc)
+      |SELECT doc_id, rk, phrase, plen, phrase_score_micro
+      |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_rake"        -> (rake _),
     "ta_lm_xent"     -> (lmPerplexity _),
     "ta_bpe_train"   -> (bpeTrain _),
     "ta_entropy"     -> (entropy _),
@@ -759,6 +846,7 @@ object TextAnalysis {
     "ta_pmi"         -> (pmi _))
 
   val oracles: Map[String, String] = Map(
+    "ta_rake"        -> rakeSql,
     "ta_lm_xent"     -> lmPerplexitySql,
     "ta_bpe_train"   -> bpeTrainSql,
     "ta_entropy"     -> entropySql,

@@ -651,7 +651,51 @@ object EventWindows {
       |    AS credit_milli
       |FROM paired GROUP BY channel ORDER BY channel""".stripMargin
 
+  /** EV8 first-order Markov transition matrix over per-user event
+    * sequences — the "what happens next" model behind session analysis
+    * and next-action features. Each user's events order by (ts, event_id)
+    * (a total order — the W1 determinism rule); `lag` pairs every event
+    * with its predecessor type; transition probability is INTEGER
+    * micro-units (cnt·10⁶ div row_total) so the matrix is exact in both
+    * engines — no float division drift.
+    * 100 TB: one window shuffle on user_id (sequences stay within a
+    * partition), then a 25-cell aggregate that partial-aggs map-side;
+    * the matrix is alphabet², independent of data size — the same
+    * sketch-sized-state argument as A19/A20.
+    */
+  def markov(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+    val cnt = pairs.groupBy($"prev_type", $"event_type".as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy($"prev_type").agg(sum($"n").as("row_total"))
+    cnt.join(broadcast(tot), Seq("prev_type"))
+      .select($"prev_type", $"next_type", $"n",
+        expr("CAST(n * 1000000 div row_total AS BIGINT)").as("p_micro"))
+      .orderBy($"prev_type", $"next_type")
+  }
+
+  val markovSql: String =
+    """WITH pairs AS (
+      |  SELECT user_id, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events),
+      |cnt AS (
+      |  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      |  FROM pairs WHERE prev_type IS NOT NULL
+      |  GROUP BY prev_type, event_type),
+      |tot AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_total FROM cnt GROUP BY prev_type)
+      |SELECT c.prev_type, c.next_type, c.n,
+      |  CAST(c.n * 1000000 // t.row_total AS BIGINT) AS p_micro
+      |FROM cnt c JOIN tot t ON t.prev_type = c.prev_type
+      |ORDER BY c.prev_type, c.next_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev8_markov"   -> (markov _),
     "ev7_attrib"   -> (attribution _),
     "w11_cusum"    -> (cusum _),
     "w12_rollmed"  -> (rollingMedian _),
@@ -668,6 +712,7 @@ object EventWindows {
     "w8_streak"    -> (streak _))
 
   val oracles: Map[String, String] = Map(
+    "ev8_markov"   -> markovSql,
     "ev7_attrib"   -> attributionSql,
     "w11_cusum"    -> cusumSql,
     "w12_rollmed"  -> rollingMedianSql,
