@@ -54,6 +54,27 @@ class TopKCodesAggregator(k: Int) extends Aggregator[ScoredCode, Seq[ScoredCode]
   override def outputEncoder: Encoder[Seq[ScoredCode]] = bufferEncoder
 }
 
+/** Bounded bottom-k DISTINCT int64 aggregator — the KMV sketch buffer
+  * (ApproxAggs.a20Kmv): keeps the k smallest distinct hash values per
+  * group with map-side partial aggregation, so each partition reduces to
+  * ≤ k longs before the exchange and sketches merge associatively
+  * (union-the-values, keep-k-smallest) — the same merge that combines
+  * daily sketches into monthly rollups. Deterministic: the buffer is a
+  * sorted distinct set, input-order-independent by construction.
+  */
+class BottomKLongsAggregator(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+
+  private def best(xs: Seq[Long]): Seq[Long] = xs.distinct.sorted.take(k)
+
+  override def zero: Seq[Long] = Seq.empty
+  override def reduce(buf: Seq[Long], a: Long): Seq[Long] =
+    if (buf.length == k && a >= buf.last) buf else best(buf :+ a)
+  override def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] = best(b1 ++ b2)
+  override def finish(reduction: Seq[Long]): Seq[Long] = reduction
+  override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] = bufferEncoder
+}
+
 /** A scored term row flowing into the per-document top-k (TF-IDF shape). */
 case class ScoredTerm(term: String, tf_count: Long, df: Long, score: Double)
 

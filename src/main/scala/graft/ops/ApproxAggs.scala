@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -211,11 +210,15 @@ object ApproxAggs {
       .select($"o_orderpriority".as("g"), $"o_custkey".as("ck")).distinct()
     val hv = graft.ops.ScopedCache.untilConsumed(
       pc.withColumn("hv", kmvHash("ck")))
-    val rnW = Window.partitionBy($"g").orderBy($"hv")
+    // bottom-k via the bounded aggregator (X2 family), NOT a ranking
+    // window: each partition reduces to ≤ k longs map-side and partials
+    // merge associatively — a window would shuffle every distinct hash
+    // value onto the group partitions first
+    val bottomK = udaf(new graft.functions.BottomKLongsAggregator(k),
+      org.apache.spark.sql.Encoders.scalaLong)
     val gsk = graft.ops.ScopedCache.untilConsumed(
-      hv.select($"g", $"hv").distinct()
-        .withColumn("rn", row_number().over(rnW)).filter($"rn" <= k)
-        .select($"g", $"hv"))
+      hv.groupBy($"g").agg(bottomK($"hv").as("sk"))
+        .select($"g", explode($"sk").as("hv")))
     val gRows = gsk.groupBy($"g").agg(count(lit(1)).as("nsk"), max($"hv").as("hk"))
       .join(hv.groupBy($"g").agg(countDistinct($"ck").as("n_exact")), Seq("g"))
       .select($"g".as("scope"), $"n_exact", est.as("kmv_est"))
