@@ -447,4 +447,40 @@ class PlanSpec extends SparkSpec {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("a20 KMV builds its sketch without a ranking window") {
+    // the bounded BottomKLongsAggregator partial-aggregates map-side; a
+    // Window here would mean every distinct hash value shuffles onto the
+    // group partitions before the k-trim
+    val plan = planString(graft.ops.ApproxAggs.a20Kmv(spark, sfDir))
+    assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window"),
+      s"KMV sketch must not rank through a window:\n${plan.take(1500)}")
+  }
+
+  test("mm_frame_sample: container binaries never cross an exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.BinaryType
+    // AQE wraps exchanges in lazy query stages that hide them from the
+    // plan walker (the codegen-test precedent); shapes are identical
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.llm.Multimodal.frameSample(spark, sfDir)
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty, "expected at least the aggregation exchange")
+      exchanges.foreach { e =>
+        assert(!e.output.exists(_.dataType == BinaryType),
+          s"binary column shuffles through ${e.nodeName}: ${e.output.map(_.name)}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("ev8 markov: the row-total join broadcasts; one user_id window shuffle") {
+    val df = graft.ops.EventWindows.markov(spark, sfDir)
+    df.count()
+    val plan = planString(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"5-row total table must broadcast:\n${plan.take(1500)}")
+  }
 }
