@@ -411,20 +411,30 @@ object Graph {
       .unionByName(e0.select($"v".as("src"), $"u".as("dst")))
     val nodes = und.select($"src".as("node")).distinct()
     val seed = nodes.agg(min($"node").as("seed"))
-    var visited = nodes.join(broadcast(seed), $"node" === $"seed")
-      .select($"node", lit(0).as("dist")).localCheckpoint()
-    var frontier = visited.select($"node")
-    for (t <- 1 to 6) {
-      frontier = und
-        .join(frontier.select($"node".as("src")), Seq("src"), "left_semi")
+    // BFS layers are DISJOINT by construction, so the visited set is just
+    // the union of the already-materialized layer checkpoints — one
+    // checkpoint per round (the layer), not two. An empty frontier ends
+    // the loop early (no node past hop t exists — result-identical to
+    // running out the horizon, so the fixed-bound oracle still matches);
+    // isEmpty on a checkpointed frame is a trivial job.
+    var layers = List(
+      nodes.join(broadcast(seed), $"node" === $"seed")
+        .select($"node", lit(0).as("dist")).localCheckpoint())
+    var t = 1
+    var exhausted = false
+    while (t <= 6 && !exhausted) {
+      val visited = layers.map(_.select($"node")).reduce(_ unionByName _)
+      val f = und
+        .join(layers.head.select($"node".as("src")), Seq("src"), "left_semi")
         .select($"dst".as("node")).distinct()
-        .join(visited.select($"node"), Seq("node"), "left_anti")
+        .join(visited, Seq("node"), "left_anti")
+        .select($"node", lit(t).as("dist"))
         .localCheckpoint()
-      visited = visited
-        .unionByName(frontier.select($"node", lit(t).as("dist")))
-        .localCheckpoint()
+      exhausted = f.isEmpty
+      if (!exhausted) layers ::= f
+      t += 1
     }
-    nodes.join(visited, Seq("node"), "left")
+    nodes.join(layers.reduce(_ unionByName _), Seq("node"), "left")
       .select($"node", coalesce($"dist", lit(-1)).as("dist"))
       .orderBy($"node")
   }
