@@ -694,7 +694,48 @@ object EventWindows {
       |FROM cnt c JOIN tot t ON t.prev_type = c.prev_type
       |ORDER BY c.prev_type, c.next_type""".stripMargin
 
+  /** EV9 cumulative first-seen users (the "total users over time" curve):
+    * running DISTINCT count expanded into the scalable two-phase form —
+    * distinct-over-a-running-window isn't windowable directly, but each
+    * user's FIRST event day is min(ts) per user (a plain partial-agg, no
+    * per-user ranking window), daily new-user counts aggregate that, and
+    * the cumulative sum runs over the calendar-bounded day series (the
+    * w9/w11 "series-sized window" precedent — ordering a global window by
+    * day is fine because the frame is days, not events).
+    * 100 TB: pass 1 is one map-side-combined aggregate on user_id; the
+    * global window touches ≤ a few thousand day rows regardless of event
+    * volume.
+    */
+  def firstSeen(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // argmin as min-of-struct: (ts, event_id) is a total order, so the
+    // struct minimum IS the user's first event — one map-side-combined
+    // aggregate, where a per-user ranking window would shuffle every event
+    val daily = Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(min(struct($"ts", $"event_id", $"event_type")).as("f"))
+      .select(to_date($"f.ts").as("day"), $"f.event_type".as("first_type"))
+      .groupBy($"day", $"first_type").agg(count(lit(1)).as("n_new_users"))
+    val wCum = Window.partitionBy($"first_type")
+      .orderBy($"day").rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .withColumn("cum_users", sum($"n_new_users").over(wCum))
+      .orderBy($"day", $"first_type")
+  }
+
+  val firstSeenSql: String =
+    """WITH f AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, event_type AS first_type
+      |  FROM events
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1),
+      |d AS (SELECT day, first_type, COUNT(*) AS n_new_users FROM f GROUP BY day, first_type)
+      |SELECT day, first_type, n_new_users,
+      |  CAST(SUM(n_new_users) OVER (PARTITION BY first_type ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+      |FROM d ORDER BY day, first_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev9_first_seen" -> (firstSeen _),
     "ev8_markov"   -> (markov _),
     "ev7_attrib"   -> (attribution _),
     "w11_cusum"    -> (cusum _),
@@ -712,6 +753,7 @@ object EventWindows {
     "w8_streak"    -> (streak _))
 
   val oracles: Map[String, String] = Map(
+    "ev9_first_seen" -> firstSeenSql,
     "ev8_markov"   -> markovSql,
     "ev7_attrib"   -> attributionSql,
     "w11_cusum"    -> cusumSql,

@@ -496,6 +496,44 @@ object SqlSurface {
       |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
 
+  /** TPC-H Q14 shape (promotion effect): the conditional-aggregate RATIO —
+    * 100 · Σ(case promo)/Σ(all) over one ship-month. Both sums follow the
+    * DECIMAL(12,2) rule and the ratio is ONE double division of two exact
+    * decimals (deterministic — no float accumulation), rounded to 6dp.
+    * p_type='ECONOMY' stands in for the spec's PROMO% prefix on the
+    * driver tables' vocabulary.
+    * 100 TB: lineitem⋈part shuffles on partkey (or co-bucketed storage
+    * makes it exchange-free, the S7b shape); the month filter prunes the
+    * fact scan; the CASE rides the join output into one partial+final
+    * aggregate — a single row crosses the final exchange.
+    */
+  def sqlTpchQ14(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT round(CAST(100 AS DOUBLE) * CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+        |    THEN CAST(l_extendedprice AS DECIMAL(12,2))
+        |         * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+        |    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |         * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 6)
+        |  AS promo_revenue_pct
+        |FROM g_lineitem JOIN g_part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'""".stripMargin)
+  }
+
+  val sqlTpchQ14Sql: String =
+    """SELECT round(CAST(100 AS DOUBLE) * CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+      |    THEN CAST(l_extendedprice AS DECIMAL(12,2))
+      |         * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+      |    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+      |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |         * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 6)
+      |  AS promo_revenue_pct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'""".stripMargin
+
   def sqlTpchQ22(spark: SparkSession, dir: String): DataFrame = {
     registerViews(spark, dir)
     spark.sql(
@@ -529,6 +567,7 @@ object SqlSurface {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_tpch_q7"     -> (sqlTpchQ7 _),
+    "sql_tpch_q14"    -> (sqlTpchQ14 _),
     "sql_tpch_q22"    -> (sqlTpchQ22 _),
     "sql_pipe"        -> (sqlPipe _),
     "sql_udf"         -> (sqlUdf _),
@@ -546,6 +585,7 @@ object SqlSurface {
 
   val oracles: Map[String, String] = Map(
     "sql_tpch_q7"     -> sqlTpchQ7Sql,
+    "sql_tpch_q14"    -> sqlTpchQ14Sql,
     "sql_tpch_q22"    -> sqlTpchQ22Sql,
     "sql_pipe"        -> sqlPipeSql,
     "sql_udf"         -> sqlUdfSql,
