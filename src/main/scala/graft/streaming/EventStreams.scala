@@ -68,6 +68,29 @@ object EventStreams {
         col("c.ts").as("click_ts"))
   }
 
+  /** X17 left-OUTER stream-stream join: same interval-attribution shape,
+    * but purchases with NO click in the lookback band must still emit —
+    * with a null click — once the click-side WATERMARK has passed the
+    * band's upper bound, i.e. once a matching click can provably no
+    * longer arrive. This is the semantics gap between inner and outer
+    * stream joins: the null verdict is a statement about the future, so
+    * it can only be emitted when the watermark closes the window (batch
+    * left joins get it for free because the data is complete). State per
+    * side stays watermark-bounded, exactly as in the inner form.
+    */
+  def attributionStreamOuter(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val c = clicks.withWatermark("ts", "1 hour").as("c")
+    val b = purchases.withWatermark("ts", "1 hour").as("b")
+    b.join(c, expr(
+        "c.user_id = b.user_id AND c.ts >= b.ts - INTERVAL 1 HOUR AND c.ts < b.ts"),
+        "left_outer")
+      .select(
+        col("b.user_id").as("user_id"),
+        col("b.ts").as("purchase_ts"),
+        col("c.ts").as("click_ts"))
+  }
+
   /** Stream-static enrichment: the streaming events join a STATIC
     * dimension (user → tier). No streaming state is needed — the static
     * side is (re)planned per micro-batch and broadcast, so this is the

@@ -126,6 +126,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join: unmatched purchases emit nulls on watermark close") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp)]
+    val joined = EventStreams.attributionStreamOuter(
+      clicks.toDF.toDF("user_id", "ts"), purchases.toDF.toDF("user_id", "ts"))
+    val q = joined.writeStream.format("memory")
+      .queryName("stream_attr_outer").outputMode("append").start()
+    try {
+      clicks.addData(
+        (1L, ts("2024-01-01 10:00:00")),
+        (2L, ts("2024-01-01 09:00:00")),  // >1h before user 2's purchase
+        (3L, ts("2024-01-01 11:00:00")))  // after user 3's purchase
+      purchases.addData(
+        (1L, ts("2024-01-01 10:45:00")),
+        (2L, ts("2024-01-01 10:30:00")),
+        (3L, ts("2024-01-01 10:50:00")))
+      q.processAllAvailable()
+      // the null verdict needs the click watermark past purchase_ts: feed
+      // watermark-advancing traffic on BOTH sides, then drain twice (the
+      // watermark computed at batch N's end gates emission in batch N+1)
+      clicks.addData((99L, ts("2024-01-01 14:00:00")))
+      purchases.addData((99L, ts("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      clicks.addData((98L, ts("2024-01-01 15:00:00")))
+      purchases.addData((98L, ts("2024-01-01 15:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("stream_attr_outer")
+        .filter($"user_id" < 90).orderBy($"user_id").collect()
+      assert(rows.length === 3)
+      assert(rows(0).getLong(0) == 1L && rows(0).getTimestamp(2) == ts("2024-01-01 10:00:00"))
+      // users 2 and 3: no click inside the band — emitted exactly once, null click
+      assert(rows(1).getLong(0) == 2L && rows(1).isNullAt(2))
+      assert(rows(2).getLong(0) == 3L && rows(2).isNullAt(2))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState carries per-user state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
