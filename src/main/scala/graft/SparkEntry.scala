@@ -29,6 +29,7 @@ object SparkEntry {
     ops.EventWindows.queries ++
     ops.Incremental.queries ++
     ops.Graph.queries ++
+    ops.Metrics.queries ++
     weather.FileIngest.queries ++
     llm.TextDedup.queries ++
     llm.Embeddings.queries ++
@@ -51,6 +52,7 @@ object SparkEntry {
     ops.EventWindows.oracles ++
     ops.Incremental.oracles ++
     ops.Graph.oracles ++
+    ops.Metrics.oracles ++
     weather.FileIngest.oracles ++
     llm.TextDedup.oracles ++
     llm.Embeddings.oracles ++

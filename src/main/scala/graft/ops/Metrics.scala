@@ -1,7 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.Tables
 
 /** Pipeline observability via `Dataset.observe`: named data-quality
   * counters that ride the NEXT action's job — no second scan, no separate
@@ -32,4 +34,114 @@ object Metrics {
       sum(col(keyCol).isNull.cast("long")).as("n_null_keys"),
       sum(col(valueCol).isNull.cast("long")).as("n_null_values"),
       approx_count_distinct(col(keyCol)).as("apx_distinct_keys"))
+
+  /** V6 column profiler (the deequ/dbt-docs "profile this table" surface):
+    * per-column row/null/distinct counts and string-space min/max, from
+    * ONE scan — columns stack into (col_name, value-as-string) rows via an
+    * exploded struct array, so adding a column adds zero passes. Values
+    * profile in their CAST-to-string form (min/max are string order —
+    * documented, deterministic, engine-identical); timestamps and doubles
+    * render identically in both engines on this data.
+    * 100 TB: one scan × one shuffle on the column name (cardinality =
+    * #columns); per-column distinct is the only heavy aggregate and swaps
+    * to approx_count_distinct at scale (the A8 path).
+    */
+  def profile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice",
+      "l_discount", "l_returnflag", "l_shipdate")
+    Tables.lineitem(spark, dir)
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("e"))
+      .select($"e.col_name".as("col_name"), $"e.v".as("v"))
+      .groupBy($"col_name")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum($"v".isNull.cast("long")).as("n_null"),
+        countDistinct($"v").as("n_distinct"),
+        min($"v").as("min_str"),
+        max($"v").as("max_str"))
+      .orderBy($"col_name")
+  }
+
+  val profileSql: String = {
+    val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice",
+      "l_discount", "l_returnflag", "l_shipdate")
+    val stacked = cols.map(c =>
+      s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS v FROM lineitem")
+      .mkString("\n  UNION ALL ")
+    s"""WITH s AS (
+       |  $stacked)
+       |SELECT col_name, COUNT(*) AS n_rows,
+       |  CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       |  COUNT(DISTINCT v) AS n_distinct,
+       |  MIN(v) AS min_str, MAX(v) AS max_str
+       |FROM s GROUP BY col_name ORDER BY col_name""".stripMargin
+  }
+
+  /** V7 declarative data-quality checks as a QUERY (the dbt `schema.yml`
+    * tests the reference runs after every model build — V4 — promoted
+    * from test-suite assertions to a first-class result set a pipeline
+    * can sink/alert on): uniqueness, not-null, referential integrity,
+    * accepted values, and a range check, each one row with its violation
+    * count and verdict.
+    * 100 TB: each check is one aggregate (the uniqueness check one
+    * groupBy on the key, the FK check one anti-join); they share nothing
+    * by design so a scheduler can run the cheap ones first and the scan
+    * union stays embarrassingly parallel.
+    */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    def row(name: String, violations: DataFrame): DataFrame =
+      violations.select(lit(name).as("check_name"),
+        col("n").cast("long").as("n_violations"), (col("n") === 0).as("passed"))
+    val unique = row("orders.o_orderkey unique",
+      orders.groupBy($"o_orderkey").agg(count(lit(1)).as("c"))
+        .filter($"c" > 1).agg(count(lit(1)).as("n")))
+    val notNull = row("orders.o_custkey not_null",
+      orders.filter($"o_custkey".isNull).agg(count(lit(1)).as("n")))
+    val fk = row("lineitem.l_orderkey references orders",
+      li.join(orders.select($"o_orderkey"), $"l_orderkey" === $"o_orderkey", "left_anti")
+        .agg(count(lit(1)).as("n")))
+    val accepted = row("lineitem.l_returnflag accepted_values",
+      li.filter(!$"l_returnflag".isin("R", "A", "N")).agg(count(lit(1)).as("n")))
+    val range = row("lineitem.l_quantity in [1,50]",
+      li.filter($"l_quantity" < 1 || $"l_quantity" > 50).agg(count(lit(1)).as("n")))
+    unique.unionByName(notNull).unionByName(fk).unionByName(accepted).unionByName(range)
+      .orderBy($"check_name")
+  }
+
+  val dqChecksSql: String =
+    """WITH r AS (
+      |  SELECT 'orders.o_orderkey unique' AS check_name,
+      |    CAST((SELECT COUNT(*) FROM (
+      |      SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS BIGINT)
+      |      AS n_violations
+      |  UNION ALL
+      |  SELECT 'orders.o_custkey not_null',
+      |    CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT)
+      |  UNION ALL
+      |  SELECT 'lineitem.l_orderkey references orders',
+      |    CAST((SELECT COUNT(*) FROM lineitem
+      |          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) AS BIGINT)
+      |  UNION ALL
+      |  SELECT 'lineitem.l_returnflag accepted_values',
+      |    CAST((SELECT COUNT(*) FROM lineitem
+      |          WHERE l_returnflag NOT IN ('R', 'A', 'N')) AS BIGINT)
+      |  UNION ALL
+      |  SELECT 'lineitem.l_quantity in [1,50]',
+      |    CAST((SELECT COUNT(*) FROM lineitem
+      |          WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT))
+      |SELECT check_name, n_violations, n_violations = 0 AS passed
+      |FROM r ORDER BY check_name""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v6_profile"   -> (profile _),
+    "v7_dq_checks" -> (dqChecks _))
+
+  val oracles: Map[String, String] = Map(
+    "v6_profile"   -> profileSql,
+    "v7_dq_checks" -> dqChecksSql)
 }
