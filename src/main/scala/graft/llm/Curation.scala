@@ -50,9 +50,11 @@ object Curation {
   // the HIGHEST-quality copy (not the lowest id) — composition of the
   // exact-dedup shape (L1) with the quality signal (T2). Ties break on
   // doc_id, so the winner is total-order deterministic.
-  def dedupBest(spark: SparkSession, dir: String): DataFrame = {
+  /** T2 quality signal per document (shared by dedupBest and
+    * nearDedupBest): stopword/alpha/length mix rounded to 6dp. */
+  private def qualityFrame(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val q = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .withColumn("toks", split($"text", " "))
       .withColumn("n_tok", size($"toks"))
       .withColumn("n_stop", size(filter($"toks", t => t === "the" || t === "a")))
@@ -61,6 +63,11 @@ object Curation {
         lit(0.4) * (lit(1.0) - $"n_stop".cast("double") / $"n_tok")
           + lit(0.3) * ($"n_alpha".cast("double") / $"n_chars")
           + lit(0.3) * least($"n_tok".cast("double") / 100.0, lit(1.0)), 6))
+  }
+
+  def dedupBest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = qualityFrame(spark, dir)
     val w = Window.partitionBy(md5($"text")).orderBy($"quality".desc, $"doc_id".asc)
     q.withColumn("rn", row_number().over(w))
       .groupBy($"source")
@@ -500,7 +507,72 @@ object Curation {
       |ORDER BY r_scaled DESC, doc_id
       |LIMIT 25""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // C12 NEAR-dup keep-best — the production dedup semantic: resolve the
+  // MinHash-LSH near-duplicate graph into components (the shared
+  // Graph.connectedComponents core, as C3) and keep the highest-quality
+  // member of each component (ties on doc_id — total order); docs in no
+  // near-dup pair are their own singleton cluster and survive. Composes
+  // L3 candidates × G4 components × T2 quality — the exact-hash C2
+  // winner generalized to fuzzy families.
+  // 100 TB: candidates stay banded (no all-pairs), components are the
+  // O(log n)-round pointer jump, and the winner pick is one ranking
+  // window over cluster-sized groups.
+  def nearDedupBest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = qualityFrame(spark, dir)
+    val cc = graft.ops.Graph.connectedComponents(
+      TextDedup.minhashLsh(spark, dir).select($"doc_a", $"doc_b"))
+      .select($"node".as("doc_id"), $"component")
+    val clustered = q.join(cc, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce($"component", $"doc_id"))
+    val w = Window.partitionBy($"cluster").orderBy($"quality".desc, $"doc_id".asc)
+    clustered.withColumn("rn", row_number().over(w))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"rn" === 1, 1L).otherwise(0L)).as("n_survivors"),
+        round(avg(when($"rn" === 1, $"quality")), 6).as("avg_survivor_quality"))
+      .orderBy($"source")
+  }
+
+  val nearDedupBestSql: String =
+    "WITH RECURSIVE pairs AS (\n" +
+      TextDedup.minhashLshSql.replace("ORDER BY doc_a, doc_b", "") +
+    """
+      |),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION
+      |  SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |lbl AS (
+      |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS root
+      |  FROM reach GROUP BY src),
+      |q AS (
+      |  SELECT doc_id, source,
+      |    round(0.4 * (1.0 - len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a'))::DOUBLE
+      |                        / len(string_split(text, ' ')))
+      |        + 0.3 * (len(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / n_chars)
+      |        + 0.3 * least(len(string_split(text, ' '))::DOUBLE / 100.0, 1.0), 6) AS quality
+      |  FROM documents),
+      |cl AS (
+      |  SELECT q.doc_id, q.source, q.quality, COALESCE(l.root, q.doc_id) AS cluster
+      |  FROM q LEFT JOIN lbl l ON l.doc_id = q.doc_id),
+      |r AS (
+      |  SELECT source, quality,
+      |    ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY quality DESC, doc_id ASC) AS rn
+      |  FROM cl)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+      |  round(AVG(CASE WHEN rn = 1 THEN quality END), 6) AS avg_survivor_quality
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_neardedup_best" -> (nearDedupBest _),
     "cur_weighted_sample" -> (weightedSample _),
     "cur_chunk"        -> (chunk _),
     "cur_mix"          -> (mix _),
@@ -515,6 +587,7 @@ object Curation {
     "cur_decontam"     -> (decontaminate _))
 
   val oracles: Map[String, String] = Map(
+    "cur_neardedup_best" -> nearDedupBestSql,
     "cur_weighted_sample" -> weightedSampleSql,
     "cur_chunk"        -> chunkSql,
     "cur_mix"          -> mixSql,

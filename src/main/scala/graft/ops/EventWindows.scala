@@ -734,7 +734,53 @@ object EventWindows {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
       |FROM d ORDER BY day, first_type""".stripMargin
 
+  /** W13 rolling z-score — the WINDOWED sibling of A12's global robust
+    * outliers (live drift screens use a trailing frame, not all history):
+    * per user, the trailing-16-event mean/σ come from exact int64 cents
+    * sufficient statistics (n, Σx, Σx²) over one ROWS frame, and
+    * z = (x·n − Σx)/√(n·Σx² − Σx²) is ONE fixed IEEE tree over identical
+    * int64 operands — no float accumulation (the w9 discipline; the
+    * algebra clears both divisions so the only irrational step is the
+    * final sqrt). Guards: ≥8 events in frame and positive variance, else
+    * null. 100 TB: one user_id window shuffle; all three statistics ride
+    * the SAME frame — one sort, no extra passes (the w8/a16
+    * shared-shuffle pattern, PlanSpec-style single Exchange).
+    */
+  def rollingZ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-15, 0)
+    Tables.events(spark, dir)
+      .withColumn("xc", expr("CAST(round(value * 100) AS BIGINT)"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum($"xc").over(w))
+      .withColumn("s2", sum($"xc" * $"xc").over(w))
+      .select($"user_id", $"event_id", $"value",
+        when($"n" >= 8 && ($"n" * $"s2" - $"s" * $"s") > 0,
+          round(($"xc" * $"n" - $"s").cast("double")
+            / sqrt(($"n" * $"s2" - $"s" * $"s").cast("double")), 4)).as("roll_z"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val rollingZSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CAST(round(value * 100) AS BIGINT) AS xc
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, event_id, value, xc,
+      |    COUNT(*) OVER w AS n, SUM(xc) OVER w AS s, SUM(xc * xc) OVER w AS s2
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN 15 PRECEDING AND CURRENT ROW))
+      |SELECT user_id, event_id, value,
+      |  CASE WHEN n >= 8 AND n * s2 - s * s > 0
+      |       THEN round(CAST(xc * n - s AS DOUBLE)
+      |                  / sqrt(CAST(n * s2 - s * s AS DOUBLE)), 4) END AS roll_z
+      |FROM f ORDER BY user_id, event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w13_rollz"    -> (rollingZ _),
     "ev9_first_seen" -> (firstSeen _),
     "ev8_markov"   -> (markov _),
     "ev7_attrib"   -> (attribution _),
@@ -753,6 +799,7 @@ object EventWindows {
     "w8_streak"    -> (streak _))
 
   val oracles: Map[String, String] = Map(
+    "w13_rollz"    -> rollingZSql,
     "ev9_first_seen" -> firstSeenSql,
     "ev8_markov"   -> markovSql,
     "ev7_attrib"   -> attributionSql,
