@@ -476,6 +476,23 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("AQE coalesces a tiny shuffle to fewer partitions at runtime") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count, lit}
+    // X20: the runtime partner of static shuffle.partitions tuning — a
+    // 5-group aggregate writes a near-empty 32-partition shuffle; AQE's
+    // coalescer merges those at execution into as few reducers as the
+    // data needs, which at 100 TB is the difference between 20k tasks
+    // and 200 on the final skinny stages of a deep plan.
+    val df = Tables.orders(spark, sfDir)
+      .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+    df.collect() // execute THROUGH this QueryExecution so AQE finalizes it
+                 // (count() plans its own execution and leaves this one initial)
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("AQEShuffleRead") && finalPlan.contains("coalesced"),
+      s"expected a runtime-coalesced shuffle read:\n${finalPlan.take(1500)}")
+  }
+
   test("ev8 markov: the row-total join broadcasts; one user_id window shuffle") {
     val df = graft.ops.EventWindows.markov(spark, sfDir)
     df.count()
