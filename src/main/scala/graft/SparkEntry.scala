@@ -20,6 +20,7 @@ object SparkEntry {
     ops.Relational.queries ++
     ops.FunctionBatteries.queries ++
     ops.SqlSurface.queries ++
+    ops.SqlTpch.queries ++
     ops.ApproxAggs.queries ++
     ops.TypedApi.queries ++
     sources.Formats.queries ++
@@ -43,6 +44,7 @@ object SparkEntry {
     ops.Relational.oracles ++
     ops.FunctionBatteries.oracles ++
     ops.SqlSurface.oracles ++
+    ops.SqlTpch.oracles ++
     ops.ApproxAggs.oracles ++
     ops.TypedApi.oracles ++
     sources.Formats.oracles ++

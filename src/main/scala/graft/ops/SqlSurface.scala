@@ -19,7 +19,7 @@ import graft.Tables
   */
 object SqlSurface {
 
-  private def registerViews(spark: SparkSession, dir: String): Unit =
+  private[ops] def registerViews(spark: SparkSession, dir: String): Unit =
     Seq("customer", "orders", "lineitem", "supplier", "nation", "region", "part")
       .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(s"g_$t"))
 
