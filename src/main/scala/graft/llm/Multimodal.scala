@@ -371,13 +371,177 @@ object Multimodal {
       |  TRUE AS all_frames_complete
       |FROM px GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // M4 audio features over a binary PCM column: each doc carries a mono
+  // s16le clip (the WAV/FLAC payload shape after container stripping) with
+  // typed {n_samples, sample_rate} metadata. Samples follow the
+  // deterministic waveform s(t) = ((d1·31 + 7t² + 11t) mod 65536) − 32768
+  // (d1 = md5 digit sum), so DuckDB replays every decoded statistic in
+  // closed form while the Spark side computes them from the BYTES — the
+  // decode (little-endian int16 parsing) is real, not stubbed. Extracted
+  // features are the standard audio-curation screens, all integer-exact:
+  // total energy (Σs², int64), zero crossings (sign flips — a pitch
+  // proxy), peak amplitude, clip count (|s| ≥ 32000 — recording-quality
+  // screen), and the loudest 16-sample window's energy (the windowed
+  // feature a spectrogram pipeline would compute per hop).
+  // 100 TB: both codec stages are map-side behind mapPartitions
+  // boundaries; PCM payloads never shuffle — only small ints cross the
+  // exchange after feature extraction, so executor memory bounds clip
+  // length × rows-per-batch, not corpus size.
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val meta = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", md5($"text").as("md5hex"),
+        (lit(64) + $"n_chars" % 64).cast("int").as("n_samples"))
+      .withColumn("ameta", struct($"n_samples", lit(16000).as("sample_rate")))
+    decodePcm(encodePcm(meta))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_audio"),
+        sum($"a_sum_sq").as("sum_energy"),
+        sum($"a_zero_cross").as("sum_zero_cross"),
+        max($"a_peak").as("max_peak"),
+        sum($"a_clipped").as("sum_clipped"),
+        sum($"a_max_win_energy").as("sum_max_win_energy"),
+        expr("bool_and(a_decode_ok)").as("all_decoded"))
+      .orderBy($"source")
+  }
+
+  /** PCM encoder behind a `mapPartitions` batch boundary: writes each
+    * row's waveform as little-endian signed 16-bit samples (binary column
+    * `pcm`). Stands in for data arrival, like [[encodeImages]]. Expects
+    * columns `md5hex` and `n_samples`. */
+  def encodePcm(meta: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.BinaryType
+    val outSchema = meta.schema.add("pcm", BinaryType)
+    val hexIdx = meta.schema.fieldIndex("md5hex")
+    val nIdx = meta.schema.fieldIndex("n_samples")
+    meta.mapPartitions { rows =>
+      rows.map { r =>
+        val hex = r.getString(hexIdx)
+        if (hex == null) Row.fromSeq(r.toSeq :+ null)
+        else {
+          var d1 = 0
+          var i = 0
+          while (i < hex.length) { d1 += Character.digit(hex.charAt(i), 16); i += 1 }
+          val n = r.getInt(nIdx)
+          val buf = java.nio.ByteBuffer.allocate(n * 2)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          var t = 0
+          while (t < n) {
+            buf.putShort((((d1 * 31 + 7 * t * t + 11 * t) % 65536) - 32768).toShort)
+            t += 1
+          }
+          Row.fromSeq(r.toSeq :+ buf.array())
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL PCM decoder behind a `mapPartitions` batch boundary: parses the
+    * payload as little-endian int16 and widens the row with the feature
+    * battery. Payloads that are null, odd-length, or shorter than the
+    * metadata's sample count take the error side-channel
+    * (`a_decode_ok = false`, null features) — the [[decodeImages]]
+    * quarantine contract. Expects columns `pcm` (binary) and `ameta`. */
+  def decodePcm(media: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType}
+    val outSchema = media.schema
+      .add("a_decode_ok", BooleanType)
+      .add("a_sum_sq", LongType)
+      .add("a_zero_cross", IntegerType)
+      .add("a_peak", IntegerType)
+      .add("a_clipped", IntegerType)
+      .add("a_max_win_energy", LongType)
+    val pcmIdx = media.schema.fieldIndex("pcm")
+    val metaIdx = media.schema.fieldIndex("ameta")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](pcmIdx)
+        val m = r.getStruct(metaIdx)
+        val n = m.getInt(m.fieldIndex("n_samples"))
+        if (bytes == null || bytes.length % 2 != 0 || bytes.length / 2 != n)
+          Row.fromSeq(r.toSeq :+ false :+ null :+ null :+ null :+ null :+ null)
+        else {
+          val buf = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          var sumSq = 0L
+          var zc = 0
+          var peak = 0
+          var clipped = 0
+          var maxWin = 0L
+          var win = 0L
+          var prevNeg = false
+          var t = 0
+          while (t < n) {
+            val s = buf.getShort(t * 2).toInt
+            sumSq += s.toLong * s
+            win += s.toLong * s
+            if (t % 16 == 15 || t == n - 1) { if (win > maxWin) maxWin = win; win = 0L }
+            val neg = s < 0
+            if (t > 0 && neg != prevNeg) zc += 1
+            prevNeg = neg
+            val a = if (s < 0) -s else s
+            if (a > peak) peak = a
+            if (a >= 32000) clipped += 1
+            t += 1
+          }
+          Row.fromSeq(r.toSeq :+ true :+ sumSq :+ zc :+ peak :+ clipped :+ maxWin)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Closed-form replay of the PCM feature battery (s16le is byte-exact,
+    * so the decoded samples ARE the waveform values; all features are
+    * integer arithmetic — no float anywhere). */
+  val audioFeaturesSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, source,
+      |    CAST(64 + n_chars % 64 AS INT) AS n_samples,
+      |    list_sum(list_transform(generate_series(1, 32), i ->
+      |      strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1)) AS d1
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, source, n_samples, d1, unnest(generate_series(0, n_samples - 1)) AS t
+      |  FROM m),
+      |sv AS (
+      |  SELECT *, (d1 * 31 + 7 * t * t + 11 * t) % 65536 - 32768 AS v FROM s),
+      |feat AS (
+      |  SELECT doc_id, source,
+      |    SUM(CAST(v AS BIGINT) * v) AS a_sum_sq,
+      |    SUM(CASE WHEN t > 0 AND (v < 0) <> (prev_v < 0) THEN 1 ELSE 0 END) AS a_zero_cross,
+      |    MAX(abs(v)) AS a_peak,
+      |    SUM(CASE WHEN abs(v) >= 32000 THEN 1 ELSE 0 END) AS a_clipped
+      |  FROM (SELECT *, lag(v) OVER (PARTITION BY doc_id ORDER BY t) AS prev_v FROM sv) x
+      |  GROUP BY doc_id, source),
+      |win AS (
+      |  SELECT doc_id, MAX(win_sq) AS a_max_win_energy
+      |  FROM (SELECT doc_id, t // 16 AS w, SUM(CAST(v AS BIGINT) * v) AS win_sq
+      |        FROM sv GROUP BY doc_id, t // 16) wx
+      |  GROUP BY doc_id)
+      |SELECT f.source,
+      |  COUNT(*) AS n_audio,
+      |  CAST(SUM(a_sum_sq) AS BIGINT) AS sum_energy,
+      |  CAST(SUM(a_zero_cross) AS BIGINT) AS sum_zero_cross,
+      |  CAST(MAX(a_peak) AS INT) AS max_peak,
+      |  CAST(SUM(a_clipped) AS BIGINT) AS sum_clipped,
+      |  CAST(SUM(a_max_win_energy) AS BIGINT) AS sum_max_win_energy,
+      |  TRUE AS all_decoded
+      |FROM feat f JOIN win ON win.doc_id = f.doc_id
+      |GROUP BY f.source ORDER BY f.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_struct_join"   -> (structJoin _),
     "mm_media_pipeline" -> (mediaPipeline _),
-    "mm_frame_sample"  -> (frameSample _))
+    "mm_frame_sample"  -> (frameSample _),
+    "mm_audio_features" -> (audioFeatures _))
 
   val oracles: Map[String, String] = Map(
     "mm_struct_join"   -> structJoinSql,
     "mm_media_pipeline" -> mediaPipelineSql,
-    "mm_frame_sample"  -> frameSampleSql)
+    "mm_frame_sample"  -> frameSampleSql,
+    "mm_audio_features" -> audioFeaturesSql)
 }

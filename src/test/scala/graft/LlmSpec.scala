@@ -323,6 +323,54 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("audio codec: s16le round-trip reproduces the waveform features exactly") {
+    import spark.implicits._
+    val meta = Tables.documents(spark, sfDir).limit(20)
+      .select($"doc_id", md5($"text").as("md5hex"),
+        (lit(64) + $"n_chars" % 64).cast("int").as("n_samples"))
+      .withColumn("ameta", struct($"n_samples", lit(16000).as("sample_rate")))
+    val dec = Multimodal.decodePcm(Multimodal.encodePcm(meta)).collect()
+    assert(dec.length === 20)
+    dec.foreach { r =>
+      assert(r.getAs[Boolean]("a_decode_ok"), s"doc ${r.getAs[Long]("doc_id")} failed decode")
+      val n = r.getAs[Int]("n_samples")
+      val d1 = r.getAs[String]("md5hex").map(Character.digit(_, 16)).sum
+      val wave = (0 until n).map(t => (d1 * 31 + 7 * t * t + 11 * t) % 65536 - 32768)
+      assert(r.getAs[Long]("a_sum_sq") === wave.map(s => s.toLong * s).sum)
+      assert(r.getAs[Int]("a_peak") === wave.map(math.abs).max)
+      assert(r.getAs[Int]("a_zero_cross") ===
+        wave.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)))
+      assert(r.getAs[Long]("a_max_win_energy") ===
+        wave.grouped(16).map(_.map(s => s.toLong * s).sum).max)
+    }
+  }
+
+  test("audio codec: corrupt payloads take the error side-channel, good rows unaffected") {
+    import spark.implicits._
+    val meta = Tables.documents(spark, sfDir).filter($"doc_id" < 3)
+      .select($"doc_id", md5($"text").as("md5hex"),
+        (lit(64) + $"n_chars" % 64).cast("int").as("n_samples"))
+      .withColumn("ameta", struct($"n_samples", lit(16000).as("sample_rate")))
+    val corrupted = Multimodal.encodePcm(meta)
+      // truncate one payload (also odd length), null another, keep the third
+      .withColumn("pcm",
+        when($"doc_id" % 3 === 0, expr("substring(pcm, 1, 5)"))
+          .when($"doc_id" % 3 === 1, lit(null).cast("binary"))
+          .otherwise($"pcm"))
+    val dec = Multimodal.decodePcm(corrupted).collect()
+    assert(dec.length === 3)
+    dec.foreach { r =>
+      val ok = r.getAs[Boolean]("a_decode_ok")
+      if (r.getAs[Long]("doc_id") % 3 === 2) {
+        assert(ok, "intact payload must decode")
+        assert(r.getAs[Long]("a_sum_sq") > 0L)
+      } else {
+        assert(!ok, "corrupt/null payload must be flagged, not crash the task")
+        assert(r.isNullAt(r.fieldIndex("a_sum_sq")) && r.isNullAt(r.fieldIndex("a_peak")))
+      }
+    }
+  }
+
   test("frame sampler: sampled slices match the formula; truncated container flagged") {
     import spark.implicits._
     val meta = Tables.documents(spark, sfDir).filter($"doc_id" < 4)
