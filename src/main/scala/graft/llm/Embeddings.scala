@@ -265,9 +265,9 @@ object Embeddings {
       .orderBy($"qid", $"rnk")
   }
 
-  val ivfTopKSql: String =
-    embCte + ",\n" + lloydCtes(10, 5) + """,
-      |assigned AS (
+  /** The IVF search CTE chain (inverted file build + probe + in-cell
+    * scoring), shared by [[ivfTopKSql]] and [[recallEvalSql]]. */
+  private val ivfSearchCtes: String = """assigned AS (
       |  SELECT vec_id, v, nrm, cell FROM (
       |    SELECT ev.vec_id, ev.v, ev.nrm, c.cell,
       |      ROW_NUMBER() OVER (PARTITION BY ev.vec_id ORDER BY
@@ -286,13 +286,68 @@ object Embeddings {
       |hits AS (
       |  SELECT p.qid, a.vec_id AS cid, p.cell,
       |    round(list_sum(list_transform(list_zip(p.qv, a.v), t -> t[1] * t[2])) / (p.qn * a.nrm), 6) AS sim
-      |  FROM probes p JOIN assigned a ON p.cell = a.cell AND a.vec_id >= 5),
+      |  FROM probes p JOIN assigned a ON p.cell = a.cell AND a.vec_id >= 5)""".stripMargin
+
+  val ivfTopKSql: String =
+    embCte + ",\n" + lloydCtes(10, 5) + ",\n" + ivfSearchCtes + """,
       |ranked AS (
       |  SELECT qid, cid, cell, sim,
       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
       |  FROM hits)
       |SELECT qid, rnk, cid, cell, sim FROM ranked WHERE rnk <= 3
       |ORDER BY qid, rnk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // E7 ANN quality evaluation: recall@3 of the IVF probe (E2) against the
+  // brute-force ground truth (E1) — the eval harness every production ANN
+  // deployment runs before trusting an index, expressed as one query so
+  // the recall number is itself oracle-checked. Per query point: the two
+  // top-3 lists are joined on (qid, cid) and recall = hits/3 (one exact
+  // integer count, one 6dp division). The LlmSpec recall floor (≥ 2/3)
+  // pins the same contract as a test; this query makes it a first-class,
+  // driver-gated artifact.
+  // 100 TB: ground truth is only ever computed for the EVAL SAMPLE (here
+  // the 5 query points) — the brute-force side is broadcast(sample) ×
+  // corpus with map-side bounded top-k, the ANN side probes cells; both
+  // sides' costs are the E1/E2 plans, and the final join is sample-sized.
+  def recallEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bf = cosineTopK(spark, dir).filter($"rnk" <= 3)
+      .select($"qid", $"cid")
+    val ann = ivfTopK(spark, dir)
+      .select($"qid".as("aqid"), $"cid".as("acid"))
+    bf.join(ann, $"qid" === $"aqid" && $"cid" === $"acid", "left")
+      .groupBy($"qid")
+      .agg(count($"acid").as("n_hits"))
+      .select($"qid", lit(3).as("n_true"), $"n_hits",
+        round($"n_hits".cast("double") / 3.0, 6).as("recall"))
+      .orderBy($"qid")
+  }
+
+  val recallEvalSql: String =
+    embCte + ",\n" + lloydCtes(10, 5) + ",\n" + ivfSearchCtes + """,
+      |ann AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT qid, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+      |    FROM hits) r
+      |  WHERE rnk <= 3),
+      |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM ev WHERE vec_id < 5),
+      |cand AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM ev WHERE vec_id >= 5),
+      |bfsims AS (
+      |  SELECT qid, cid,
+      |    round(list_sum(list_transform(list_zip(qv, cv), t -> t[1] * t[2])) / (qn * cn), 6) AS sim
+      |  FROM cand CROSS JOIN q),
+      |bf AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT qid, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+      |    FROM bfsims) r
+      |  WHERE rnk <= 3)
+      |SELECT bf.qid, 3 AS n_true, CAST(COUNT(ann.cid) AS BIGINT) AS n_hits,
+      |  round(CAST(COUNT(ann.cid) AS DOUBLE) / 3.0, 6) AS recall
+      |FROM bf LEFT JOIN ann ON ann.qid = bf.qid AND ann.cid = bf.cid
+      |GROUP BY bf.qid ORDER BY bf.qid""".stripMargin
 
   // ---------------------------------------------------------------------
   // E5 SemDeDup-style semantic dedup: the learned IVF cells (same Lloyd
@@ -907,7 +962,8 @@ object Embeddings {
     "emb_lsh_neardup" -> (lshNearDup _),
     "emb_knn_graph"   -> (knnGraph _),
     "emb_semdedup"    -> (semDedup _),
-    "emb_quantize"    -> (quantize _))
+    "emb_quantize"    -> (quantize _),
+    "emb_recall_eval" -> (recallEval _))
 
   val oracles: Map[String, String] = Map(
     "emb_mmr_topk"    -> mmrTopKSql,
@@ -917,5 +973,6 @@ object Embeddings {
     "emb_lsh_neardup" -> lshNearDupSql,
     "emb_knn_graph"   -> knnGraphSql,
     "emb_semdedup"    -> semDedupSql,
-    "emb_quantize"    -> quantizeSql)
+    "emb_quantize"    -> quantizeSql,
+    "emb_recall_eval" -> recallEvalSql)
 }
