@@ -4,9 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import SqlSurface.registerViews
 
-/** The rest of the TPC-H battery: the 13 public-spec query shapes not yet
-  * covered by [[SqlSurface]] (which has Q3/Q5/Q7/Q10/Q14/Q18/Q22 plus the
-  * Q4 shape as `sql_exists_subq` and the Q1 shape as `q1_agg`/`sql_pipe`).
+/** The rest of the TPC-H battery: the query shapes not yet covered by
+  * [[SqlSurface]] (which has Q3/Q5/Q7/Q10/Q14/Q18/Q22), plus canonical
+  * `sql_tpch_q1`/`sql_tpch_q4` texts so all 22 spec names resolve (their
+  * shapes also live on as `q1_agg`/`sql_pipe` and `sql_exists_subq`).
   * With this file every TPC-H query shape runs oracle-checked, so a
   * SQL-warehouse user migrating from the reference's dbt-on-Snowflake stack
   * has the full canonical decision-support surface.
@@ -30,6 +31,76 @@ import SqlSurface.registerViews
   * engines' texts.
   */
 object SqlTpch {
+
+  /** TPC-H Q1 canonical text (pricing summary report) — registered under
+    * its spec name so the battery is nominally complete; the SHAPE has
+    * been the flagship since round 1 (`q1_agg`, ops/Relational.scala:28).
+    * Full spec column set (driver lineitem carries l_linestatus and
+    * l_tax). Money sums ride DECIMAL(12,2) (the charge product grows to
+    * scale 6 — still exact); the averages divide an EXACT decimal sum by
+    * the group count in one IEEE division, so no double-summation-order
+    * drift (avg(l_discount) naively summed is order-dependent).
+    * 100 TB: one scan, one partial+final hash agg on a 4-group key; the
+    * shipdate cutoff reaches the parquet scan.
+    */
+  def sqlTpchQ1(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(sqlTpchQ1Text("g_lineitem"))
+  }
+
+  private def sqlTpchQ1Text(t: String): String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+       |    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+       |    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+       |    * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+       |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+       |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+       |  round(CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+       |  COUNT(*) AS count_order
+       |FROM $t
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  val sqlTpchQ1Sql: String = sqlTpchQ1Text("lineitem")
+
+  /** TPC-H Q4 canonical shape (order-priority checking): the correlated
+    * EXISTS over late lineitems. Adapted lateness: shipped >60 days after
+    * ordering (no commit/receipt dates — the Q12/Q21 substitution); the
+    * quarter window is the spec's. Distinct from `sql_exists_subq`, which
+    * pins the plain shipped-after-order EXISTS on a different window.
+    * 100 TB: the EXISTS decorrelates to a semi hash join on l_orderkey
+    * with the lateness bound riding as a join condition; orders' date
+    * range prunes its scan before the join.
+    */
+  def sqlTpchQ4(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM g_orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM g_lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL '60' DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val sqlTpchQ4Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
 
   /** TPC-H Q2 shape (minimum-cost supplier): the correlated-MIN scalar
     * subquery — for each qualifying part, keep only suppliers achieving the
@@ -541,6 +612,8 @@ object SqlTpch {
       |LIMIT 100""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_tpch_q1"  -> (sqlTpchQ1 _),
+    "sql_tpch_q4"  -> (sqlTpchQ4 _),
     "sql_tpch_q2"  -> (sqlTpchQ2 _),
     "sql_tpch_q6"  -> (sqlTpchQ6 _),
     "sql_tpch_q8"  -> (sqlTpchQ8 _),
@@ -556,6 +629,8 @@ object SqlTpch {
     "sql_tpch_q21" -> (sqlTpchQ21 _))
 
   val oracles: Map[String, String] = Map(
+    "sql_tpch_q1"  -> sqlTpchQ1Sql,
+    "sql_tpch_q4"  -> sqlTpchQ4Sql,
     "sql_tpch_q2"  -> sqlTpchQ2Sql,
     "sql_tpch_q6"  -> sqlTpchQ6Sql,
     "sql_tpch_q8"  -> sqlTpchQ8Sql,
