@@ -25,6 +25,7 @@ class PlanAuditSpec extends SparkSpec {
     "a17_welch", // pairwise < join of the GROUP-COUNT-sized stats table (5 rows)
     "emb_cosine_topk", "emb_ivf_topk", "emb_lsh_neardup", "emb_semdedup",
     "emb_pq_topk", "emb_mmr_topk",
+    "emb_recall_eval", // composes E1+E2 — same broadcast query set / centroids
     "emb_knn_graph", // same fixed-size hyperplane broadcast as emb_lsh_neardup
     "wx_dim_condition", "wx_dim_location", "wx_staging", "wx_incremental",
     "wx_fact_params_forecast", "wx_fact_params_history",
@@ -37,6 +38,41 @@ class PlanAuditSpec extends SparkSpec {
       val bnlj = if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
         Some(s"$name: unexpected BroadcastNestedLoopJoin") else None
       cart.toSeq ++ bnlj.toSeq
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("no payload binary column crosses a shuffle exchange") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.BinaryType
+    // Media/audio payloads must be reduced to features BEFORE any shuffle
+    // (the M2/M3/M4 scale contract: codecs are map-side, bytes never ride
+    // an exchange). Bounded-size AGGREGATE STATE is the legitimate
+    // exception, not a payload: ObjectHashAggregate serializes typed
+    // Aggregator / percentile / collect partial buffers as a binary
+    // attribute named `buf`, per-group-bounded by construction — excluded
+    // by that name. Anything else binary in a shuffle is a payload leak.
+    val binShuffleAllowed = Set.empty[String]
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val self = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec        => walk(q.plan)
+        case other                    => Seq(other)
+      }
+      self ++ p.children.flatMap(walk) ++ p.subqueries.flatMap(walk)
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      def payloadBin(e: ShuffleExchangeExec) =
+        e.output.filter(a => a.dataType == BinaryType && a.name != "buf")
+      val shuffledBin = walk(fn(spark, sfDir).queryExecution.executedPlan).collect {
+        case e: ShuffleExchangeExec if payloadBin(e).nonEmpty =>
+          payloadBin(e).map(_.name).mkString(",")
+      }
+      if (shuffledBin.nonEmpty && !binShuffleAllowed(name))
+        Some(s"$name shuffles binary columns: ${shuffledBin.mkString("; ")}")
+      else None
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
