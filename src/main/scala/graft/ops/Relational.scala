@@ -1374,10 +1374,17 @@ object Relational {
     val dim = Tables.orders(spark, dir)
       .filter($"o_orderpriority" === "1-URGENT")
       .select($"o_orderkey".cast(LongType).as("k"))
+    // the sparse (word → bits) map is densified into a POSITIONAL array
+    // once at build time: element_at on a Spark map is a linear scan of
+    // all entries, so probing 3 positions per fact row against a 4 Ki-entry
+    // map cost O(3·4096) comparisons per row (measured 3.1 s at sf0.1);
+    // array indexing is O(1) and the broadcast stays 32 KiB.
     val bloom = dim
       .select(explode(array(hashes.map(cd => pos($"k", cd)): _*)).as("p"))
       .groupBy(($"p" / 32L).cast(LongType).as("w")).agg(bit_or(mask).as("bits"))
       .agg(map_from_entries(collect_list(struct($"w", $"bits"))).as("bm"))
+      .select(expr(s"transform(sequence(0, ${m / 32 - 1}), w -> " +
+        "coalesce(element_at(bm, CAST(w AS BIGINT)), CAST(0 AS BIGINT)))").as("ba"))
 
     val probe = Tables.lineitem(spark, dir)
       .select($"l_orderkey".cast(LongType).as("k"), $"l_returnflag")
@@ -1385,7 +1392,7 @@ object Relational {
         s"p${i + 1}" -> pos($"k", cd)
       }.toMap)
     val isSet = (1 to hashes.size).map { i =>
-      expr(s"""coalesce(element_at(bm, CAST(p$i div 32 AS BIGINT)), CAST(0 AS BIGINT))
+      expr(s"""element_at(ba, CAST(p$i div 32 AS INT) + 1)
               | & shiftleft(CAST(1 AS BIGINT), CAST(p$i % 32 AS INT)) != 0"""
         .stripMargin.replace("\n", " "))
     }.reduce(_ && _)
