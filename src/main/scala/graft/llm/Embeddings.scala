@@ -99,6 +99,57 @@ object Embeddings {
       |ORDER BY qid, rnk""".stripMargin
 
   // ---------------------------------------------------------------------
+  // E8 hard-negative mining — the contrastive-training data op: for each
+  // anchor (the query set), the top-3 most-similar corpus vectors whose
+  // LABEL DIFFERS (high-similarity wrong-class examples, the negatives
+  // that actually move an embedding model; random negatives are trivially
+  // separable). Same plan as E1 with the label-mismatch predicate fused
+  // into the scored scan — the filter runs BEFORE the bounded top-k
+  // aggregator, so easy negatives never enter the heap.
+  // 100 TB: broadcast(anchors) × corpus scan, map-side bounded top-k —
+  // n_partitions × k rows cross the exchange; mining for a full training
+  // set (every vector an anchor) flips to the E3/E7 banded-candidate
+  // shape, which emb_knn_graph already demonstrates.
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.ensure(spark)
+    import spark.implicits._
+    val topk = udaf(new graft.functions.TopKAggregator(3),
+      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label", $"embedding".as("v"))
+      .withColumn("nrm", norm($"v"))
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"label".as("qlabel"), $"v".as("qv"), $"nrm".as("qn"))
+    val c = e.filter($"vec_id" >= 5)
+      .select($"vec_id".as("cid"), $"label".as("clabel"), $"v".as("cv"), $"nrm".as("cn"))
+    c.join(broadcast(q))
+      .filter($"clabel" =!= $"qlabel")
+      .withColumn("sim", round(dot($"qv", $"cv") / ($"qn" * $"cn"), 6))
+      .groupBy($"qid", $"qlabel")
+      .agg(topk($"cid", $"sim").as("top"))
+      .select($"qid", $"qlabel", posexplode($"top").as(Seq("pos", "s")))
+      .select($"qid", $"qlabel", ($"pos" + 1).as("rnk"),
+        $"s.cid".as("cid"), $"s.sim".as("sim"))
+      .orderBy($"qid", $"rnk")
+  }
+
+  val hardNegativesSql: String =
+    embCte + """,
+      |q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv, nrm AS qn FROM ev WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS cid, label AS clabel, v AS cv, nrm AS cn FROM ev WHERE vec_id >= 5),
+      |sims AS (
+      |  SELECT qid, qlabel, cid,
+      |    round(list_sum(list_transform(list_zip(qv, cv), t -> t[1] * t[2])) / (qn * cn), 6) AS sim
+      |  FROM c CROSS JOIN q
+      |  WHERE clabel <> qlabel),
+      |ranked AS (
+      |  SELECT qid, qlabel, cid, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+      |  FROM sims)
+      |SELECT qid, qlabel, rnk, cid, sim FROM ranked WHERE rnk <= 3
+      |ORDER BY qid, rnk""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Lloyd machinery shared by ivfTopK (and exercised directly in LlmSpec).
 
   /** Map-side argmax cell assignment: the centroid table collapses into a
@@ -963,7 +1014,8 @@ object Embeddings {
     "emb_knn_graph"   -> (knnGraph _),
     "emb_semdedup"    -> (semDedup _),
     "emb_quantize"    -> (quantize _),
-    "emb_recall_eval" -> (recallEval _))
+    "emb_recall_eval" -> (recallEval _),
+    "emb_hard_negatives" -> (hardNegatives _))
 
   val oracles: Map[String, String] = Map(
     "emb_mmr_topk"    -> mmrTopKSql,
@@ -974,5 +1026,6 @@ object Embeddings {
     "emb_knn_graph"   -> knnGraphSql,
     "emb_semdedup"    -> semDedupSql,
     "emb_quantize"    -> quantizeSql,
-    "emb_recall_eval" -> recallEvalSql)
+    "emb_recall_eval" -> recallEvalSql,
+    "emb_hard_negatives" -> hardNegativesSql)
 }
