@@ -829,7 +829,121 @@ object TextAnalysis {
       |SELECT doc_id, rk, phrase, plen, phrase_score_micro
       |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // T15 hybrid retrieval via reciprocal-rank fusion — the RAG-stack
+  // retrieval op: a LEXICAL ranking (query-conditioned BM25 over fixed
+  // query terms) and a SEMANTIC ranking (cosine to an anchor embedding,
+  // doc_id = vec_id) are each cut to a bounded top-20 shortlist, then
+  // fused with RRF (Cormack et al. 2009): rrf(d) = Σ_list 1/(60 + rank_d),
+  // absent-from-a-list contributing 0. Fusing SHORTLISTS is the
+  // production semantics (you never RRF full corpus rankings) and the
+  // scale story: both shortlists come from map-side bounded top-k
+  // aggregators (n_partitions × k rows cross the exchange — no global
+  // sort, no corpus-sized window), so the only full-width work is the
+  // two scoring scans. Ranks inside a 20-row shortlist are position in
+  // the aggregator's sorted output; scores are 6dp-rounded BEFORE
+  // ranking with doc_id tie-breaks, the fleet determinism discipline.
+  // 100 TB: scoring scans are embarrassingly parallel (query terms and
+  // anchor broadcast); the fusion join touches 2 × 20 rows.
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.ensure(spark)
+    import spark.implicits._
+    val queryTerms = Seq("spark", "join", "stream")
+    val k1 = 1.2
+    val b = 0.75
+    val topk = udaf(new graft.functions.TopKAggregator(20),
+      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+    val docs = Tables.documents(spark, dir)
+    // lexical: query-conditioned BM25 (df over query terms only)
+    val terms = docs
+      .select($"doc_id", size(split($"text", " ")).as("dl"),
+        explode(call_function("graft_token_counts", $"text")).as("t"))
+      .select($"doc_id", $"dl".cast("long").as("dl"),
+        $"t.term".as("term"), $"t.n".cast("long").as("tf_count"))
+      .filter($"term".isin(queryTerms: _*) && $"doc_id" =!= 0)
+    val df = terms.groupBy($"term").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split($"text", " "))).cast("long").as("tot_tok"))
+    val lexTop = terms.join(broadcast(df), Seq("term"))
+      .join(broadcast(stats))
+      .withColumn("avgdl", $"tot_tok".cast("double") / $"n_docs")
+      .withColumn("tscore",
+        log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+          * ($"tf_count" * lit(k1 + 1.0)) /
+          ($"tf_count" + lit(k1) * (lit(1.0 - b) + lit(b) * $"dl" / $"avgdl")))
+      .groupBy($"doc_id").agg(round(sum($"tscore"), 6).as("lex_score"))
+      .agg(topk($"doc_id", $"lex_score").as("top"))
+      .select(posexplode($"top").as(Seq("pos", "s")))
+      .select($"s.cid".as("doc_id"), ($"pos" + 1).as("r_lex"))
+    // semantic: cosine to the anchor vector (vec_id 0)
+    val ev = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".as("v"))
+      .withColumn("nrm", sqrt(call_function("graft_dot", $"v", $"v")))
+    val anchor = ev.filter($"vec_id" === 0)
+      .select($"v".as("qv"), $"nrm".as("qn"))
+    val semTop = ev.filter($"vec_id" =!= 0).join(broadcast(anchor))
+      .withColumn("sim",
+        round(call_function("graft_dot", $"qv", $"v") / ($"qn" * $"nrm"), 6))
+      .agg(topk($"vec_id", $"sim").as("top"))
+      .select(posexplode($"top").as(Seq("pos", "s")))
+      .select($"s.cid".as("doc_id"), ($"pos" + 1).as("r_sem"))
+    lexTop.join(semTop, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (lit(60) + $"r_lex"), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + $"r_sem"), lit(0.0)), 6))
+      .orderBy($"rrf_score".desc, $"doc_id".asc)
+      .limit(10)
+      .select($"doc_id", $"r_lex", $"r_sem", $"rrf_score")
+  }
+
+  val hybridRrfSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |    unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tc AS (
+      |  SELECT doc_id, dl, term, COUNT(*) AS tf_count
+      |  FROM toks
+      |  WHERE term IN ('spark', 'join', 'stream') AND doc_id <> 0
+      |  GROUP BY 1, 2, 3),
+      |df AS (SELECT term, COUNT(*) AS df FROM tc GROUP BY term),
+      |stats AS (
+      |  SELECT COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tot_tok
+      |  FROM documents),
+      |lex AS (
+      |  SELECT tc.doc_id,
+      |    round(SUM(
+      |      ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+      |        * (tc.tf_count * 2.2)
+      |        / (tc.tf_count + 1.2 * (0.25 + 0.75 * tc.dl / (s.tot_tok::DOUBLE / s.n_docs)))), 6) AS lex_score
+      |  FROM tc JOIN df USING (term) CROSS JOIN stats s
+      |  GROUP BY tc.doc_id),
+      |lex_top AS (
+      |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY lex_score DESC, doc_id ASC) AS r_lex
+      |  FROM lex QUALIFY r_lex <= 20),
+      |ev AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x))) AS nrm
+      |  FROM embeddings),
+      |anchor AS (SELECT v AS qv, nrm AS qn FROM ev WHERE vec_id = 0),
+      |sem AS (
+      |  SELECT vec_id AS doc_id,
+      |    round(list_sum(list_transform(list_zip(a.qv, e.v), t -> t[1] * t[2])) / (a.qn * e.nrm), 6) AS sim
+      |  FROM ev e CROSS JOIN anchor a WHERE e.vec_id <> 0),
+      |sem_top AS (
+      |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id ASC) AS r_sem
+      |  FROM sem QUALIFY r_sem <= 20)
+      |SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.r_lex, s.r_sem,
+      |  round(COALESCE(CAST(1 AS DOUBLE) / (60 + l.r_lex), 0)
+      |      + COALESCE(CAST(1 AS DOUBLE) / (60 + s.r_sem), 0), 6) AS rrf_score
+      |FROM lex_top l FULL OUTER JOIN sem_top s ON l.doc_id = s.doc_id
+      |ORDER BY rrf_score DESC, doc_id ASC
+      |LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_hybrid_rrf"  -> (hybridRrf _),
     "ta_rake"        -> (rake _),
     "ta_lm_xent"     -> (lmPerplexity _),
     "ta_bpe_train"   -> (bpeTrain _),
@@ -846,6 +960,7 @@ object TextAnalysis {
     "ta_pmi"         -> (pmi _))
 
   val oracles: Map[String, String] = Map(
+    "ta_hybrid_rrf"  -> hybridRrfSql,
     "ta_rake"        -> rakeSql,
     "ta_lm_xent"     -> lmPerplexitySql,
     "ta_bpe_train"   -> bpeTrainSql,

@@ -15,6 +15,7 @@ class PlanAuditSpec extends SparkSpec {
 
   private val bnljAllowed = Set(
     "ta_bm25", "ta_heavy_hitters", "ta_lm_xent",
+    "ta_hybrid_rrf", // ONE-row broadcasts: corpus stats + the anchor vector
     "ta_pmi",      // ONE-row broadcasts of the unigram/bigram totals
     "w11_cusum",   // ONE-row broadcast of (total, n_hours)
     "g2_triangles", // ONE-row broadcasts of edge count + backbone threshold
