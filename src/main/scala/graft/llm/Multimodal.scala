@@ -229,6 +229,106 @@ object Multimodal {
       |FROM px GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // M2b thumbnail generation: decode each PNG and nearest-neighbor
+  // resample it to a fixed 4×4 thumbnail — the actual pixel-resample op
+  // an image-training pipeline runs per image (mediaPipeline only
+  // computes the FIT DIMENSIONS; this moves the pixels). The resample is
+  // pure integer arithmetic on the decoded raster — thumb(x,y) =
+  // px(x*w div 4, y*h div 4) — so DuckDB replays it in closed form, and
+  // the POSITION-WEIGHTED checksum Σ thumb(x,y)·(1 + 4y + x) pins each
+  // pixel to its cell (a bare sum would pass with scrambled layouts).
+  // 100 TB: decode + resample are one map-side mapPartitions stage;
+  // thumbnails leave the stage as 16 small ints (never the binary), so
+  // nothing heavier than the features ever shuffles — the same
+  // binary-stays-map-side law the fleet-wide audit enforces.
+  private val thumbSide = 4
+
+  def imgThumbnail(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir)
+      .select($"source", $"n_chars",
+        md5($"text").as("md5hex"),
+        (lit(4) + $"n_chars" % 12).cast("int").as("w"),
+        (lit(4) + ($"n_chars" * 3) % 12).cast("int").as("h"))
+    decodeThumbnails(encodeImages(media))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_imgs"),
+        sum($"thumb_sum").as("sum_thumb"),
+        sum($"thumb_chk").as("sum_chk"),
+        expr("bool_and(decode_ok)").as("all_decoded"))
+      .orderBy($"source")
+  }
+
+  /** Decode + nearest-neighbor resample behind one `mapPartitions` batch
+    * boundary (the codec stage of [[imgThumbnail]]). Emits `thumb_sum`
+    * (Σ thumbnail samples) and `thumb_chk` (position-weighted checksum);
+    * unreadable payloads take the decode_ok=false side-channel. */
+  def decodeThumbnails(media: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{BooleanType, LongType}
+    val side = thumbSide
+    val outSchema = media.schema
+      .add("decode_ok", BooleanType)
+      .add("thumb_sum", LongType)
+      .add("thumb_chk", LongType)
+    val idx = media.schema.fieldIndex("media")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val img =
+          if (bytes == null) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+        if (img == null) Row.fromSeq(r.toSeq :+ false :+ null :+ null)
+        else {
+          val raster = img.getRaster
+          val (w, h) = (img.getWidth, img.getHeight)
+          var s = 0L
+          var chk = 0L
+          var y = 0
+          while (y < side) {
+            var x = 0
+            while (x < side) {
+              val px = raster.getSample(x * w / side, y * h / side, 0).toLong
+              s += px
+              chk += px * (1L + side.toLong * y + x)
+              x += 1
+            }
+            y += 1
+          }
+          Row.fromSeq(r.toSeq :+ true :+ s :+ chk)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  val imgThumbnailSql: String =
+    """WITH m AS (
+      |  SELECT source,
+      |    CAST(4 + n_chars % 12 AS INT) AS w,
+      |    CAST(4 + (n_chars * 3) % 12 AS INT) AS h,
+      |    list_sum(list_transform(generate_series(1, 32), i ->
+      |      strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1)) AS d1
+      |  FROM documents),
+      |th AS (
+      |  SELECT source,
+      |    list_sum(flatten(list_transform(generate_series(0, 3), y ->
+      |      list_transform(generate_series(0, 3), x ->
+      |        (d1 + 7 * (x * w // 4) + 13 * (y * h // 4)) % 256)))) AS thumb_sum,
+      |    list_sum(flatten(list_transform(generate_series(0, 3), y ->
+      |      list_transform(generate_series(0, 3), x ->
+      |        ((d1 + 7 * (x * w // 4) + 13 * (y * h // 4)) % 256) * (1 + 4 * y + x))))) AS thumb_chk
+      |  FROM m)
+      |SELECT source,
+      |  COUNT(*) AS n_imgs,
+      |  CAST(SUM(thumb_sum) AS BIGINT) AS sum_thumb,
+      |  CAST(SUM(thumb_chk) AS BIGINT) AS sum_chk,
+      |  TRUE AS all_decoded
+      |FROM th GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
   // M3 video frame sampling over a binary container column: each doc
   // carries a "video" — n_frames raw grayscale frames (w×h bytes each)
   // concatenated into ONE binary value, with a typed {n_frames, w, h}
@@ -536,12 +636,14 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_struct_join"   -> (structJoin _),
     "mm_media_pipeline" -> (mediaPipeline _),
+    "mm_img_thumbnail" -> (imgThumbnail _),
     "mm_frame_sample"  -> (frameSample _),
     "mm_audio_features" -> (audioFeatures _))
 
   val oracles: Map[String, String] = Map(
     "mm_struct_join"   -> structJoinSql,
     "mm_media_pipeline" -> mediaPipelineSql,
+    "mm_img_thumbnail" -> imgThumbnailSql,
     "mm_frame_sample"  -> frameSampleSql,
     "mm_audio_features" -> audioFeaturesSql)
 }

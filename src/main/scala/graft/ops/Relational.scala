@@ -1297,6 +1297,77 @@ object Relational {
       |FROM p ORDER BY type_a, type_b""".stripMargin
 
   // ---------------------------------------------------------------------
+  // A21 Theil–Sen robust trend: per-user median of all pairwise
+  // day-over-day slopes of the daily spend series — the robust
+  // counterpart to A11's least-squares slope (one outlier day moves OLS
+  // arbitrarily; the slope MEDIAN has a 29% breakdown point).
+  //
+  // Determinism: daily totals land on the cents grid (exact int64 sums),
+  // each pairwise slope is ONE IEEE division of those exact ints (no
+  // sum-order anywhere), and the median is an order statistic — rank
+  // selection by slope value gives the same VALUE at a rank even when
+  // equal slopes tie. Even pair-counts average the two middle ranks
+  // ((a+b)/2, same expression both engines).
+  //
+  // 100 TB: the daily roll-up is one shuffle on (user, day); pairs are
+  // generated per user — quadratic in SERIES LENGTH (bounded: days per
+  // entity), never in user count — and the rank window shuffles on
+  // user_id only. For long series the standard move is sampled Theil–Sen
+  // (random pair subset); at the reference's per-entity day counts the
+  // exact form is the right default.
+  def a21TheilSen(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .select($"user_id",
+        datediff(to_date($"ts"), lit("2024-01-01").cast("date")).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy($"user_id", $"day")
+      .agg(sum($"cents").as("yv"))
+    val pairs = daily.as("a")
+      .join(daily.as("b"), $"a.user_id" === $"b.user_id" && $"a.day" < $"b.day")
+      .select($"a.user_id".as("user_id"),
+        (($"b.yv" - $"a.yv").cast("double") / ($"b.day" - $"a.day").cast("double")).as("slope"))
+    val w = Window.partitionBy($"user_id").orderBy($"slope")
+    val ranked = pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy($"user_id")))
+    val med = ranked
+      .filter($"rn" === expr("(m + 1) div 2") || $"rn" === expr("m div 2 + 1"))
+      .groupBy($"user_id")
+      .agg(max($"m").as("n_pairs"), avg($"slope").as("med"))
+    val nDays = daily.groupBy($"user_id").agg(count(lit(1)).as("n_days"))
+    med.join(nDays, Seq("user_id"))
+      .select($"user_id", $"n_days", $"n_pairs",
+        round($"med" / 100.0, 6).as("slope_per_day"))
+      .orderBy($"user_id")
+  }
+
+  val a21TheilSenSql: String =
+    """WITH daily AS (
+      |  SELECT user_id, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS yv
+      |  FROM events GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.user_id,
+      |    CAST(b.yv - a.yv AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
+      |  FROM daily a JOIN daily b ON a.user_id = b.user_id AND a.day < b.day),
+      |ranked AS (
+      |  SELECT user_id, slope,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY slope) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS m
+      |  FROM pairs),
+      |med AS (
+      |  SELECT user_id, CAST(MAX(m) AS BIGINT) AS n_pairs, AVG(slope) AS med
+      |  FROM ranked
+      |  WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
+      |  GROUP BY 1),
+      |nd AS (SELECT user_id, COUNT(*) AS n_days FROM daily GROUP BY 1)
+      |SELECT m.user_id, nd.n_days, m.n_pairs,
+      |  round(m.med / 100.0, 6) AS slope_per_day
+      |FROM med m JOIN nd ON nd.user_id = m.user_id
+      |ORDER BY m.user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // J5b as-of join WITH TOLERANCE (pandas merge_asof(tolerance=...) /
   // kdb wj semantics): each purchase takes the same user's LATEST PRIOR
   // VIEW, but only within a 1-hour lookback — last-touch attribution,
@@ -1446,6 +1517,7 @@ object Relational {
     "j10_bloom_join" -> (j10BloomJoin _),
     "j5b_asof_tol" -> (j5bAsOfTol _),
     "a17_welch"    -> (a17Welch _),
+    "a21_theilsen" -> (a21TheilSen _),
     "a16_spearman" -> (a16Spearman _),
     "j9_grid_join" -> (j9GridJoin _),
     "w6_scd2"       -> (w6Scd2 _),
@@ -1486,6 +1558,7 @@ object Relational {
     "j10_bloom_join" -> j10BloomJoinSql,
     "j5b_asof_tol" -> j5bAsOfTolSql,
     "a17_welch"    -> a17WelchSql,
+    "a21_theilsen" -> a21TheilSenSql,
     "a16_spearman" -> a16SpearmanSql,
     "j9_grid_join" -> j9GridJoinSql,
     "w6_scd2"       -> w6Scd2Sql,
