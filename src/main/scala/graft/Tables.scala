@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver test tables (TESTDATA.md).
   *
@@ -26,17 +26,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
-    * default. Read nanos as long and truncate to microsecond precision
-    * (Spark's native timestamp resolution). Sub-microsecond order is not
-    * semantically meaningful in this data.
+  /** events.ts has shipped as INT64 TIMESTAMP(NANOS) in some driver data
+    * generations (Spark 4 rejects those by default) and as tz-less
+    * TIMESTAMP(MICROS) in others (Spark 4 reads those as TIMESTAMP_NTZ,
+    * which time-arithmetic functions like unix_micros refuse). Normalize
+    * both to the session-tz TimestampType: the session is pinned UTC, so
+    * the NTZ→TZ cast is wall-clock-identical to DuckDB's naive read.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))  // integral div: no double rounding
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))  // integral div: no double rounding
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

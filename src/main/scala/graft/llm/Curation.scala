@@ -571,7 +571,123 @@ object Curation {
       |  round(AVG(CASE WHEN rn = 1 THEN quality END), 6) AS avg_survivor_quality
       |FROM r GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // C13 Gopher-style rule battery (Rae et al. 2021, "Scaling Language
+  // Models: ... Gopher", §A1.1 heuristics re-thresholded for this
+  // corpus): word-count bounds, mean-word-length band, minimum stop-word
+  // evidence, and a duplicate-word-fraction cap — the standard pre-filter
+  // a training-data pipeline runs before any model-based scoring. Reports
+  // per-source pass counts per rule plus the all-rules survivor count.
+  // Mean word length uses (n_chars - wc + 1)/wc — exact, because text is
+  // single-space joined and n_chars = len(text) (verified in FIXTURES).
+  // 100 TB: pure map-side per-doc math + one partial-agg shuffle on
+  // source; no UDFs, all codegen'd collection expressions.
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("toks", split($"text", " "))
+      .withColumn("wc", size($"toks"))
+      .withColumn("mwl", round(($"n_chars" - $"wc" + 1).cast("double") / $"wc", 6))
+      .withColumn("dupf", round(lit(1.0) - size(array_distinct($"toks")).cast("double") / $"wc", 6))
+      .withColumn("nstop", size(filter($"toks",
+        w => w === "the" || w === "a" || w === "of" || w === "to" || w === "and")))
+      .withColumn("r_wc", $"wc" >= 20 && $"wc" <= 90)
+      .withColumn("r_mwl", $"mwl" >= 4.0 && $"mwl" <= 5.0)
+      .withColumn("r_stop", $"nstop" >= 2)
+      .withColumn("r_dup", $"dupf" <= 0.5)
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"r_wc".cast("long")).as("n_wc"),
+        sum($"r_mwl".cast("long")).as("n_mwl"),
+        sum($"r_stop".cast("long")).as("n_stop"),
+        sum($"r_dup".cast("long")).as("n_dup"),
+        sum(($"r_wc" && $"r_mwl" && $"r_stop" && $"r_dup").cast("long")).as("n_pass"))
+      .orderBy($"source")
+  }
+
+  val gopherSql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    len(string_split(text, ' ')) AS wc,
+      |    round((n_chars - len(string_split(text, ' ')) + 1.0) / len(string_split(text, ' ')), 6) AS mwl,
+      |    round(1.0 - len(list_distinct(string_split(text, ' ')))::DOUBLE / len(string_split(text, ' ')), 6) AS dupf,
+      |    len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','to','and'))) AS nstop
+      |  FROM documents),
+      |r AS (
+      |  SELECT source,
+      |    CASE WHEN wc BETWEEN 20 AND 90 THEN 1 ELSE 0 END AS r_wc,
+      |    CASE WHEN mwl BETWEEN 4.0 AND 5.0 THEN 1 ELSE 0 END AS r_mwl,
+      |    CASE WHEN nstop >= 2 THEN 1 ELSE 0 END AS r_stop,
+      |    CASE WHEN dupf <= 0.5 THEN 1 ELSE 0 END AS r_dup
+      |  FROM t)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(r_wc) AS BIGINT) AS n_wc,
+      |  CAST(SUM(r_mwl) AS BIGINT) AS n_mwl,
+      |  CAST(SUM(r_stop) AS BIGINT) AS n_stop,
+      |  CAST(SUM(r_dup) AS BIGINT) AS n_dup,
+      |  CAST(SUM(r_wc * r_mwl * r_stop * r_dup) AS BIGINT) AS n_pass
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // C14 DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+  // for Language Models via Importance Resampling"): score every document
+  // by the average unigram log-likelihood ratio between a target domain
+  // (here lang = 'en') and the raw pool, with add-one smoothing — the
+  // relational form of hashed-ngram importance weights. Top-25 docs by
+  // score are the ones DSIR would resample first.
+  // 100 TB: one explode + partial-agg shuffle builds the vocabulary;
+  // token weights are a vocabulary-sized broadcast (bounded, not
+  // corpus-sized), so the per-doc scoring join is map-side; final top-k
+  // is a TakeOrdered, never a full sort.
+  /** Full per-doc DSIR score frame (no top-k) — Round9Spec pins the
+    * population contract on it: in-domain docs must average a higher
+    * importance weight than out-of-domain docs.
+    */
+  private[graft] def dsirScored(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"source", explode(split($"text", " ")).as("tok"))
+    val counts = toks.groupBy($"tok").agg(
+      count(lit(1)).as("c_pool"),
+      sum(when($"lang" === "en", 1L).otherwise(0L)).as("c_tgt"))
+    val totals = counts.agg(
+      sum($"c_pool").as("tp"), sum($"c_tgt").as("tt"), count(lit(1)).as("v"))
+    val weights = counts.crossJoin(broadcast(totals))
+      .select($"tok",
+        (log(($"c_tgt" + lit(1.0)) / ($"tt" + $"v"))
+          - log(($"c_pool" + lit(1.0)) / ($"tp" + $"v"))).as("w"))
+    toks.join(broadcast(weights), Seq("tok"))
+      .groupBy($"doc_id", $"lang", $"source")
+      .agg(count(lit(1)).as("n_tok"), round(avg($"w"), 6).as("score"))
+  }
+
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    dsirScored(spark, dir)
+      .orderBy($"score".desc, $"doc_id".asc)
+      .limit(25)
+  }
+
+  val dsirSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |cnt AS (
+      |  SELECT tok, COUNT(*) AS c_pool,
+      |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_tgt
+      |  FROM toks GROUP BY tok),
+      |tot AS (SELECT SUM(c_pool) AS tp, SUM(c_tgt) AS tt, COUNT(*) AS v FROM cnt),
+      |w AS (
+      |  SELECT tok, ln((c_tgt + 1.0) / (tt + v)) - ln((c_pool + 1.0) / (tp + v)) AS w
+      |  FROM cnt, tot)
+      |SELECT t.doc_id, t.lang, t.source, COUNT(*) AS n_tok, round(AVG(w.w), 6) AS score
+      |FROM toks t JOIN w ON w.tok = t.tok
+      |GROUP BY t.doc_id, t.lang, t.source
+      |ORDER BY score DESC, t.doc_id ASC LIMIT 25""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_gopher"       -> (gopherRules _),
+    "cur_dsir"         -> (dsirWeights _),
     "cur_neardedup_best" -> (nearDedupBest _),
     "cur_weighted_sample" -> (weightedSample _),
     "cur_chunk"        -> (chunk _),
@@ -587,6 +703,8 @@ object Curation {
     "cur_decontam"     -> (decontaminate _))
 
   val oracles: Map[String, String] = Map(
+    "cur_gopher"       -> gopherSql,
+    "cur_dsir"         -> dsirSql,
     "cur_neardedup_best" -> nearDedupBestSql,
     "cur_weighted_sample" -> weightedSampleSql,
     "cur_chunk"        -> chunkSql,

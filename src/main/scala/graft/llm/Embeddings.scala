@@ -812,7 +812,12 @@ object Embeddings {
       .withColumn("sim", round(dot($"qv", $"cv") / ($"qn" * $"cn"), 6))
       .withColumn("rnk", row_number().over(wTop))
       .filter($"rnk" <= 3)
-      .select($"qid", $"rnk", $"cid", $"codes", $"apx_sim", $"sim")
+      // codes emitted as a "-"-joined string: the driver's oracle compare
+      // sorts/hashes every output column, and array cells aren't hashable
+      // there — the string form is, and is byte-identical across engines.
+      .select($"qid", $"rnk", $"cid",
+        array_join($"codes".cast("array<string>"), "-").as("codes"),
+        $"apx_sim", $"sim")
       .orderBy($"qid", $"rnk")
   }
 
@@ -894,7 +899,7 @@ object Embeddings {
       |  SELECT qid, cid, codes, apx_sim, sim,
       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
       |  FROM rr)
-      |SELECT qid, rnk, cid, codes, apx_sim, sim
+      |SELECT qid, rnk, cid, array_to_string(codes, '-') AS codes, apx_sim, sim
       |FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
   }
 
@@ -1005,7 +1010,83 @@ object Embeddings {
       |UNION ALL SELECT qid, 3 AS step, p3id AS cid, s3 AS score FROM p3
       |ORDER BY qid, step""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // E8 Johnson–Lindenstrauss random projection: compress 64-dim vectors
+  // to 16 dims with a sparse {-1,0,1} projection (Achlioptas 2001 —
+  // database-friendly random projections) and run the brute-force top-k
+  // in the COMPRESSED space. The projection matrix is a pure integer
+  // formula w(i,j) = ((i*73 + j*179) % 997) % 3 - 1, so both engines
+  // materialize the identical matrix with no RNG and no shipped state.
+  // This is the third compression path next to int8 (E4) and PQ (emb_pq):
+  // 4× fewer dims ⇒ 4× less scan math and memory bandwidth per candidate.
+  // 100 TB: the projection is one map-side pass (the matrix is 64×16
+  // ints — codegen'd literal arithmetic, nothing broadcast); the top-k
+  // is the same broadcast(query) × corpus scan with the map-side bounded
+  // TopKAggregator as E1 — no shuffle of the corpus, no window. Recall
+  // vs the exact space is pinned in Round9Spec.
+  private val RpIn = 64; private val RpOut = 16
+
+  /** Projected vector: p[j] = round(Σ_i v[i]·w(i,j), 6), sequential fold
+    * over i so the sum order matches the oracle's rounded replay.
+    */
+  private def rprojExpr: String =
+    s"""transform(sequence(0, ${RpOut - 1}), j ->
+       |  round(aggregate(sequence(0, ${RpIn - 1}), CAST(0.0 AS DOUBLE),
+       |    (acc, i) -> acc + CAST(element_at(v, i + 1) AS DOUBLE)
+       |      * CAST(((i * 73 + j * 179) % 997) % 3 - 1 AS DOUBLE)), 6))""".stripMargin
+
+  def rprojTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.ensure(spark)
+    import spark.implicits._
+    val topk = udaf(new graft.functions.TopKAggregator(10),
+      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".as("v"))
+      .withColumn("p", expr(rprojExpr))
+      .withColumn("pn", sqrt(expr("aggregate(p, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)")))
+      .select($"vec_id", $"p", $"pn")
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"p".as("qp"), $"pn".as("qn"))
+    val c = e.filter($"vec_id" >= 5)
+      .select($"vec_id".as("cid"), $"p".as("cp"), $"pn".as("cn"))
+    c.join(broadcast(q))
+      .withColumn("psim", round(
+        expr("aggregate(zip_with(qp, cp, (a, b) -> a * b), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+          / ($"qn" * $"cn"), 6))
+      .groupBy($"qid")
+      .agg(topk($"cid", $"psim").as("top"))
+      .select($"qid", posexplode($"top").as(Seq("pos", "s")))
+      .select($"qid", ($"pos" + 1).as("rnk"), $"s.cid".as("cid"), $"s.sim".as("psim"))
+      .orderBy($"qid", $"rnk")
+  }
+
+  val rprojTopKSql: String =
+    s"""WITH ev AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |ij AS (
+       |  SELECT i.i, j.j, CAST(((i.i * 73 + j.j * 179) % 997) % 3 - 1 AS DOUBLE) AS w
+       |  FROM (SELECT unnest(range(0, $RpIn)) AS i) i, (SELECT unnest(range(0, $RpOut)) AS j) j),
+       |px AS (
+       |  SELECT vec_id, j, round(SUM(v[i + 1] * w), 6) AS p
+       |  FROM ev, ij GROUP BY vec_id, j),
+       |pn AS (SELECT vec_id, sqrt(SUM(p * p)) AS nrm FROM px GROUP BY vec_id),
+       |sims AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+       |    round(SUM(a.p * b.p) / (qn.nrm * cn.nrm), 6) AS psim
+       |  FROM px a JOIN px b ON a.j = b.j
+       |  JOIN pn qn ON qn.vec_id = a.vec_id
+       |  JOIN pn cn ON cn.vec_id = b.vec_id
+       |  WHERE a.vec_id < 5 AND b.vec_id >= 5
+       |  GROUP BY a.vec_id, b.vec_id, qn.nrm, cn.nrm),
+       |ranked AS (
+       |  SELECT qid, cid, psim,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY psim DESC, cid ASC) AS rnk
+       |  FROM sims)
+       |SELECT qid, rnk, cid, psim FROM ranked WHERE rnk <= 10
+       |ORDER BY qid, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_rproj_topk"  -> (rprojTopK _),
     "emb_mmr_topk"    -> (mmrTopK _),
     "emb_pq_topk"     -> (pqTopK _),
     "emb_cosine_topk" -> (cosineTopK _),
@@ -1018,6 +1099,7 @@ object Embeddings {
     "emb_hard_negatives" -> (hardNegatives _))
 
   val oracles: Map[String, String] = Map(
+    "emb_rproj_topk"  -> rprojTopKSql,
     "emb_mmr_topk"    -> mmrTopKSql,
     "emb_pq_topk"     -> pqTopKSql,
     "emb_cosine_topk" -> cosineTopKSql,

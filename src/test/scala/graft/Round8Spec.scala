@@ -195,8 +195,9 @@ class Round8Spec extends SparkSpec {
     try {
       // exactly top-3 per query, m codes in the trained range, bounded sims
       assert(pq.groupBy($"qid").count().filter($"count" =!= 3).isEmpty)
-      assert(pq.filter(size($"codes") =!= 8).isEmpty)
-      assert(pq.filter(exists($"codes", c => c < 0 || c > 15)).isEmpty)
+      val carr = split($"codes", "-").cast("array<int>")
+      assert(pq.filter(size(carr) =!= 8).isEmpty)
+      assert(pq.filter(exists(carr, c => c.isNull || c < 0 || c > 15)).isEmpty)
       assert(pq.filter(abs($"sim") > 1.000001).isEmpty)
       // re-rank contract: sim is the EXACT cosine (matches brute force)
       val brute5 = Embeddings.cosineTopK(spark, sfDir).select($"qid", $"cid", $"sim")

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Curation, Embeddings}
+
+/** Round-9 operators: Gopher rule battery (C13), DSIR importance
+  * weighting (C14), and JL random-projection top-k (E8). The DuckDB
+  * oracle pins cross-engine parity; these tests pin the internal
+  * contracts — rule-count consistency, target-domain separation, and
+  * compressed-space recall against the exact ranking.
+  */
+class Round9Spec extends SparkSpec {
+
+  test("C13 Gopher rules: per-rule counts bounded by doc counts, all-rule pass is the intersection") {
+    import spark.implicits._
+    val got = Curation.gopherRules(spark, sfDir)
+    // every rule-pass count is within [0, n_docs]; n_pass never exceeds
+    // the weakest individual rule (intersection upper bound)
+    assert(got.filter(
+      $"n_wc" > $"n_docs" || $"n_mwl" > $"n_docs" || $"n_stop" > $"n_docs" ||
+      $"n_dup" > $"n_docs" ||
+      $"n_pass" > least($"n_wc", $"n_mwl", $"n_stop", $"n_dup")).isEmpty)
+    // totals cover the whole corpus, and the thresholds are live at this
+    // SF: at least one doc passes all rules and at least one fails one
+    val totals = got.agg(sum($"n_docs").as("d"), sum($"n_pass").as("p")).head()
+    assert(totals.getLong(0) === Tables.documents(spark, sfDir).count())
+    assert(totals.getLong(1) > 0 && totals.getLong(1) < totals.getLong(0))
+  }
+
+  test("C14 DSIR: in-domain docs average a higher importance weight, head over-represents them") {
+    import spark.implicits._
+    // population contract: weights are log-ratios TOWARD lang='en', so
+    // the mean score of en docs must exceed the mean score of the rest.
+    // (The per-doc margin is small on this shared-vocabulary synthetic
+    // corpus, which is why the pin is on the means, not the top-k mix.)
+    val scored = Curation.dsirScored(spark, sfDir)
+    val Array(enAvg, restAvg) = scored
+      .groupBy(($"lang" === "en").as("dom"))
+      .agg(avg($"score").as("s"))
+      .orderBy($"dom".desc)
+      .select($"s").as[Double].collect()
+    assert(enAvg > restAvg, s"en mean $enAvg not above out-of-domain mean $restAvg")
+    // the resample head still has to beat the base rate
+    val got = Curation.dsirWeights(spark, sfDir)
+    assert(got.count() === 25)
+    val enFracTop = got.filter($"lang" === "en").count() / 25.0
+    val docs = Tables.documents(spark, sfDir)
+    val enFracAll = docs.filter($"lang" === "en").count().toDouble / docs.count()
+    assert(enFracTop > enFracAll,
+      s"top-25 en fraction $enFracTop does not beat base rate $enFracAll")
+  }
+
+  test("E8 rproj: compressed-space top-10 recall beats chance by a wide margin") {
+    import spark.implicits._
+    val exact = Embeddings.cosineTopK(spark, sfDir)
+      .select($"qid", $"cid")
+    val proj = Embeddings.rprojTopK(spark, sfDir)
+      .select($"qid", $"cid")
+    val nQ = exact.select($"qid").distinct().count()
+    val hit = exact.join(proj, Seq("qid", "cid")).count()
+    val recall = hit.toDouble / (nQ * 5)
+    // this synthetic corpus is near-isotropic (top-5 cosines sit ~0.1
+    // above the 98th percentile of the bulk), so absolute recall after
+    // 4× compression is modest BY THE DATA's geometry. The operator
+    // contract is that the projection preserves real signal: recall must
+    // beat the chance rate (10 / corpus) by a wide margin.
+    val corpus = Tables.embeddings(spark, sfDir)
+      .filter($"vec_id" >= 5).count()
+    val chance = 10.0 / corpus
+    assert(recall >= math.max(5 * chance, 0.08),
+      s"rproj recall $recall not above 5x chance ${5 * chance}")
+  }
+
+  test("E8 rproj: projection formula matches an independent driver-side replay") {
+    import spark.implicits._
+    // one vector, recomputed in plain Scala with the same integer matrix
+    val row = Tables.embeddings(spark, sfDir)
+      .filter($"vec_id" === 7).select($"embedding").head()
+    val v = row.getSeq[Float](0).map(_.toDouble)
+    val expect = (0 until 16).map { j =>
+      val s = (0 until 64).foldLeft(0.0) { (acc, i) =>
+        acc + v(i) * (((i * 73 + j * 179) % 997) % 3 - 1)
+      }
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = Tables.embeddings(spark, sfDir)
+      .filter($"vec_id" === 7)
+      .select($"embedding".as("v"))
+      .selectExpr(s"""transform(sequence(0, 15), j ->
+        round(aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE),
+          (acc, i) -> acc + CAST(element_at(v, i + 1) AS DOUBLE)
+            * CAST(((i * 73 + j * 179) % 997) % 3 - 1 AS DOUBLE)), 6)) AS p""")
+      .as[Seq[Double]].head()
+    assert(got === expect)
+  }
+}
