@@ -434,6 +434,19 @@ object TextAnalysis {
   // dupClusters lesson) — 3 rounds stay well under that threshold.
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    spark.createDataset(bpeTrainRules(spark, dir))
+      .toDF("round", "pair", "pair_count", "n_tokens_after")
+      .orderBy($"round")
+  }
+
+  /** The 3 training rounds of [[bpeTrain]] as driver-held rules
+    * (round, "a b" pair, pair count, corpus tokens after the merge) —
+    * shared by the stats query and [[bpeEncode]], which re-applies the
+    * merges to the corpus.
+    */
+  private[graft] def bpeTrainRules(
+      spark: SparkSession, dir: String): Seq[(Int, String, Long, Long)] = {
+    import spark.implicits._
     // sequence(1, n) runs DESCENDING when n < 1 in Spark (no empty range),
     // so single-token docs need the explicit CASE guard; the split runs
     // ONCE into a column — referencing split(...) inside the transform
@@ -469,9 +482,62 @@ object TextAnalysis {
         rules += ((r, pair, n, nTok))
       }
     } finally { w.unpersist(false); () }
-    spark.createDataset(rules.toSeq)
-      .toDF("round", "pair", "pair_count", "n_tokens_after")
-      .orderBy($"round")
+    rules.toSeq
+  }
+
+  // ---------------------------------------------------------------------
+  // T14 BPE encode — the applying half of the tokenizer story: re-run
+  // the 3 trained merges over every document (word-boundary-safe via the
+  // same double-space framing as training; '_' is a safe join sentinel —
+  // the corpus contains none) and report the per-doc encoded length and
+  // how many emitted tokens are merged pairs. Training state is 3 string
+  // rules collected driver-side — bounded broadcast-scale state, the
+  // same discipline as the PQ codebooks.
+  // 100 TB: the merge rules are O(vocab) driver state; applying them is
+  // one map-side pass of chained codegen'd replace() calls — no shuffle
+  // at all in the encode (the orderBy is presentation-only).
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val merges = bpeTrainRules(spark, dir).map(_._2)
+    val w0 = Tables.documents(spark, dir)
+      .select($"doc_id", concat(lit(" "), expr("replace(text, ' ', '  ')"), lit(" ")).as("w"))
+    val encoded = merges.foldLeft(w0) { (df, pair) =>
+      val Array(pa, pb) = pair.split(" ", 2)
+      df.withColumn("w", call_function("replace", $"w",
+        lit(s" $pa  $pb "), lit(s" ${pa}_$pb ")))
+    }
+    encoded
+      .withColumn("toks", split(trim($"w"), "  "))
+      .select($"doc_id",
+        size($"toks").cast("long").as("n_tok"),
+        size(filter($"toks", t => t.contains("_"))).cast("long").as("n_merged"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle replay: the identical 3-round training CTE chain as
+    * [[bpeTrainSql]], with doc_id carried through the rewrites so the
+    * final scan emits per-document stats.
+    */
+  val bpeEncodeSql: String = {
+    def pairsFrom(src: String) =
+      s"""SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i + 1])) AS pair
+         |  FROM (SELECT string_split(trim(w), '  ') AS toks FROM $src)""".stripMargin
+    def mergeCte(r: Int) =
+      s"""p$r AS (
+         |  ${pairsFrom(s"w${r - 1}")}),
+         |b$r AS (SELECT pair, COUNT(*) AS n FROM p$r GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 1),
+         |w$r AS (
+         |  SELECT w.doc_id, replace(w.w,
+         |    ' ' || string_split(b.pair, ' ')[1] || '  ' || string_split(b.pair, ' ')[2] || ' ',
+         |    ' ' || string_split(b.pair, ' ')[1] || '_' || string_split(b.pair, ' ')[2] || ' ') AS w
+         |  FROM w${r - 1} w CROSS JOIN b$r b)""".stripMargin
+    val rounds = (1 to 3).map(mergeCte).mkString(",\n")
+    s"""WITH w0 AS (SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS w FROM documents),
+       |$rounds
+       |SELECT doc_id, len(string_split(trim(w), '  ')) AS n_tok,
+       |  len(list_filter(string_split(trim(w), '  '), t -> contains(t, '_'))) AS n_merged
+       |FROM w3 ORDER BY doc_id""".stripMargin
   }
 
   val bpeTrainSql: String = {
@@ -947,6 +1013,7 @@ object TextAnalysis {
     "ta_rake"        -> (rake _),
     "ta_lm_xent"     -> (lmPerplexity _),
     "ta_bpe_train"   -> (bpeTrain _),
+    "ta_bpe_encode"  -> (bpeEncode _),
     "ta_entropy"     -> (entropy _),
     "ta_repetition"  -> (repetition _),
     "ta_tokens"      -> (tokenCounts _),
@@ -964,6 +1031,7 @@ object TextAnalysis {
     "ta_rake"        -> rakeSql,
     "ta_lm_xent"     -> lmPerplexitySql,
     "ta_bpe_train"   -> bpeTrainSql,
+    "ta_bpe_encode"  -> bpeEncodeSql,
     "ta_entropy"     -> entropySql,
     "ta_repetition"  -> repetitionSql,
     "ta_tokens"      -> tokenCountsSql,

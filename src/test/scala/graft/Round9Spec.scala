@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Curation, Embeddings}
+import graft.llm.{Curation, Embeddings, TextAnalysis}
 
 /** Round-9 operators: Gopher rule battery (C13), DSIR importance
   * weighting (C14), and JL random-projection top-k (E8). The DuckDB
@@ -70,6 +70,24 @@ class Round9Spec extends SparkSpec {
     val chance = 10.0 / corpus
     assert(recall >= math.max(5 * chance, 0.08),
       s"rproj recall $recall not above 5x chance ${5 * chance}")
+  }
+
+  test("T14 BPE encode: per-doc token totals reconcile with the training trace") {
+    import spark.implicits._
+    val got = TextAnalysis.bpeEncode(spark, sfDir)
+    val train = TextAnalysis.bpeTrain(spark, sfDir)
+      .orderBy($"round".desc).select($"n_tokens_after").as[Long].head()
+    // the encode replays the exact merges the trainer recorded, so the
+    // corpus-wide encoded token count must equal the trainer's final
+    // n_tokens_after — a full cross-query reconciliation
+    val Seq(totTok, totMerged) = got
+      .agg(sum($"n_tok"), sum($"n_merged")).as[(Long, Long)].head() match {
+        case (a, b) => Seq(a, b)
+      }
+    assert(totTok === train)
+    assert(totMerged > 0, "no merged tokens emitted — merges did not apply")
+    assert(got.filter($"n_merged" > $"n_tok").isEmpty)
+    assert(got.count() === Tables.documents(spark, sfDir).count())
   }
 
   test("E8 rproj: projection formula matches an independent driver-side replay") {
