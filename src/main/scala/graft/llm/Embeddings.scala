@@ -1011,7 +1011,7 @@ object Embeddings {
       |ORDER BY qid, step""".stripMargin
 
   // ---------------------------------------------------------------------
-  // E8 Johnson–Lindenstrauss random projection: compress 64-dim vectors
+  // E11 Johnson–Lindenstrauss random projection: compress 64-dim vectors
   // to 16 dims with a sparse {-1,0,1} projection (Achlioptas 2001 —
   // database-friendly random projections) and run the brute-force top-k
   // in the COMPRESSED space. The projection matrix is a pure integer

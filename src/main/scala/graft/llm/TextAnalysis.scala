@@ -486,7 +486,7 @@ object TextAnalysis {
   }
 
   // ---------------------------------------------------------------------
-  // T14 BPE encode — the applying half of the tokenizer story: re-run
+  // T16 BPE encode — the applying half of the tokenizer story: re-run
   // the 3 trained merges over every document (word-boundary-safe via the
   // same double-space framing as training; '_' is a safe join sentinel —
   // the corpus contains none) and report the per-doc encoded length and

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.llm.{Curation, Embeddings, TextAnalysis}
 
 /** Round-9 operators: Gopher rule battery (C13), DSIR importance
-  * weighting (C14), and JL random-projection top-k (E8). The DuckDB
+  * weighting (C14), JL random-projection top-k (E11), and the BPE
+  * encode pass (T16). The DuckDB
   * oracle pins cross-engine parity; these tests pin the internal
   * contracts — rule-count consistency, target-domain separation, and
   * compressed-space recall against the exact ranking.
@@ -51,7 +52,7 @@ class Round9Spec extends SparkSpec {
       s"top-25 en fraction $enFracTop does not beat base rate $enFracAll")
   }
 
-  test("E8 rproj: compressed-space top-10 recall beats chance by a wide margin") {
+  test("E11 rproj: compressed-space top-10 recall beats chance by a wide margin") {
     import spark.implicits._
     val exact = Embeddings.cosineTopK(spark, sfDir)
       .select($"qid", $"cid")
@@ -72,7 +73,7 @@ class Round9Spec extends SparkSpec {
       s"rproj recall $recall not above 5x chance ${5 * chance}")
   }
 
-  test("T14 BPE encode: per-doc token totals reconcile with the training trace") {
+  test("T16 BPE encode: per-doc token totals reconcile with the training trace") {
     import spark.implicits._
     val got = TextAnalysis.bpeEncode(spark, sfDir)
     val train = TextAnalysis.bpeTrain(spark, sfDir)
@@ -90,7 +91,7 @@ class Round9Spec extends SparkSpec {
     assert(got.count() === Tables.documents(spark, sfDir).count())
   }
 
-  test("E8 rproj: projection formula matches an independent driver-side replay") {
+  test("E11 rproj: projection formula matches an independent driver-side replay") {
     import spark.implicits._
     // one vector, recomputed in plain Scala with the same integer matrix
     val row = Tables.embeddings(spark, sfDir)
