@@ -1085,7 +1085,96 @@ object Embeddings {
        |SELECT qid, rnk, cid, psim FROM ranked WHERE rnk <= 10
        |ORDER BY qid, rnk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // E12 top principal component, matrix-free: 3 fixed power-iteration
+  // rounds computing C·v as (1/n)·Σ_r (x_r−μ)((x_r−μ)·v) — ONE map-side
+  // corpus scan per round plus a 64-group partial-agg shuffle; the 64×64
+  // covariance is NEVER materialized, and all cross-round state (μ, v_t)
+  // is 64 rounded doubles of driver-held broadcast-scale state. Each
+  // round re-normalizes and rounds to 6dp — the determinism barrier that
+  // lets DuckDB replay the identical trajectory. Output: the per-vector
+  // principal score for the first 20 vectors + the Rayleigh eigenvalue
+  // estimate (the ||C·v|| of the final round).
+  // 100 TB: this is how PCA actually runs at scale — partial-agg
+  // sufficient statistics per pass, O(dim) driver state, no shuffle of
+  // the corpus; extending to top-k components is k repeats with
+  // deflation, same shape.
+  private val PcaIters = 3
+
+  def pcaTop(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = Tables.embeddings(spark, dir).count()
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".as("v"))
+    // per-dim mean, rounded — the first determinism barrier
+    val mu: Seq[Double] = e
+      .select(posexplode($"v").as(Seq("i", "x")))
+      .groupBy($"i").agg(round(avg($"x"), 6).as("m"))
+      .orderBy($"i").select($"m").as[Double].collect().toSeq
+    var vt: Seq[Double] = Seq.fill(RpIn)(0.125)  // deterministic uniform init
+    var lam = 0.0
+    for (_ <- 1 to PcaIters) {
+      val cw = e
+        .withColumn("mu", typedlit(mu))
+        .withColumn("vt", typedlit(vt))
+        .withColumn("c", expr("zip_with(v, mu, (a, b) -> CAST(a AS DOUBLE) - b)"))
+        .withColumn("s", expr(
+          "aggregate(zip_with(c, vt, (a, b) -> a * b), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"))
+        .select(posexplode(expr("transform(c, x -> x * s)")).as(Seq("i", "cx")))
+        .groupBy($"i").agg(sum($"cx").as("w"))
+        .orderBy($"i").select($"w").as[Double].collect()
+      val w = cw.map(x => BigDecimal(x / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      lam = BigDecimal(nrm).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      vt = w.map(x => BigDecimal(x / nrm).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toSeq
+    }
+    e.filter($"vec_id" < 20)
+      .withColumn("mu", typedlit(mu))
+      .withColumn("vt", typedlit(vt))
+      .withColumn("proj", round(expr(
+        """aggregate(zip_with(zip_with(v, mu, (a, b) -> CAST(a AS DOUBLE) - b), vt,
+          |  (c, w) -> c * w), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin), 6))
+      .select($"vec_id", $"proj", lit(lam).as("eigenvalue"))
+      .orderBy($"vec_id")
+  }
+
+  /** Oracle replay: identical μ barrier, then 3 chained power-iteration
+    * CTE rounds — each joins the corpus against the 64-row (i, mu, v)
+    * dim table, re-normalizes, and re-rounds exactly as the engine does.
+    */
+  val pcaTopSql: String = {
+    def iterCte(t: Int, prev: String) =
+      s"""s$t AS (
+         |  SELECT r.vec_id, SUM((r.v[d.i + 1] - d.mu) * d.vv) AS s
+         |  FROM ev r, (SELECT m.i, m.mu, p.vv FROM mu m JOIN $prev p ON p.i = m.i) d
+         |  GROUP BY r.vec_id),
+         |w$t AS (
+         |  SELECT m.i, round(SUM(s.s * (r.v[m.i + 1] - m.mu)) / (SELECT n FROM nn), 6) AS w
+         |  FROM ev r JOIN s$t s ON s.vec_id = r.vec_id, mu m
+         |  GROUP BY m.i),
+         |n$t AS (SELECT sqrt(SUM(w * w)) AS nrm FROM w$t),
+         |v$t AS (SELECT i, round(w / (SELECT nrm FROM n$t), 6) AS vv FROM w$t)""".stripMargin
+    val iters = (1 to PcaIters)
+      .map(t => iterCte(t, if (t == 1) "v0" else s"v${t - 1}")).mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |nn AS (SELECT COUNT(*) AS n FROM ev),
+       |mu AS (
+       |  SELECT i, round(AVG(v[i + 1]), 6) AS mu
+       |  FROM ev, (SELECT unnest(range(0, $RpIn)) AS i) GROUP BY i),
+       |v0 AS (SELECT i, 0.125 AS vv FROM (SELECT unnest(range(0, $RpIn)) AS i)),
+       |$iters
+       |SELECT r.vec_id,
+       |  round(SUM((r.v[d.i + 1] - d.mu) * d.vv), 6) AS proj,
+       |  (SELECT round(nrm, 6) FROM n$PcaIters) AS eigenvalue
+       |FROM ev r, (SELECT m.i, m.mu, p.vv FROM mu m JOIN v$PcaIters p ON p.i = m.i) d
+       |WHERE r.vec_id < 20
+       |GROUP BY r.vec_id
+       |ORDER BY r.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_pca_top"     -> (pcaTop _),
     "emb_rproj_topk"  -> (rprojTopK _),
     "emb_mmr_topk"    -> (mmrTopK _),
     "emb_pq_topk"     -> (pqTopK _),
@@ -1099,6 +1188,7 @@ object Embeddings {
     "emb_hard_negatives" -> (hardNegatives _))
 
   val oracles: Map[String, String] = Map(
+    "emb_pca_top"     -> pcaTopSql,
     "emb_rproj_topk"  -> rprojTopKSql,
     "emb_mmr_topk"    -> mmrTopKSql,
     "emb_pq_topk"     -> pqTopKSql,
