@@ -137,11 +137,89 @@ object Metrics {
       |SELECT check_name, n_violations, n_violations = 0 AS passed
       |FROM r ORDER BY check_name""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // V8 population stability index (PSI): the standard train/serve drift
+  // check, here between the C1 split's train (md5-bucket < 80) and
+  // held-out populations over the n_chars distribution. 8 equi-depth
+  // bins are learned from the REFERENCE population (ntile over the
+  // (value, doc_id) total order — the tie-safe A18 discipline), both
+  // populations are assigned by value-vs-boundary thresholds, and each
+  // bin contributes (p−q)·ln(p/q) with add-half smoothing so empty bins
+  // stay finite. PSI > 0.2 is the conventional "investigate" line; the
+  // per-bin terms are emitted so the alert can point at WHERE the
+  // distribution moved.
+  // 100 TB: boundaries are 7 longs of driver state (swap the exact ntile
+  // for approx_percentile at scale — the A8/A18 path); assignment is
+  // map-side threshold math; counts are one 8-group partial agg. The
+  // 8-row windowed total is bin-cardinality work, never data-sized.
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucketed = Tables.documents(spark, dir)
+      .withColumn("bucket",
+        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+      .select($"doc_id", $"n_chars", ($"bucket" < 80).as("is_ref"))
+    val wNt = org.apache.spark.sql.expressions.Window.orderBy($"n_chars", $"doc_id")
+    val bs: Seq[Long] = bucketed.filter($"is_ref")
+      .withColumn("nt", ntile(8).over(wNt))
+      .groupBy($"nt").agg(max($"n_chars").as("b"))
+      .filter($"nt" <= 7)
+      .orderBy($"nt").select($"b").as[Long].collect().toSeq
+    val assigned = bucketed.withColumn("bin",
+      bs.map(v => when($"n_chars" > v, 1).otherwise(0)).reduce(_ + _) + lit(1))
+    val counts = assigned.groupBy($"bin").agg(
+      sum(when($"is_ref", 1L).otherwise(0L)).as("ref_cnt"),
+      sum(when(!$"is_ref", 1L).otherwise(0L)).as("cur_cnt"))
+    val bins = spark.range(1, 9).select($"id".cast("int").as("bin"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    bins.join(counts, Seq("bin"), "left")
+      .na.fill(0, Seq("ref_cnt", "cur_cnt"))
+      .withColumn("p", ($"ref_cnt" + lit(0.5)) / (sum($"ref_cnt").over(wAll) + lit(4.0)))
+      .withColumn("q", ($"cur_cnt" + lit(0.5)) / (sum($"cur_cnt").over(wAll) + lit(4.0)))
+      .select($"bin", $"ref_cnt", $"cur_cnt",
+        round(($"p" - $"q") * log($"p" / $"q"), 6).as("psi_term"))
+      .orderBy($"bin")
+  }
+
+  val psiDriftSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(list_sum(list_transform([1,2,3,4,5,6,7,8], i ->
+      |      CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+      |        * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT) % 100 < 80 AS is_ref
+      |  FROM documents),
+      |r AS (
+      |  SELECT n_chars, NTILE(8) OVER (ORDER BY n_chars, doc_id) AS nt
+      |  FROM b WHERE is_ref),
+      |bounds AS (SELECT nt, MAX(n_chars) AS bv FROM r WHERE nt <= 7 GROUP BY nt),
+      |assigned AS (
+      |  SELECT b.is_ref,
+      |    1 + (SELECT CAST(COUNT(*) AS INT) FROM bounds WHERE b.n_chars > bv) AS bin
+      |  FROM b),
+      |cnts AS (
+      |  SELECT bin,
+      |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS ref_cnt,
+      |    CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS cur_cnt
+      |  FROM assigned GROUP BY bin),
+      |j AS (
+      |  SELECT CAST(bins.bin AS INT) AS bin,
+      |    COALESCE(ref_cnt, 0) AS ref_cnt, COALESCE(cur_cnt, 0) AS cur_cnt
+      |  FROM (SELECT unnest(range(1, 9)) AS bin) bins
+      |  LEFT JOIN cnts ON cnts.bin = bins.bin),
+      |tot AS (SELECT SUM(ref_cnt) AS nr, SUM(cur_cnt) AS nc FROM j)
+      |SELECT bin, ref_cnt, cur_cnt,
+      |  round(((ref_cnt + 0.5) / (nr + 4.0) - (cur_cnt + 0.5) / (nc + 4.0))
+      |    * ln(((ref_cnt + 0.5) / (nr + 4.0)) / ((cur_cnt + 0.5) / (nc + 4.0))), 6) AS psi_term
+      |FROM j, tot ORDER BY bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v6_profile"   -> (profile _),
-    "v7_dq_checks" -> (dqChecks _))
+    "v7_dq_checks" -> (dqChecks _),
+    "v8_psi"       -> (psiDrift _))
 
   val oracles: Map[String, String] = Map(
     "v6_profile"   -> profileSql,
-    "v7_dq_checks" -> dqChecksSql)
+    "v7_dq_checks" -> dqChecksSql,
+    "v8_psi"       -> psiDriftSql)
 }

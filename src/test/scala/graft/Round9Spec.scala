@@ -114,6 +114,35 @@ class Round9Spec extends SparkSpec {
       s"eigenvalue ${lams.head} below init-direction variance $initVar")
   }
 
+  test("L6 novelty: exact-duplicate later copies score zero novelty") {
+    import spark.implicits._
+    val got = graft.llm.TextDedup.novelty(spark, sfDir)
+    assert(got.count() === 25)
+    assert(got.filter($"novel_frac" < 0 || $"novel_frac" > 1 ||
+      $"n_novel" > $"n_shingles").isEmpty)
+    // the corpus has near-duplicate docs whose every shingle first
+    // appeared in an earlier doc (no exact text dups at this SF, but the
+    // dedup fixtures guarantee heavy overlap) — the head of the
+    // most-derivative list must reflect that with a (near-)zero fraction
+    val fracs = got.orderBy($"novel_frac".asc, $"doc_id".asc)
+      .select($"novel_frac").as[Double].collect()
+    assert(fracs.head <= 0.5, s"most derivative doc scores ${fracs.head} — list is not selective")
+    assert(fracs.sameElements(fracs.sorted), "result not ordered by ascending novelty")
+  }
+
+  test("V8 PSI: bins cover both populations, terms are non-negative") {
+    import spark.implicits._
+    val got = ops.Metrics.psiDrift(spark, sfDir)
+    assert(got.select($"bin").as[Int].collect().toSeq === (1 to 8))
+    // (p-q) and ln(p/q) always share a sign, so every term is >= 0
+    assert(got.filter($"psi_term" < 0).isEmpty)
+    val docs = Tables.documents(spark, sfDir).count()
+    val Seq(nr, nc) = got.agg(sum($"ref_cnt"), sum($"cur_cnt"))
+      .as[(Long, Long)].head() match { case (a, b) => Seq(a, b) }
+    assert(nr + nc === docs)
+    assert(nr > 0 && nc > 0, "split produced an empty population")
+  }
+
   test("E11 rproj: projection formula matches an independent driver-side replay") {
     import spark.implicits._
     // one vector, recomputed in plain Scala with the same integer matrix
