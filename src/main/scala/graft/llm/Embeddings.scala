@@ -1173,7 +1173,90 @@ object Embeddings {
        |ORDER BY r.vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // E13 Matryoshka truncation eval: recall of PREFIX-truncated cosine
+  // top-5 (16/32/64 dims) against the full-width ranking — the decision
+  // table for tiered vector storage (matryoshka-style "coarse search in
+  // the prefix, refine in full width"). Each width is the same
+  // broadcast-query × corpus scan + bounded top-k as E1, so the eval
+  // costs one extra scan per width and NOTHING corpus-squared; the
+  // 64-dim row is recall 1.0 by construction (a built-in sanity check).
+  // 100 TB: composes with E11/E2 — the prefix IS the compressed tier, so
+  // this query prices the recall/bandwidth trade before reshaping data.
+  private val MrlWidths = Seq(16, 32, 64)
+
+  def mrlEval(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.ensure(spark)
+    import spark.implicits._
+    val full = cosineTopK(spark, dir).select($"qid", $"cid")
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding".as("v"))
+    val perWidth = MrlWidths.map { k =>
+      val topk = udaf(new graft.functions.TopKAggregator(5),
+        org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+      val p = e
+        .withColumn("pv", expr(s"slice(v, 1, $k)"))
+        .withColumn("pn", sqrt(dot($"pv", $"pv")))
+        .select($"vec_id", $"pv", $"pn")
+      val q = p.filter($"vec_id" < 5)
+        .select($"vec_id".as("qid"), $"pv".as("qv"), $"pn".as("qn"))
+      p.filter($"vec_id" >= 5)
+        .select($"vec_id".as("cid"), $"pv".as("cv"), $"pn".as("cn"))
+        .join(broadcast(q))
+        .withColumn("sim", round(dot($"qv", $"cv") / ($"qn" * $"cn"), 6))
+        .groupBy($"qid")
+        .agg(topk($"cid", $"sim").as("top"))
+        .select($"qid", explode($"top").as("s"))
+        .select(lit(k).as("width"), $"qid", $"s.cid".as("cid"))
+    }
+    perWidth.reduce(_ union _)
+      .join(full.withColumn("hit", lit(1)), Seq("qid", "cid"), "left")
+      .groupBy($"width", $"qid")
+      .agg(sum(coalesce($"hit", lit(0))).cast("long").as("hits"))
+      .withColumn("recall", round($"hits".cast("double") / 5.0, 6))
+      .orderBy($"width", $"qid")
+  }
+
+  val mrlEvalSql: String = {
+    def widthCte(k: Int) =
+      s"""p$k AS (
+         |  SELECT vec_id, v[1:$k] AS pv,
+         |    sqrt(list_sum(list_transform(v[1:$k], x -> x * x))) AS pn
+         |  FROM ev),
+         |s$k AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    round(list_sum(list_transform(list_zip(q.pv, c.pv), t -> t[1] * t[2]))
+         |      / (q.pn * c.pn), 6) AS sim
+         |  FROM p$k q, p$k c WHERE q.vec_id < 5 AND c.vec_id >= 5),
+         |t$k AS (
+         |  SELECT $k AS width, qid, cid FROM (
+         |    SELECT qid, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+         |    FROM s$k) WHERE rnk <= 5)""".stripMargin
+    val widths = MrlWidths.map(widthCte).mkString(",\n")
+    val unions = MrlWidths.map(k => s"SELECT * FROM t$k").mkString(" UNION ALL ")
+    s"""WITH ev AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |$widths,
+       |allw AS ($unions),
+       |full5 AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        round(list_sum(list_transform(list_zip(q.v, c.v), t -> t[1] * t[2]))
+       |          / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+       |             * sqrt(list_sum(list_transform(c.v, x -> x * x)))), 6) DESC,
+       |        c.vec_id ASC) AS rnk
+       |    FROM ev q, ev c WHERE q.vec_id < 5 AND c.vec_id >= 5) WHERE rnk <= 5)
+       |SELECT a.width, a.qid,
+       |  CAST(SUM(CASE WHEN f.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |  round(SUM(CASE WHEN f.cid IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 6) AS recall
+       |FROM allw a LEFT JOIN full5 f ON f.qid = a.qid AND f.cid = a.cid
+       |GROUP BY a.width, a.qid
+       |ORDER BY a.width, a.qid""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_mrl_eval"    -> (mrlEval _),
     "emb_pca_top"     -> (pcaTop _),
     "emb_rproj_topk"  -> (rprojTopK _),
     "emb_mmr_topk"    -> (mmrTopK _),
@@ -1188,6 +1271,7 @@ object Embeddings {
     "emb_hard_negatives" -> (hardNegatives _))
 
   val oracles: Map[String, String] = Map(
+    "emb_mrl_eval"    -> mrlEvalSql,
     "emb_pca_top"     -> pcaTopSql,
     "emb_rproj_topk"  -> rprojTopKSql,
     "emb_mmr_topk"    -> mmrTopKSql,

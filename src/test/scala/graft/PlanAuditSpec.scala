@@ -31,6 +31,7 @@ class PlanAuditSpec extends SparkSpec {
     "emb_hard_negatives", // same broadcast anchor set as emb_cosine_topk
     "emb_knn_graph", // same fixed-size hyperplane broadcast as emb_lsh_neardup
     "emb_rproj_topk", // same broadcast query set as emb_cosine_topk
+    "emb_mrl_eval",   // same broadcast query set, once per prefix width
     "cur_dsir",    // ONE-row broadcast of (pool total, target total, vocab)
     "wx_dim_condition", "wx_dim_location", "wx_staging", "wx_incremental",
     "wx_fact_params_forecast", "wx_fact_params_history",

@@ -143,6 +143,26 @@ class Round9Spec extends SparkSpec {
     assert(nr > 0 && nc > 0, "split produced an empty population")
   }
 
+  test("E13 MRL eval: full width recalls itself exactly, avg recall never drops with width") {
+    import spark.implicits._
+    val got = Embeddings.mrlEval(spark, sfDir)
+    assert(got.count() === 15) // 3 widths x 5 queries
+    // width 64 IS the full ranking — recall must be exactly 1.0 per query
+    assert(got.filter($"width" === 64 && $"recall" =!= 1.0).isEmpty)
+    // truncated widths: on this near-isotropic corpus recall is NOT
+    // monotone between small prefixes (the E11 geometry lesson), so the
+    // pin is chance-relative — each truncated width must still beat the
+    // 5-in-corpus chance rate by a wide margin
+    val corpus = Tables.embeddings(spark, sfDir).filter($"vec_id" >= 5).count()
+    val chance = 5.0 / corpus
+    val truncated = got.filter($"width" < 64)
+      .groupBy($"width").agg(avg($"recall").as("r"))
+      .select($"width", $"r").as[(Int, Double)].collect()
+    truncated.foreach { case (w, r) =>
+      assert(r >= 5 * chance, s"width $w avg recall $r not above 5x chance ${5 * chance}")
+    }
+  }
+
   test("E11 rproj: projection formula matches an independent driver-side replay") {
     import spark.implicits._
     // one vector, recomputed in plain Scala with the same integer matrix
