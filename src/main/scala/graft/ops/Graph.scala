@@ -199,6 +199,64 @@ object Graph {
       .orderBy($"node")
   }
 
+  /** G7 label propagation communities (3 FIXED synchronous rounds) over
+    * the G2 backbone — the community-detection kernel (concomp finds the
+    * islands; LPA finds the DENSE neighborhoods inside them). Every node
+    * starts as its own label; each round it adopts the most frequent
+    * label among its neighbors, ties to the LOWEST label — a total order,
+    * so the 3-round trajectory is deterministic in both engines and a
+    * fixed round count sidesteps synchronous LPA's oscillation problem
+    * entirely (the G3/a13 discipline). Output: per-community size +
+    * representative stats, community id = the shared final label.
+    *
+    * 100 TB: each round is ONE shuffle — neighbor-label counts partial-
+    * aggregate on (node, label), the argmax is a max-of-struct aggregate
+    * (no ranking window); cross-round state is the node-sized label
+    * frame; production iterates with the dupClusters localCheckpoint
+    * pattern.
+    */
+  def labelProp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = backboneEdges(spark, dir)
+    val und = edges.select($"u".as("node"), $"v".as("nb"))
+      .unionByName(edges.select($"v".as("node"), $"u".as("nb")))
+    var lbl = und.select($"node").distinct().withColumn("lbl", $"node")
+    for (_ <- 1 to 3) {
+      lbl = und
+        .join(lbl.withColumnRenamed("node", "nb"), Seq("nb"))
+        .groupBy($"node", $"lbl").agg(count(lit(1)).as("c"))
+        .groupBy($"node")
+        .agg(max(struct($"c".as("c"), (-$"lbl").as("nl"))).as("m"))
+        .select($"node", (-$"m.nl").as("lbl"))
+    }
+    lbl.groupBy($"lbl".as("community"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min($"node").as("min_node"), max($"node").as("max_node"))
+      .orderBy($"community")
+  }
+
+  val labelPropSql: String = {
+    def roundCte(t: Int, prev: String) =
+      s"""l$t AS (
+         |  SELECT node, lbl FROM (
+         |    SELECT u.node, l.lbl, COUNT(*) AS c,
+         |      ROW_NUMBER() OVER (PARTITION BY u.node ORDER BY COUNT(*) DESC, l.lbl ASC) AS rn
+         |    FROM und u JOIN $prev l ON l.node = u.nb
+         |    GROUP BY u.node, l.lbl)
+         |  WHERE rn = 1)""".stripMargin
+    "WITH " + backboneSql + s""",
+      |und AS (
+      |  SELECT u AS node, v AS nb FROM edges
+      |  UNION ALL SELECT v AS node, u AS nb FROM edges),
+      |l0 AS (SELECT DISTINCT node, node AS lbl FROM und),
+      |${roundCte(1, "l0")},
+      |${roundCte(2, "l1")},
+      |${roundCte(3, "l2")}
+      |SELECT lbl AS community, COUNT(*) AS n_nodes,
+      |  MIN(node) AS min_node, MAX(node) AS max_node
+      |FROM l3 GROUP BY lbl ORDER BY community""".stripMargin
+  }
+
   val trianglesSql: String =
     "WITH " + backboneSql + """,
       |deg AS (
@@ -526,7 +584,8 @@ object Graph {
     "g3_kcore"     -> (kcore _),
     "g4_concomp"   -> (concomp _),
     "g5_hopdist"   -> (hopDist _),
-    "g6_linkpred"  -> (linkpred _))
+    "g6_linkpred"  -> (linkpred _),
+    "g7_labelprop" -> (labelProp _))
 
   val oracles: Map[String, String] = Map(
     "g1_pagerank"  -> pagerankSql,
@@ -534,5 +593,6 @@ object Graph {
     "g3_kcore"     -> kcoreSql,
     "g4_concomp"   -> concompSql,
     "g5_hopdist"   -> hopDistSql,
-    "g6_linkpred"  -> linkpredSql)
+    "g6_linkpred"  -> linkpredSql,
+    "g7_labelprop" -> labelPropSql)
 }

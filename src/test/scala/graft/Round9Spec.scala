@@ -163,6 +163,22 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("G7 label propagation: communities partition the backbone node set") {
+    import spark.implicits._
+    val got = ops.Graph.labelProp(spark, sfDir)
+    assert(got.count() >= 1)
+    assert(got.filter($"min_node" > $"max_node" || $"n_nodes" < 1).isEmpty)
+    // community sizes sum to the number of backbone nodes (a partition),
+    // and communities can only refine connected components, never merge
+    // them — so there are at least as many communities as components
+    val nNodes = got.agg(sum($"n_nodes")).as[Long].head()
+    val components = ops.Graph.concomp(spark, sfDir)
+    assert(nNodes === components.count())
+    val nComponents = components.select($"component").distinct().count()
+    assert(got.count() >= nComponents,
+      s"${got.count()} communities < $nComponents components")
+  }
+
   test("E11 rproj: projection formula matches an independent driver-side replay") {
     import spark.implicits._
     // one vector, recomputed in plain Scala with the same integer matrix
