@@ -16,6 +16,23 @@ import graft.Tables
   */
 object Curation {
 
+  /** The C1 hash-mod bucket (md5 → first 8 hex digits → int64 → mod 100):
+    * ONE definition per engine, shared by split/sample/mix here and V8's
+    * PSI populations (ops/Metrics.scala) — the populations those
+    * operators compare are the C1 split by construction, so the formula
+    * must never fork.
+    */
+  val splitBucketExpr: String =
+    "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"
+
+  /** DuckDB replay of [[splitBucketExpr]] (hex fold, single line for
+    * interpolation into any CTE).
+    */
+  val splitBucketSql: String =
+    "CAST(list_sum(list_transform([1,2,3,4,5,6,7,8], i -> " +
+      "CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT) " +
+      "* CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT) % 100"
+
   // ---------------------------------------------------------------------
   // C1 deterministic train/val/test split: hash-mod bucketing on doc_id
   // (md5 → int64 → mod 100; 80/10/10). Content-independent and stable
@@ -26,7 +43,7 @@ object Curation {
     import spark.implicits._
     Tables.documents(spark, dir)
       .withColumn("bucket",
-        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+        expr(splitBucketExpr))
       .withColumn("split",
         when($"bucket" < 80, "train").when($"bucket" < 90, "val").otherwise("test"))
       .groupBy($"split", $"lang")
@@ -35,11 +52,9 @@ object Curation {
   }
 
   val splitSql: String =
-    """WITH b AS (
+    s"""WITH b AS (
       |  SELECT lang, n_chars,
-      |    CAST(list_sum(list_transform([1,2,3,4,5,6,7,8], i ->
-      |      CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
-      |        * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT) % 100 AS bucket
+      |    $splitBucketSql AS bucket
       |  FROM documents)
       |SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
       |  lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
@@ -190,7 +205,7 @@ object Curation {
     import spark.implicits._
     Tables.documents(spark, dir)
       .withColumn("bucket",
-        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+        expr(splitBucketExpr))
       .withColumn("kept",
         ($"bucket" < when($"lang" === "en", 30).otherwise(100)).cast("long"))
       .groupBy($"lang")
@@ -202,11 +217,9 @@ object Curation {
   }
 
   val sampleSql: String =
-    """WITH b AS (
+    s"""WITH b AS (
       |  SELECT lang, n_chars,
-      |    CAST(list_sum(list_transform([1,2,3,4,5,6,7,8], i ->
-      |      CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
-      |        * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT) % 100 AS bucket
+      |    $splitBucketSql AS bucket
       |  FROM documents),
       |k AS (
       |  SELECT lang, n_chars,
@@ -402,7 +415,7 @@ object Curation {
     Tables.documents(spark, dir)
       .withColumn("w_pct", lit(50) + (substring($"source", 4, 10).cast("int") % 4) * 60)
       .withColumn("bucket",
-        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+        expr(splitBucketExpr))
       .withColumn("copies",
         expr("CAST(w_pct DIV 100 AS BIGINT)")
           + when($"bucket" < $"w_pct" % 100, 1L).otherwise(0L))
@@ -415,12 +428,10 @@ object Curation {
   }
 
   val mixSql: String =
-    """WITH b AS (
+    s"""WITH b AS (
       |  SELECT source, n_chars,
       |    50 + (CAST(substr(source, 4, 10) AS INT) % 4) * 60 AS w_pct,
-      |    CAST(list_sum(list_transform([1,2,3,4,5,6,7,8], i ->
-      |      CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
-      |        * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT) % 100 AS bucket
+      |    $splitBucketSql AS bucket
       |  FROM documents),
       |c AS (
       |  SELECT source, n_chars,
@@ -646,8 +657,11 @@ object Curation {
     */
   private[graft] def dsirScored(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = Tables.documents(spark, dir)
-      .select($"doc_id", $"lang", $"source", explode(split($"text", " ")).as("tok"))
+    // the exploded token relation feeds the vocabulary counts, the totals,
+    // AND the final scoring join — cache for the one consuming action
+    // instead of re-exploding the corpus three times (the L2 discipline)
+    val toks = graft.ops.ScopedCache.untilConsumed(Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"source", explode(split($"text", " ")).as("tok")))
     val counts = toks.groupBy($"tok").agg(
       count(lit(1)).as("c_pool"),
       sum(when($"lang" === "en", 1L).otherwise(0L)).as("c_tgt"))

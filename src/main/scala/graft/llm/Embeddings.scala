@@ -1024,7 +1024,12 @@ object Embeddings {
   // is the same broadcast(query) × corpus scan with the map-side bounded
   // TopKAggregator as E1 — no shuffle of the corpus, no window. Recall
   // vs the exact space is pinned in Round9Spec.
-  private val RpIn = 64; private val RpOut = 16
+  /** Embedding dimensionality of the driver's `embeddings` table — the
+    * one source of truth for every operator that iterates dims (E11 JL
+    * input width, E12 PCA direction length).
+    */
+  private val EmbDim = 64
+  private val RpIn = EmbDim; private val RpOut = 16
 
   /** Projected vector: p[j] = round(Σ_i v[i]·w(i,j), 6), sequential fold
     * over i so the sum order matches the oracle's rounded replay.
@@ -1111,7 +1116,7 @@ object Embeddings {
       .select(posexplode($"v").as(Seq("i", "x")))
       .groupBy($"i").agg(round(avg($"x"), 6).as("m"))
       .orderBy($"i").select($"m").as[Double].collect().toSeq
-    var vt: Seq[Double] = Seq.fill(RpIn)(0.125)  // deterministic uniform init
+    var vt: Seq[Double] = Seq.fill(EmbDim)(0.125)  // deterministic uniform init
     var lam = 0.0
     for (_ <- 1 to PcaIters) {
       val cw = e
@@ -1161,8 +1166,8 @@ object Embeddings {
        |nn AS (SELECT COUNT(*) AS n FROM ev),
        |mu AS (
        |  SELECT i, round(AVG(v[i + 1]), 6) AS mu
-       |  FROM ev, (SELECT unnest(range(0, $RpIn)) AS i) GROUP BY i),
-       |v0 AS (SELECT i, 0.125 AS vv FROM (SELECT unnest(range(0, $RpIn)) AS i)),
+       |  FROM ev, (SELECT unnest(range(0, $EmbDim)) AS i) GROUP BY i),
+       |v0 AS (SELECT i, 0.125 AS vv FROM (SELECT unnest(range(0, $EmbDim)) AS i)),
        |$iters
        |SELECT r.vec_id,
        |  round(SUM((r.v[d.i + 1] - d.mu) * d.vv), 6) AS proj,

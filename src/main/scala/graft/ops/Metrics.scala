@@ -155,8 +155,7 @@ object Metrics {
   def psiDrift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bucketed = Tables.documents(spark, dir)
-      .withColumn("bucket",
-        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+      .withColumn("bucket", expr(graft.llm.Curation.splitBucketExpr))
       .select($"doc_id", $"n_chars", ($"bucket" < 80).as("is_ref"))
     val wNt = org.apache.spark.sql.expressions.Window.orderBy($"n_chars", $"doc_id")
     val bs: Seq[Long] = bucketed.filter($"is_ref")
@@ -183,11 +182,9 @@ object Metrics {
   }
 
   val psiDriftSql: String =
-    """WITH b AS (
+    s"""WITH b AS (
       |  SELECT doc_id, n_chars,
-      |    CAST(list_sum(list_transform([1,2,3,4,5,6,7,8], i ->
-      |      CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
-      |        * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT) % 100 < 80 AS is_ref
+      |    ${graft.llm.Curation.splitBucketSql} < 80 AS is_ref
       |  FROM documents),
       |r AS (
       |  SELECT n_chars, NTILE(8) OVER (ORDER BY n_chars, doc_id) AS nt

@@ -90,7 +90,7 @@ class PlanAuditSpec extends SparkSpec {
     // scoped release must leave the session with no new persistent RDDs
     val cachingQueries = Seq(
       "llm_ngram_jaccard", "llm_ppjoin", "llm_minhash_lsh", "ta_langid", "wx_incremental",
-      "llm_containment", "g6_linkpred", "emb_pq_topk", "llm_novelty")
+      "llm_containment", "g6_linkpred", "emb_pq_topk", "llm_novelty", "cur_dsir")
     val before = spark.sparkContext.getPersistentRDDs.keySet
     for (name <- cachingQueries) {
       val n = SparkEntry.queries(name)(spark, sfDir).count()

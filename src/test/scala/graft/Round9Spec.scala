@@ -123,9 +123,10 @@ class Round9Spec extends SparkSpec {
     // the corpus has near-duplicate docs whose every shingle first
     // appeared in an earlier doc (no exact text dups at this SF, but the
     // dedup fixtures guarantee heavy overlap) — the head of the
-    // most-derivative list must reflect that with a (near-)zero fraction
-    val fracs = got.orderBy($"novel_frac".asc, $"doc_id".asc)
-      .select($"novel_frac").as[Double].collect()
+    // most-derivative list must reflect that with a (near-)zero fraction.
+    // Collect AS-RETURNED (no re-sort) so the query's own ordering
+    // contract is what's being checked.
+    val fracs = got.select($"novel_frac").as[Double].collect()
     assert(fracs.head <= 0.5, s"most derivative doc scores ${fracs.head} — list is not selective")
     assert(fracs.sameElements(fracs.sorted), "result not ordered by ascending novelty")
   }
@@ -143,7 +144,7 @@ class Round9Spec extends SparkSpec {
     assert(nr > 0 && nc > 0, "split produced an empty population")
   }
 
-  test("E13 MRL eval: full width recalls itself exactly, avg recall never drops with width") {
+  test("E13 MRL eval: full width recalls itself exactly, truncated widths beat chance") {
     import spark.implicits._
     val got = Embeddings.mrlEval(spark, sfDir)
     assert(got.count() === 15) // 3 widths x 5 queries
