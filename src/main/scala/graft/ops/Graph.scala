@@ -199,6 +199,45 @@ object Graph {
       .orderBy($"node")
   }
 
+  /** G0 materialized backbone: the graph family's one shared fixed cost
+    * (the co-purchase projection, ~2.5 s of every g2–g7 run at sf0.1)
+    * written ONCE as a bucketed-by-endpoint parquet materialized view —
+    * the production layout the per-kernel scaladocs defer to, made
+    * concrete. The query derives the backbone, publishes it (overwrite =
+    * the refresh), reads it BACK from disk, and reports edge/node stats
+    * from the read-back copy — so the oracle compare certifies the
+    * round-tripped artifact, not the in-memory frame. Kernels keep
+    * deriving their own backbone in this suite (honest per-query
+    * accounting); a production DAG points them at this path.
+    * 100 TB: the write clusters by u (repartition+sortWithinPartitions),
+    * so kernel joins on the left endpoint read co-located runs; refresh
+    * is one derivation amortized over every downstream kernel run.
+    */
+  val backboneRoot = "/tmp/graft_backbone_mv"
+
+  def backboneMaterialize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    backboneEdges(spark, dir)
+      .repartition(4, $"u").sortWithinPartitions($"u", $"v")
+      .write.mode("overwrite").parquet(backboneRoot)
+    val mv = spark.read.parquet(backboneRoot)
+    val nodes = mv.select($"u".as("node")).unionByName(mv.select($"v".as("node")))
+    mv.agg(
+        count(lit(1)).as("n_edges"),
+        min($"u").as("min_u"), max($"v").as("max_v"))
+      .crossJoin(nodes.agg(countDistinct($"node").as("n_nodes")))
+      .select($"n_edges", $"n_nodes", $"min_u", $"max_v")
+  }
+
+  val backboneMaterializeSql: String =
+    "WITH " + backboneSql + """
+      |SELECT
+      |  (SELECT COUNT(*) FROM edges) AS n_edges,
+      |  (SELECT COUNT(DISTINCT node) FROM
+      |    (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)) AS n_nodes,
+      |  (SELECT MIN(u) FROM edges) AS min_u,
+      |  (SELECT MAX(v) FROM edges) AS max_v""".stripMargin
+
   /** G7 label propagation communities (3 FIXED synchronous rounds) over
     * the G2 backbone — the community-detection kernel (concomp finds the
     * islands; LPA finds the DENSE neighborhoods inside them). Every node
@@ -585,7 +624,8 @@ object Graph {
     "g4_concomp"   -> (concomp _),
     "g5_hopdist"   -> (hopDist _),
     "g6_linkpred"  -> (linkpred _),
-    "g7_labelprop" -> (labelProp _))
+    "g7_labelprop" -> (labelProp _),
+    "g0_backbone_mv" -> (backboneMaterialize _))
 
   val oracles: Map[String, String] = Map(
     "g1_pagerank"  -> pagerankSql,
@@ -594,5 +634,6 @@ object Graph {
     "g4_concomp"   -> concompSql,
     "g5_hopdist"   -> hopDistSql,
     "g6_linkpred"  -> linkpredSql,
-    "g7_labelprop" -> labelPropSql)
+    "g7_labelprop" -> labelPropSql,
+    "g0_backbone_mv" -> backboneMaterializeSql)
 }

@@ -180,6 +180,15 @@ class Round9Spec extends SparkSpec {
       s"${got.count()} communities < $nComponents components")
   }
 
+  test("G0 backbone MV: read-back artifact equals a fresh derivation") {
+    import spark.implicits._
+    val stats = ops.Graph.backboneMaterialize(spark, sfDir).head()
+    val mv = spark.read.parquet(ops.Graph.backboneRoot)
+    val derived = ops.Graph.backboneEdges(spark, sfDir)
+    assert(mv.exceptAll(derived).isEmpty && derived.exceptAll(mv).isEmpty)
+    assert(stats.getLong(0) === mv.count())
+  }
+
   test("E11 rproj: projection formula matches an independent driver-side replay") {
     import spark.implicits._
     // one vector, recomputed in plain Scala with the same integer matrix
