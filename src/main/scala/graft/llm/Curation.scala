@@ -16,22 +16,13 @@ import graft.Tables
   */
 object Curation {
 
-  /** The C1 hash-mod bucket (md5 → first 8 hex digits → int64 → mod 100):
-    * ONE definition per engine, shared by split/sample/mix here and V8's
-    * PSI populations (ops/Metrics.scala) — the populations those
-    * operators compare are the C1 split by construction, so the formula
-    * must never fork.
+  /** The C1 hash-mod bucket — canonical definitions live in the neutral
+    * ops layer ([[graft.ops.ScalarFuncs.splitBucketExpr]]) so both the
+    * curation family here and V8's PSI (ops/Metrics.scala) consume ONE
+    * formula per engine; these aliases keep call sites readable.
     */
-  val splitBucketExpr: String =
-    "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"
-
-  /** DuckDB replay of [[splitBucketExpr]] (hex fold, single line for
-    * interpolation into any CTE).
-    */
-  val splitBucketSql: String =
-    "CAST(list_sum(list_transform([1,2,3,4,5,6,7,8], i -> " +
-      "CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT) " +
-      "* CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT) % 100"
+  val splitBucketExpr: String = graft.ops.ScalarFuncs.splitBucketExpr
+  val splitBucketSql: String = graft.ops.ScalarFuncs.splitBucketSql
 
   // ---------------------------------------------------------------------
   // C1 deterministic train/val/test split: hash-mod bucketing on doc_id

@@ -201,7 +201,7 @@ object Graph {
 
   /** G0 materialized backbone: the graph family's one shared fixed cost
     * (the co-purchase projection, ~2.5 s of every g2–g7 run at sf0.1)
-    * written ONCE as a bucketed-by-endpoint parquet materialized view —
+    * written ONCE as an endpoint-CLUSTERED parquet materialized view —
     * the production layout the per-kernel scaladocs defer to, made
     * concrete. The query derives the backbone, publishes it (overwrite =
     * the refresh), reads it BACK from disk, and reports edge/node stats
@@ -209,18 +209,23 @@ object Graph {
     * round-tripped artifact, not the in-memory frame. Kernels keep
     * deriving their own backbone in this suite (honest per-query
     * accounting); a production DAG points them at this path.
-    * 100 TB: the write clusters by u (repartition+sortWithinPartitions),
-    * so kernel joins on the left endpoint read co-located runs; refresh
-    * is one derivation amortized over every downstream kernel run.
+    * Clustering = repartition(u) + sortWithinPartitions (row-group
+    * locality and min/max skipping on u). It is NOT bucketBy: plain
+    * parquet carries no bucket spec, so joins against it still plan a
+    * shuffle — the shuffle-FREE layout is the S7b saveAsTable bucketed
+    * path (sources/Formats.scala), which needs a table catalog.
+    * The path is keyed by dataset so concurrent runs at different scale
+    * factors don't overwrite each other's artifact.
     */
-  val backboneRoot = "/tmp/graft_backbone_mv"
+  def backboneRoot(dir: String): String =
+    s"/tmp/graft_backbone_mv_${new java.io.File(dir).getName}"
 
   def backboneMaterialize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     backboneEdges(spark, dir)
       .repartition(4, $"u").sortWithinPartitions($"u", $"v")
-      .write.mode("overwrite").parquet(backboneRoot)
-    val mv = spark.read.parquet(backboneRoot)
+      .write.mode("overwrite").parquet(backboneRoot(dir))
+    val mv = spark.read.parquet(backboneRoot(dir))
     val nodes = mv.select($"u".as("node")).unionByName(mv.select($"v".as("node")))
     mv.agg(
         count(lit(1)).as("n_edges"),

@@ -155,7 +155,7 @@ object Metrics {
   def psiDrift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bucketed = Tables.documents(spark, dir)
-      .withColumn("bucket", expr(graft.llm.Curation.splitBucketExpr))
+      .withColumn("bucket", expr(ScalarFuncs.splitBucketExpr))
       .select($"doc_id", $"n_chars", ($"bucket" < 80).as("is_ref"))
     val wNt = org.apache.spark.sql.expressions.Window.orderBy($"n_chars", $"doc_id")
     val bs: Seq[Long] = bucketed.filter($"is_ref")
@@ -184,7 +184,7 @@ object Metrics {
   val psiDriftSql: String =
     s"""WITH b AS (
       |  SELECT doc_id, n_chars,
-      |    ${graft.llm.Curation.splitBucketSql} < 80 AS is_ref
+      |    ${ScalarFuncs.splitBucketSql} < 80 AS is_ref
       |  FROM documents),
       |r AS (
       |  SELECT n_chars, NTILE(8) OVER (ORDER BY n_chars, doc_id) AS nt

@@ -17,6 +17,23 @@ object ScalarFuncs {
 
   private val nullSentinel = "_dbt_utils_surrogate_key_null_"
 
+  /** The C1 hash-mod bucket (md5 → first 8 hex digits → int64 → mod 100):
+    * ONE definition per engine, consumed by the curation split/sample/mix
+    * family (llm/Curation.scala) and V8's PSI populations (Metrics.scala)
+    * — the populations those operators compare are the C1 split by
+    * construction, so the formula must never fork.
+    */
+  val splitBucketExpr: String =
+    "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"
+
+  /** DuckDB replay of [[splitBucketExpr]] (hex fold, single line for
+    * interpolation into any CTE).
+    */
+  val splitBucketSql: String =
+    "CAST(list_sum(list_transform([1,2,3,4,5,6,7,8], i -> " +
+      "CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT) " +
+      "* CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT) % 100"
+
   /** dbt_utils.generate_surrogate_key (reference dim_location.sql:4). */
   def surrogateKey(cols: Column*): Column =
     md5(concat_ws("-", cols.map(c => coalesce(c.cast(StringType), lit(nullSentinel))): _*))

@@ -57,7 +57,7 @@ class PropertiesSpec extends SparkSpec {
     for (seed <- 1L to 5L) {
       val ids = sample(idGen, seed)
       val b = ids.toDF("doc_id").withColumn("bucket",
-        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+        expr(graft.ops.ScalarFuncs.splitBucketExpr))
       val rows = b.collect().map(r => (r.getLong(0), r.getLong(1)))
       assert(rows.forall { case (_, bk) => bk >= 0 && bk < 100 }, s"seed=$seed range")
       val m = rows.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size)

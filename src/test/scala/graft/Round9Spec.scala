@@ -183,10 +183,15 @@ class Round9Spec extends SparkSpec {
   test("G0 backbone MV: read-back artifact equals a fresh derivation") {
     import spark.implicits._
     val stats = ops.Graph.backboneMaterialize(spark, sfDir).head()
-    val mv = spark.read.parquet(ops.Graph.backboneRoot)
+    val mv = spark.read.parquet(ops.Graph.backboneRoot(sfDir))
     val derived = ops.Graph.backboneEdges(spark, sfDir)
-    assert(mv.exceptAll(derived).isEmpty && derived.exceptAll(mv).isEmpty)
-    assert(stats.getLong(0) === mv.count())
+    // equal count + one-directional exceptAll proves multiset equality
+    // with a single consumption of the scoped-cached derivation (the
+    // second direction would re-run the whole co-purchase self-join)
+    val nMv = mv.count()
+    assert(stats.getLong(0) === nMv)
+    assert(derived.count() === nMv)
+    assert(mv.exceptAll(ops.Graph.backboneEdges(spark, sfDir)).isEmpty)
   }
 
   test("E11 rproj: projection formula matches an independent driver-side replay") {
