@@ -27,6 +27,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Opt-in production-DAG mode: materialize the graph backbone ONCE
+    // (the g0 refresh) and point g2–g7 at the parquet MV, so the suite
+    // also shows the plan a production pipeline runs — without the
+    // ~2.5 s/query re-derived projection. Default off: per-query numbers
+    // stay honest (each query pays its own full cost) unless the flag is
+    // set, and the driver's per-round run never sets it.
+    if (sys.env.get("SPARK_GRAFT_BACKBONE_MV").contains("1")) {
+      graft.ops.Graph.backboneMaterialize(spark, sfDir).count()
+      graft.ops.Graph.useMaterializedBackbone(graft.ops.Graph.backboneRoot(sfDir))
+      System.err.println(s"[bench] graph backbone MV enabled at ${graft.ops.Graph.backboneRoot(sfDir)}")
+    }
+
     // Optional comma-separated allowlist for local profiling runs.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -30,11 +30,16 @@ object Tables {
     * generations (Spark 4 rejects those by default) and as tz-less
     * TIMESTAMP(MICROS) in others (Spark 4 reads those as TIMESTAMP_NTZ,
     * which time-arithmetic functions like unix_micros refuse). Normalize
-    * both to the session-tz TimestampType: the session is pinned UTC, so
-    * the NTZ→TZ cast is wall-clock-identical to DuckDB's naive read.
+    * both to the session-tz TimestampType: the NTZ→TZ cast is wall-clock-
+    * identical to DuckDB's naive read ONLY under a UTC session timezone,
+    * so the loader pins that invariant itself (every entry point also sets
+    * it at build time, but an entry point that forgot would otherwise
+    * shift every ts by the host offset and fail oracle compare
+    * confusingly far from the cause).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType =>

@@ -1031,8 +1031,13 @@ object Embeddings {
   private val EmbDim = 64
   private val RpIn = EmbDim; private val RpOut = 16
 
-  /** Projected vector: p[j] = round(Σ_i v[i]·w(i,j), 6), sequential fold
-    * over i so the sum order matches the oracle's rounded replay.
+  /** Projected vector: p[j] = round(Σ_i v[i]·w(i,j), 6). Oracle parity
+    * rests on the 6-dp ROUND BARRIER (the established oracle-determinism
+    * contract), not on matching summation order: DuckDB's hash-aggregate
+    * SUM and Spark's shuffle accumulation both reorder float adds, and
+    * the barrier absorbs that reorder error. (A value within an ulp of a
+    * .5e-6 boundary could in principle flip; none do on this data, and
+    * any new operator should lean on the same barrier, not on sum order.)
     */
   private def rprojExpr: String =
     s"""transform(sequence(0, ${RpOut - 1}), j ->

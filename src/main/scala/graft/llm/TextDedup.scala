@@ -85,21 +85,74 @@ object TextDedup {
       |FROM ranked GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------------
-  // L2 n-gram Jaccard dedup via inverted index: pairs are generated by a
-  // self-join on the shingle (only docs sharing at least one shingle meet),
-  // then exact Jaccard >= 0.8 as the integer test 5*|A∩B| >= 4*|A∪B|.
-  // 100 TB: the inverted-index join shuffles on the shingle; high-df
-  // shingles would be pruned by a df cap before the join (at this corpus's
-  // vocabulary none dominate, so no cap is applied here).
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  // Probe-side df-cap candidate generation, shared by L2 (Jaccard ≥ 0.8)
+  // and L2c (containment ≥ 0.9). The inverted-index self-join's worst
+  // case is a hot shingle (boilerplate header in every doc): its posting
+  // list of length d contributes d²/2 join rows, turning the shuffle
+  // quadratic in df. The fix is ASYMMETRIC: the probe side of the join
+  // keeps only each doc's RAREST ⌈n/2⌉ shingles (rank by global df asc,
+  // shingle asc — a total order), the build side stays the full index,
+  // and candidates are unordered pairs meeting on any (probe, full)
+  // shingle match. A hot shingle is by definition in nobody's rare half,
+  // so its contribution drops from d²/2 to ~0 while the join still
+  // shuffles linearly in index size.
+  //
+  // LOSSLESSNESS (why capping only the probe side misses no pair):
+  // take a qualifying pair (A, B) and let A be either side, nₐ = |A|.
+  //  - L2: J(A,B) ≥ 0.8 ⇒ i = |A∩B| ≥ 0.8·|A∪B| ≥ 0.8·nₐ. A's probe
+  //    drops ≤ ⌊nₐ/2⌋ shingles, so ≥ 0.8nₐ − 0.5nₐ > 0 shared shingles
+  //    survive in A's probe half; each matches B's UNCAPPED build entry,
+  //    so (A,B) is generated. (Any cap fraction c < t works; c = 0.5
+  //    leaves a wide margin at t = 0.8.)
+  //  - L2c: containment ≥ 0.9 ⇒ i ≥ 0.9·min(nₐ,n_b); probing from the
+  //    SMALLER doc, ≥ 0.9n − 0.5n > 0 shared shingles survive its probe
+  //    half. Capping BOTH sides would break this (the larger doc's cap
+  //    can swallow the whole intersection when sizes are skewed), which
+  //    is exactly why the build side stays full.
+  // The oracle stays the UNCAPPED SQL — the sf0.01 hash match is a
+  // machine-checked instance of this proof, like L2b's.
+  private[graft] def cappedCandidates(sh: DataFrame): DataFrame = {
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val szs = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("s").asc)
+    val probe = sh.join(dfreq, Seq("s"))
+      .join(szs, Seq("doc_id"))
+      .withColumn("rk", row_number().over(wOrd))
+      .filter(col("rk") <= expr("(n + 1) div 2"))
+      .select(col("doc_id"), col("s"))
+    probe.as("x").join(sh.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("da"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("db"))
+      .distinct()
+  }
+
+  /** Full-set intersection counts for a candidate pair set: the verify
+    * join runs over the FULL index but only for candidate docs, so its
+    * cost tracks the candidate count (output size), not corpus df².
+    */
+  private def verifiedIntersections(sh: DataFrame, cand: DataFrame): DataFrame =
+    cand.join(sh.as("va"), col("va.doc_id") === col("da"))
+      .join(sh.as("vb"), col("vb.doc_id") === col("db") && col("va.s") === col("vb.s"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
+
+  // ---------------------------------------------------------------------
+  // L2 n-gram Jaccard dedup via inverted index: candidate pairs from the
+  // df-capped probe join above (lossless — see cappedCandidates), exact
+  // intersections re-counted over the full sets, then exact Jaccard
+  // >= 0.8 as the integer test 5*|A∩B| >= 4*|A∪B|.
+  // 100 TB: the candidate join shuffles on the shingle with hot shingles
+  // capped out of the probe side, the verify join shuffles on candidate
+  // doc ids — both linear in index + output size, never quadratic in df.
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardFrom(spark, Tables.documents(spark, dir))
+
+  private[graft] def ngramJaccardFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    // the shingle relation feeds the self-join (2 scans) and the size agg —
-    // cache instead of recomputing the explode three times
-    val sh = graft.ops.ScopedCache.untilConsumed(shingles(Tables.documents(spark, dir)))
-    val pairs = sh.as("x").join(sh.as("y"),
-        $"x.s" === $"y.s" && $"x.doc_id" < $"y.doc_id")
-      .groupBy($"x.doc_id".as("da"), $"y.doc_id".as("db"))
-      .agg(count(lit(1)).as("i"))
+    // the shingle relation feeds the candidate join, the verify join and
+    // the size agg — cache instead of recomputing the explode five times
+    val sh = graft.ops.ScopedCache.untilConsumed(shingles(docs))
+    val pairs = verifiedIntersections(sh, cappedCandidates(sh))
     val szs = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     pairs
       .join(szs.as("sa"), $"sa.doc_id" === $"da")
@@ -130,21 +183,21 @@ object TextDedup {
   // the SMALLER shingle set is nearly a subset of the other —
   // |A∩B| / min(|A|,|B|) >= 0.9 — the quote/excerpt/truncation detector
   // symmetric Jaccard misses (a 50-shingle quote inside a 5000-shingle
-  // page has Jaccard ~0.01 but containment ~1.0). Same inverted-index
-  // candidate generation as L2; the threshold is the exact integer test
+  // page has Jaccard ~0.01 but containment ~1.0). Candidate generation
+  // is the shared df-capped probe join (see cappedCandidates — the
+  // asymmetric probe/build split is exactly what keeps the cap lossless
+  // for min-side containment); the threshold is the exact integer test
   // 10*i >= 9*min(na, nb), and the reported score is one IEEE division.
-  // 100 TB: candidate generation is identical to L2 (equi-join on the
-  // shingle, df-cap discipline); the containment prefix filter (index
-  // only each doc's first n - ceil(t*n) + 1 shingles of the SMALLER
-  // side's order) is the L2b move and applies unchanged when the corpus
-  // outgrows the full index.
-  def containment(spark: SparkSession, dir: String): DataFrame = {
+  // 100 TB: same linear-in-index-and-output cost shape as L2; a hot
+  // boilerplate shingle generates no candidates because it is in no
+  // doc's rare probe half.
+  def containment(spark: SparkSession, dir: String): DataFrame =
+    containmentFrom(spark, Tables.documents(spark, dir))
+
+  private[graft] def containmentFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val sh = graft.ops.ScopedCache.untilConsumed(shingles(Tables.documents(spark, dir)))
-    val pairs = sh.as("x").join(sh.as("y"),
-        $"x.s" === $"y.s" && $"x.doc_id" < $"y.doc_id")
-      .groupBy($"x.doc_id".as("da"), $"y.doc_id".as("db"))
-      .agg(count(lit(1)).as("i"))
+    val sh = graft.ops.ScopedCache.untilConsumed(shingles(docs))
+    val pairs = verifiedIntersections(sh, cappedCandidates(sh))
     val szs = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     pairs
       .join(szs.as("sa"), $"sa.doc_id" === $"da")

@@ -33,7 +33,25 @@ import graft.Tables
   */
 object Graph {
 
-  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+  /** Max rank-state rows for which the G1 loop hints `broadcast(pr)`.
+    * Rank state is node-sized: at ~40 bytes/row (string node + long +
+    * double) 2M rows is ~80 MB per round — comfortably inside executor
+    * broadcast budgets, far below the 8 GB hard cap. Past the gate the
+    * SAME plan runs as a shuffle join on the edge src key, which is the
+    * plan a 100×-node graph needs anyway (a forced driver-side broadcast
+    * of a web-scale rank vector is an OOM, not an optimization).
+    */
+  private[graft] val PrBroadcastMaxNodes = 2000000L
+
+  def pagerank(spark: SparkSession, dir: String): DataFrame =
+    pagerankGated(spark, dir, PrBroadcastMaxNodes)
+
+  /** G1 with the broadcast gate exposed so PlanSpec can pin BOTH shapes
+    * (hinted below the threshold, shuffle join above it) without needing
+    * a 2M-node fixture.
+    */
+  private[graft] def pagerankGated(
+      spark: SparkSession, dir: String, broadcastMaxNodes: Long): DataFrame = {
     import spark.implicits._
     val pairs = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
       .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
@@ -51,21 +69,26 @@ object Graph {
     val out = edgesPlain.groupBy($"src").agg(count(lit(1)).as("outdeg"))
     val n = out.count() // node count: a scalar, the tfidf N precedent
     val edges = graft.ops.ScopedCache.untilConsumed(edgesPlain)
-    // rank state here is dimension-sized (customers + suppliers), so it
-    // BROADCASTS into each round's edge join — one partial-agg shuffle on
-    // dst per round. On a graph whose node set outgrows a broadcast, drop
-    // the hints: the same plan runs as a shuffle join on src.
+    // rank state here is dimension-sized (customers + suppliers), so when
+    // the measured node count is under the gate it BROADCASTS into each
+    // round's edge join — one partial-agg shuffle on dst per round. The
+    // gate uses n, already counted above for the damping term, so the
+    // decision costs nothing extra; past it the hints are simply not
+    // applied and the identical logical plan runs as a shuffle join on
+    // src (rank state never concentrates on the driver).
+    val hint: DataFrame => DataFrame =
+      if (n <= broadcastMaxNodes) broadcast(_) else identity
     var pr = out.select($"src".as("node"), $"outdeg",
       (lit(1.0) / lit(n)).as("pr"))
     for (_ <- 1 to 3) {
-      val contrib = edges.join(broadcast(pr), $"src" === $"node")
+      val contrib = edges.join(hint(pr), $"src" === $"node")
         .select($"dst",
           floor(($"pr" / $"outdeg") * lit(1e9) + lit(0.5)).cast("long").as("share_e9"))
         .groupBy($"dst").agg(sum($"share_e9").as("in_e9"))
       pr = contrib
         .select($"dst".as("node"),
           (lit(0.15) / lit(n) + lit(0.85) * ($"in_e9".cast("double") / lit(1e9))).as("pr"))
-        .join(broadcast(out.select($"src".as("node"), $"outdeg")), Seq("node"))
+        .join(hint(out.select($"src".as("node"), $"outdeg")), Seq("node"))
         .select($"node", $"outdeg", $"pr")
     }
     pr.select($"node", $"outdeg", round($"pr", 6).as("pagerank"))
@@ -136,7 +159,26 @@ object Graph {
     * threshold stays exact). Returns the (u < v) edge list, action-
     * scoped-cached for the caller's single consuming action.
     */
-  private[graft] def backboneEdges(spark: SparkSession, dir: String): DataFrame = {
+  /** Bench/production indirection for the backbone: when a materialized
+    * path is set (Bench's SPARK_GRAFT_BACKBONE_MV mode, or a production
+    * DAG that ran the g0 refresh), g2–g7 read the endpoint-clustered
+    * parquet MV instead of re-deriving the ~2.5 s co-purchase projection
+    * per query. Default is None — each query pays its own derivation, so
+    * per-query bench accounting stays honest unless the mode is opted
+    * into. The switch is process-wide deliberately: it models the
+    * DAG-level decision "the backbone refresh ran upstream this session".
+    */
+  @volatile private var mvSource: Option[String] = None
+  def useMaterializedBackbone(path: String): Unit = { mvSource = Some(path) }
+  def clearMaterializedBackbone(): Unit = { mvSource = None }
+
+  private[graft] def backboneEdges(spark: SparkSession, dir: String): DataFrame =
+    mvSource match {
+      case Some(p) => spark.read.parquet(p)
+      case None    => deriveBackboneEdges(spark, dir)
+    }
+
+  private def deriveBackboneEdges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pairs = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
       .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
@@ -214,15 +256,48 @@ object Graph {
     * parquet carries no bucket spec, so joins against it still plan a
     * shuffle — the shuffle-FREE layout is the S7b saveAsTable bucketed
     * path (sources/Formats.scala), which needs a table catalog.
-    * The path is keyed by dataset so concurrent runs at different scale
-    * factors don't overwrite each other's artifact.
+    * The path is keyed by a hash of the CANONICAL dataset path (not the
+    * basename — two datasets named `sf0.1` under different parents must
+    * not collide) plus a per-process nonce, so concurrent runs (bench +
+    * verify, parallel CI) each write their own artifact and an
+    * overwrite-refresh can never yank a directory out from under another
+    * process's reader; the nonce also closes the predictable-/tmp-path
+    * hijack surface on shared machines. Artifacts are tracked and
+    * deleted by a JVM shutdown hook — they live exactly as long as the
+    * session that can read them (useMaterializedBackbone).
     */
-  def backboneRoot(dir: String): String =
-    s"/tmp/graft_backbone_mv_${new java.io.File(dir).getName}"
+  private lazy val mvNonce: String =
+    java.lang.Long.toHexString(java.lang.ProcessHandle.current().pid()) + "-" +
+      java.util.UUID.randomUUID().toString.take(8)
+  private val mvWritten = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val mvCleanup: Thread = {
+    val t = new Thread(() => {
+      mvWritten.forEach { root =>
+        def rm(f: java.io.File): Unit = {
+          val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(): Unit
+        }
+        rm(new java.io.File(root))
+      }
+    }, "graft-backbone-mv-cleanup")
+    java.lang.Runtime.getRuntime.addShutdownHook(t)
+    t
+  }
+
+  def backboneRoot(dir: String): String = {
+    val canon = new java.io.File(dir).getCanonicalPath
+    val h = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(canon.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val tmp = System.getProperty("java.io.tmpdir", "/tmp").stripSuffix("/")
+    s"$tmp/graft_backbone_mv_${h}_$mvNonce"
+  }
 
   def backboneMaterialize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    backboneEdges(spark, dir)
+    mvCleanup // ensure the shutdown hook is registered before first write
+    mvWritten.add(backboneRoot(dir))
+    // derive FRESH even when the MV switch is on — the refresh must never
+    // read its own previous output
+    deriveBackboneEdges(spark, dir)
       .repartition(4, $"u").sortWithinPartitions($"u", $"v")
       .write.mode("overwrite").parquet(backboneRoot(dir))
     val mv = spark.read.parquet(backboneRoot(dir))

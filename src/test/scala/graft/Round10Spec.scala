@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.TextDedup
+import graft.ops.Graph
+
+/** Round-10 hardening contracts: the L2/L2c df-capped candidate
+  * generation (losslessness + the hot-shingle worst case it exists for),
+  * the G0 materialized-backbone bench mode (unchanged results, MV scan
+  * in the plan), and the G1 rank-broadcast size gate (same trajectory
+  * with and without the hint, hint presence pinned at the logical level
+  * so AQE's own runtime broadcasts can't mask the check).
+  */
+class Round10Spec extends SparkSpec {
+
+  test("L2/L2c df-cap: capped candidates lose no qualifying pair vs the uncapped join") {
+    import spark.implicits._
+    // reference pair set: the pre-cap any-shared-shingle self-join,
+    // rebuilt inline from the same native shingler
+    graft.GraftExtensions.ensure(spark)
+    val sh = Tables.documents(spark, sfDir)
+      .filter(size(split($"text", " ")) >= 3)
+      .select($"doc_id", explode(call_function("graft_shingles", $"text", lit(3))).as("s"))
+      .cache()
+    try {
+      val uncapped = sh.as("x").join(sh.as("y"),
+          $"x.s" === $"y.s" && $"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("da"), $"y.doc_id".as("db")).distinct()
+      val capped = TextDedup.cappedCandidates(sh)
+        .select($"da", $"db")
+      // the cap may DROP candidates (that is the point) but every pair it
+      // keeps must be a real shared-shingle pair...
+      assert(capped.join(uncapped, Seq("da", "db"), "left_anti").isEmpty,
+        "capped candidate set contains a pair with no shared shingle")
+      // ...and no pair passing either final threshold may be lost: the
+      // qualifying sets computed from the capped pipeline must equal the
+      // ones the uncapped reference pair set yields
+      val szs = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      def qualify(cand: org.apache.spark.sql.DataFrame, jaccard: Boolean) = {
+        val i = cand.join(sh.as("va"), $"va.doc_id" === $"da")
+          .join(sh.as("vb"), $"vb.doc_id" === $"db" && $"va.s" === $"vb.s")
+          .groupBy($"da", $"db").agg(count(lit(1)).as("i"))
+          .join(szs.as("sa"), $"sa.doc_id" === $"da")
+          .join(szs.as("sb"), $"sb.doc_id" === $"db")
+        val f = if (jaccard) $"i" * 5 >= ($"sa.n" + $"sb.n" - $"i") * 4
+                else $"i" * 10 >= least($"sa.n", $"sb.n") * 9
+        i.filter(f).select($"da", $"db")
+      }
+      for (jac <- Seq(true, false)) {
+        val ref = qualify(uncapped, jac).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val got = qualify(capped, jac).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got === ref,
+          s"capped pipeline (jaccard=$jac) lost ${(ref -- got).take(5)} / gained ${(got -- ref).take(5)}")
+      }
+    } finally { sh.unpersist(); () }
+  }
+
+  test("L2 df-cap worst case: a boilerplate shingle in every doc generates no candidate blowup") {
+    import spark.implicits._
+    // 200 docs sharing a 6-word boilerplate header (4 hot shingles with
+    // df=200) + unique 12-word bodies; docs 0 and 1 are true near-dups.
+    // The uncapped inverted index would emit >= C(200,2) = 19900 pairs
+    // from the hot shingles alone; the probe cap excludes them (max df
+    // puts them in no doc's rare half), so candidates collapse to the
+    // docs genuinely sharing RARE shingles — the planted pair.
+    val boiler = "terms of service apply to everyone"
+    val docs = (0 until 200).map { id =>
+      val body =
+        if (id == 1) (0 until 12).map(w => s"tok0_$w").mkString(" ") + " extra"
+        else (0 until 12).map(w => s"tok${id}_$w").mkString(" ")
+      (id.toLong, s"$boiler $body")
+    }.toDF("doc_id", "text")
+    val gotPairs = TextDedup.ngramJaccardFrom(spark, docs).collect()
+    assert(gotPairs.length === 1 &&
+      gotPairs.head.getLong(0) === 0L && gotPairs.head.getLong(1) === 1L,
+      s"expected exactly the planted (0,1) near-dup, got ${gotPairs.length} pairs")
+    graft.GraftExtensions.ensure(spark)
+    val sh = docs.select($"doc_id",
+      explode(call_function("graft_shingles", $"text", lit(3))).as("s"))
+    val nCand = TextDedup.cappedCandidates(sh).count()
+    // every pair that meets ONLY on boilerplate is gone; the bound leaves
+    // room for boundary shingles (boiler->body transitions are unique per
+    // doc) but is 3 orders of magnitude under the uncapped 19900
+    assert(nCand <= 20, s"df-cap failed: $nCand candidate pairs from a hot-shingle corpus")
+  }
+
+  test("G0 MV mode: kernels read the materialized backbone, results unchanged, artifact path hardened") {
+    val root = Graph.backboneRoot(sfDir)
+    // hardened path contract: hashed canonical dataset path + process
+    // nonce, NOT the guessable basename form two sessions would share
+    assert(!root.endsWith("sf0.001") && root.contains("graft_backbone_mv_"))
+    val baseTri = Graph.triangles(spark, sfDir).collect().toSeq
+    val baseLpa = Graph.labelProp(spark, sfDir).collect().toSeq
+    Graph.backboneMaterialize(spark, sfDir).count()
+    Graph.useMaterializedBackbone(root)
+    try {
+      assert(Graph.triangles(spark, sfDir).collect().toSeq === baseTri)
+      assert(Graph.labelProp(spark, sfDir).collect().toSeq === baseLpa)
+      // the MV-mode plan scans the parquet artifact and never touches the
+      // base tables the derivation needs
+      val plan = Graph.triangles(spark, sfDir).queryExecution.executedPlan.toString
+      assert(plan.contains("graft_backbone_mv_"), plan.take(1500))
+      assert(!plan.contains("lineitem"), "MV-mode plan still derives from base tables")
+    } finally Graph.clearMaterializedBackbone()
+  }
+
+  test("G1 broadcast gate: identical trajectory hinted or not; hint present only under the gate") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val hinted = Graph.pagerank(spark, sfDir)
+    val gatedOff = Graph.pagerankGated(spark, sfDir, 0L)
+    // the gate changes the physical strategy, never the numbers: the
+    // integer-nanounit contribution sums make both plans bit-identical
+    assert(hinted.collect().toSeq === gatedOff.collect().toSeq)
+    def nHints(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.size
+    // logical-level pin (executedPlan would be confounded by AQE electing
+    // its own runtime broadcasts for the small side)
+    assert(nHints(Graph.pagerank(spark, sfDir)) > 0,
+      "small-graph path lost its broadcast hints")
+    assert(nHints(Graph.pagerankGated(spark, sfDir, 0L)) === 0,
+      "gated-off path still injects broadcast hints")
+  }
+}

@@ -52,7 +52,7 @@ class Round9Spec extends SparkSpec {
       s"top-25 en fraction $enFracTop does not beat base rate $enFracAll")
   }
 
-  test("E11 rproj: compressed-space top-10 recall beats chance by a wide margin") {
+  test("E11 rproj: exact-top-5 recall within projected top-10 beats chance by a wide margin") {
     import spark.implicits._
     val exact = Embeddings.cosineTopK(spark, sfDir)
       .select($"qid", $"cid")
@@ -60,6 +60,11 @@ class Round9Spec extends SparkSpec {
       .select($"qid", $"cid")
     val nQ = exact.select($"qid").distinct().count()
     val hit = exact.join(proj, Seq("qid", "cid")).count()
+    // recall@10 of the ground-truth top-5: exact = cosineTopK is top-5
+    // per query, proj returns top-10, so this measures what fraction of
+    // the exact top-5 survives inside the projected top-10 (denominator
+    // nQ*5). NOT "top-10 recall" — keep the name honest when tuning the
+    // 0.08 floor below.
     val recall = hit.toDouble / (nQ * 5)
     // this synthetic corpus is near-isotropic (top-5 cosines sit ~0.1
     // above the 98th percentile of the bulk), so absolute recall after
@@ -70,7 +75,7 @@ class Round9Spec extends SparkSpec {
       .filter($"vec_id" >= 5).count()
     val chance = 10.0 / corpus
     assert(recall >= math.max(5 * chance, 0.08),
-      s"rproj recall $recall not above 5x chance ${5 * chance}")
+      s"rproj exact-top-5-within-top-10 recall $recall not above 5x chance ${5 * chance}")
   }
 
   test("T16 BPE encode: per-doc token totals reconcile with the training trace") {
