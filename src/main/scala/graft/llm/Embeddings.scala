@@ -728,11 +728,16 @@ object Embeddings {
     * (s, cell, cv, cn) as a LocalRelation (driver-held state, like
     * [[lloydCentroids]] — codebooks are m·k·subDim rounded doubles).
     */
+  /** Expects the caller to have cached `e` (pqTopK shares ONE vector
+    * cache across training, encode, query tables and re-rank — see the
+    * untilResultConsumed note there); this method only runs actions
+    * against it.
+    */
   private[llm] def pqCodebooks(e: DataFrame): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    val ec = e.select($"vec_id", $"v").cache()
-    try {
+    val ec = e.select($"vec_id", $"v")
+    locally {
       // seeds: the k md5-ranked rows seed every subspace with their slices
       val seedRows = ec
         .select(md5($"vec_id".cast("string")).as("sk"), $"vec_id", $"v")
@@ -763,7 +768,7 @@ object Embeddings {
           .as[(Int, Int, Seq[Double], Double)].collect().toSeq.sortBy(t => (t._1, t._2))
       }
       spark.createDataset(cents).toDF("s", "cell", "cv", "cn")
-    } finally { ec.unpersist(false); () }
+    }
   }
 
   def pqTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -774,9 +779,15 @@ object Embeddings {
     val eRaw = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding".as("v"))
       .withColumn("nrm", norm($"v"))
-    // training (3 driver-side rounds) + encode + query + re-rank all
-    // rescan the vectors: cache for the one collecting action
-    val e = graft.ops.ScopedCache.untilConsumed(eRaw)
+    // ONE plain cache of the vectors spans ALL phases — the 2+1 Lloyd
+    // training collects, the encode scan, the ADC query tables and the
+    // re-rank fetch. untilConsumed would be wrong here: the first
+    // training collect would count as consumption and release the cache
+    // before encode ever ran (the pre-round-10 behavior — every
+    // post-training phase rescanned parquet). Release is instead keyed on
+    // the RESULT fragment (untilResultConsumed at the bottom), so the
+    // caller's single action still leaves no blocks behind.
+    val e = eRaw.cache()
     val books = pqCodebooks(e)
     val cs = broadcast(books.agg(collect_list(struct($"s", $"cell", $"cv", $"cn")).as("cs")))
     // encode: m argmin-L2 codes per vector — pure map work, one scan
@@ -805,7 +816,7 @@ object Embeddings {
     // runs over ≤25 rows per query — input is BOUNDED by the shortlist,
     // so this window never sees corpus-sized data.
     val wTop = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid".asc)
-    shortlist
+    val out = shortlist
       .join(e.select($"vec_id".as("cid"), $"v".as("cv"), $"nrm".as("cn")), Seq("cid"))
       .join(broadcast(e.filter($"vec_id" < 5)
         .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))), Seq("qid"))
@@ -819,6 +830,7 @@ object Embeddings {
         array_join($"codes".cast("array<string>"), "-").as("codes"),
         $"apx_sim", $"sim")
       .orderBy($"qid", $"rnk")
+    graft.ops.ScopedCache.untilResultConsumed(e, out)
   }
 
   /** The oracle's replay of [[pqCodebooks]]: subv slices every vector into

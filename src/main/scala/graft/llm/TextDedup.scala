@@ -371,6 +371,14 @@ object TextDedup {
   // mitigation at scale.
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // the registered L4 REPORT totally orders the pair listing for the
+    // oracle hash; the pair STREAM itself (simhashPairs) carries no sort
+    // so the fused clustering form below never pays it
+    simhashPairs(spark, dir).orderBy($"doc_a", $"doc_b")
+  }
+
+  private[graft] def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     // Bit b of the signature input = bit (b%4) of hex digit (b/4) of
     // md5(tok) — exactly the integer formed by reading the first 8 hex
     // digits LITTLE-endian, so the whole 32-bit token hash is one conv().
@@ -409,7 +417,28 @@ object TextDedup {
           && expr("(a.band < 3 OR (shiftright(a.sig, 16) & 255L) != (shiftright(b.sig, 16) & 255L))"))
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
         expr("CAST(bit_count(a.sig ^ b.sig) AS BIGINT)").as("hamming"))
-      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** L4f fused simhash→clusters: the band-join pair stream feeds the
+    * shared min-label/pointer-jumping core (graft.ops.Graph
+    * .connectedComponents) DIRECTLY — no global sort and no materialized
+    * full pair listing in between. This is the production composition:
+    * on a near-duplicate-heavy corpus the L4 pair listing is
+    * near-quadratic in dup density (14.5M pairs on the 4×-replicated
+    * corpus, SURVEY §6.1) and exists only to be totally ordered for
+    * human eyes; clustering consumes the pairs unsorted, so the fused
+    * form's cost is the band join plus frontier-sized component rounds.
+    * Output is the same cluster report shape as cur_dup_clusters.
+    */
+  def simhashClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.ops.Graph.connectedComponents(
+      simhashPairs(spark, dir).select($"doc_a", $"doc_b"))
+      .select($"node".as("doc_id"), $"component".as("lbl"))
+      .groupBy($"lbl".as("cluster_root"))
+      .agg(count(lit(1)).as("n_members"), max($"doc_id").as("max_doc"))
+      .filter($"n_members" >= 2)
+      .orderBy($"cluster_root")
   }
 
   val simhashSql: String =
@@ -438,6 +467,30 @@ object TextDedup {
       |SELECT da AS doc_a, db AS doc_b, hamming
       |FROM cand
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Oracle for the fused form: the L4 pair query (inner WITH intact,
+    * final ORDER BY dropped) wrapped as the edge source of the same
+    * recursive-reachability clustering the cur_dup_clusters oracle uses.
+    */
+  val simhashClustersSql: String =
+    "WITH RECURSIVE pairs AS (\n" +
+      simhashSql.replace("ORDER BY doc_a, doc_b", "") +
+    """
+      |),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION
+      |  SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |lbl AS (
+      |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS root
+      |  FROM reach GROUP BY src)
+      |SELECT root AS cluster_root, COUNT(*) AS n_members, MAX(doc_id) AS max_doc
+      |FROM lbl GROUP BY root HAVING COUNT(*) >= 2
+      |ORDER BY cluster_root""".stripMargin
 
   // ---------------------------------------------------------------------
   // L5 edit-distance near-dup verify. Candidate generation is BLOCKED on
@@ -675,6 +728,7 @@ object TextDedup {
     "llm_ppjoin"        -> (ppjoin _),
     "llm_minhash_lsh"   -> (minhashLsh _),
     "llm_simhash"       -> (simhash _),
+    "llm_simhash_clusters" -> (simhashClusters _),
     "llm_editdist"      -> (editDistance _),
     "llm_crossdoc_dup"  -> (crossdocDup _))
 
@@ -687,6 +741,7 @@ object TextDedup {
     "llm_ppjoin"        -> ngramJaccardSql, // same answer by construction — see ppjoin scaladoc
     "llm_minhash_lsh"   -> minhashLshSql,
     "llm_simhash"       -> simhashSql,
+    "llm_simhash_clusters" -> simhashClustersSql,
     "llm_editdist"      -> editDistanceSql,
     "llm_crossdoc_dup"  -> crossdocDupSql)
 }

@@ -27,7 +27,50 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 object ScopedCache {
 
+  /** Monotone count of scopes ever opened (both variants). Test-facing:
+    * the cache-hygiene audit DERIVES the set of internally-caching
+    * queries by watching this counter across query construction, instead
+    * of a hand-maintained list that drifted twice (rounds 8 and 9).
+    */
+  private val opened = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] def scopesOpened: Long = opened.get
+
+  /** Cache `cached` until the first completed action whose plan contains
+    * RESULT's analyzed fragment (not `cached`'s own). For multi-action
+    * operators — iterative training collects followed by a final query
+    * over the same relation — where [[untilConsumed]] would release on
+    * the FIRST training collect and leave every later phase rescanning
+    * the source. The cache is materialized by the training actions,
+    * reused across all of them plus the final query, and released by the
+    * caller's single consuming action on the returned result; the same
+    * no-blocks-left-behind contract the cache-hygiene audit pins.
+    */
+  def untilResultConsumed(cached: DataFrame, result: DataFrame): DataFrame = {
+    opened.incrementAndGet()
+    val spark = cached.sparkSession
+    val fragment = result.queryExecution.analyzed.canonicalized
+    val released = new AtomicBoolean(false)
+    val listener: QueryExecutionListener = new QueryExecutionListener {
+      private def maybeRelease(qe: QueryExecution): Unit = {
+        val consumed =
+          try qe.analyzed.find(_.canonicalized == fragment).isDefined
+          catch { case scala.util.control.NonFatal(_) => false }
+        if (consumed && released.compareAndSet(false, true)) {
+          cached.unpersist(false)
+          spark.listenerManager.unregister(this)
+        }
+      }
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        maybeRelease(qe)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+        maybeRelease(qe)
+    }
+    spark.listenerManager.register(listener)
+    result
+  }
+
   def untilConsumed(df: DataFrame): DataFrame = {
+    opened.incrementAndGet()
     val spark = df.sparkSession
     val cached = df.cache()
     val fragment = cached.queryExecution.analyzed.canonicalized

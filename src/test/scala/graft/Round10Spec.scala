@@ -105,6 +105,51 @@ class Round10Spec extends SparkSpec {
     } finally Graph.clearMaterializedBackbone()
   }
 
+  test("E6 PQ: one shared vector cache spans training/encode/re-rank — no parquet rescan, no blocks left") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // construction runs the training collects, which materialize the
+    // shared vector cache; the FINAL plan must then source every phase
+    // (encode, ADC query tables, re-rank fetch) from that cache. Pre-
+    // fusion the action-scoped cache was released by the FIRST training
+    // collect, so this plan showed raw embeddings parquet scans instead.
+    val out = graft.llm.Embeddings.pqTopK(spark, sfDir)
+    val phys = out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(phys.toString.contains("InMemoryTableScan"),
+      "final PQ plan does not read the shared vector cache:\n" + phys.toString.take(1500))
+    // a FileSourceScanExec NODE on embeddings.parquet would mean a phase
+    // rescans the source; the path string inside an InMemoryRelation's
+    // recorded build plan is fine (that's the cache's provenance)
+    val rawScans = phys.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.tableIdentifier.isEmpty && f.relation.location.rootPaths.exists(_.toString.contains("embeddings")) => f
+    }
+    assert(rawScans.isEmpty,
+      s"final PQ plan still rescans the embeddings parquet: ${rawScans.size} raw scans")
+    assert(out.count() > 0)
+    // and the result-scoped release leaves no blocks pinned
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(leaked.isEmpty, s"pqTopK left persistent RDDs: $leaked")
+  }
+
+  test("L4f fused simhash clusters reconcile with the L4 pair listing") {
+    import spark.implicits._
+    val pairs = TextDedup.simhash(spark, sfDir)
+    val paired = pairs.select($"doc_a".as("d"))
+      .unionByName(pairs.select($"doc_b".as("d"))).distinct().count()
+    val cl = TextDedup.simhashClusters(spark, sfDir)
+    // every doc appearing in a pair lands in exactly one >=2 cluster, so
+    // cluster membership must partition the paired-doc set exactly
+    val members = cl.agg(sum($"n_members")).head().getLong(0)
+    assert(members === paired,
+      s"cluster membership $members does not partition the $paired paired docs")
+    assert(cl.filter($"n_members" < 2).isEmpty, "singleton cluster leaked through the filter")
+  }
+
   test("G1 broadcast gate: identical trajectory hinted or not; hint present only under the gate") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val hinted = Graph.pagerank(spark, sfDir)
