@@ -475,7 +475,10 @@ object Embeddings {
     * bands × 4 bits; pairs sharing any band are candidates. One corpus
     * scan for signatures, candidate join shuffles on (band, chunk).
     */
-  private def srpCandidates(e: DataFrame): DataFrame = {
+  /** Per-(vector, plane) SRP projection and sign bit — the shared signal
+    * behind E3/E8's signatures and E14's probe-bit margins.
+    */
+  private def srpBits(e: DataFrame): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
     // hyperplane weights: w(h, d) = +1 if first hex digit of md5("h|d") < 8
@@ -485,23 +488,86 @@ object Embeddings {
         .withColumn("w",
           when(expr("instr('01234567', substr(md5(concat(cast(h as string), '|', cast(d as string))), 1, 1))") > 0,
             lit(1.0)).otherwise(lit(-1.0))))
-    val bits = e
-      .select($"vec_id", posexplode($"v").as(Seq("p", "x")))
+    e.select($"vec_id", posexplode($"v").as(Seq("p", "x")))
       .withColumn("d", $"p" + 1)
       .join(planes, Seq("d"))
       .groupBy($"vec_id", $"h").agg(sum($"w" * $"x").as("proj"))
       .withColumn("bit", when($"proj" >= 0, lit("1")).otherwise(lit("0")))
-    val sig = bits.groupBy($"vec_id")
+  }
+
+  /** (vec_id, band, chunk) index entries from the 16-bit signature. */
+  private def srpBands(bits: DataFrame): DataFrame = {
+    val spark = bits.sparkSession
+    import spark.implicits._
+    bits.groupBy($"vec_id")
       .agg(concat_ws("", transform(
         array_sort(collect_list(struct($"h", $"bit"))),
         s => s.getField("bit"))).as("bits"))
-    val bands = sig
       .select($"vec_id", explode(sequence(lit(0), lit(3))).as("band"), $"bits")
       .withColumn("chunk", expr("substr(bits, band * 4 + 1, 4)"))
       .select($"vec_id", $"band", $"chunk")
+  }
+
+  private def srpCandidates(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val bands = srpBands(srpBits(e))
     bands.as("a").join(bands.as("b"),
         $"a.band" === $"b.band" && $"a.chunk" === $"b.chunk" && $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("va"), $"b.vec_id".as("vb")).distinct()
+  }
+
+  // ---------------------------------------------------------------------
+  // E14 multi-probe SRP near-dup: E3's index, better recall, SAME index
+  // size. Banded LSH's recall ceiling (the E3/E8 documented caveat) is a
+  // vector pair whose signatures differ by exactly one bit in every band
+  // — they collide nowhere and are lost. The multi-probe move (Lv et al.
+  // VLDB'07, adapted to sign-random-projections): each vector ALSO
+  // probes, per band, the bucket with its LEAST-CONFIDENT bit flipped —
+  // the bit whose margin |Σ w·x| is smallest is the likeliest to differ
+  // from a true near neighbor's. Probes query the TRUE-chunk index
+  // (asymmetric: probe–probe matches are not taken, so the index and its
+  // build cost are E3's unchanged); per-vector lookups double (4 → 8).
+  // Candidates strictly contain E3's (every true-chunk collision still
+  // matches) at ~2× candidate cost — the memory-free alternative to
+  // adding hash tables. Determinism: margin ranking uses the 6-dp round
+  // barrier then plane id asc (total order); verify and output are E3's
+  // exact-cosine ≥ 0.4 shape.
+  def multiProbeNearDup(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.ensure(spark)
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".as("v"))
+      .withColumn("nrm", norm($"v"))
+    // bits feed both the signature roll-up and the margin ranking
+    val bits = graft.ops.ScopedCache.untilConsumed(srpBits(e))
+    val bands = srpBands(bits)
+    val wFlip = Window.partitionBy($"vec_id", $"band")
+      .orderBy(round(abs($"proj"), 6).asc, $"h".asc)
+    val flip = bits
+      .withColumn("band", expr("CAST(h div 4 AS INT)"))
+      .withColumn("rk", row_number().over(wFlip))
+      .filter($"rk" === 1)
+      .select($"vec_id", $"band", ($"h" % 4).as("pos"))
+    val probes = bands.join(flip, Seq("vec_id", "band"))
+      .withColumn("chunk2", expr(
+        """concat(substr(chunk, 1, pos),
+          |  CASE WHEN substr(chunk, pos + 1, 1) = '1' THEN '0' ELSE '1' END,
+          |  substr(chunk, pos + 2, 3 - pos))""".stripMargin))
+      .select($"vec_id", $"band", $"chunk2".as("chunk"))
+    val probeAll = bands.unionByName(probes)
+    val cand = probeAll.as("a").join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.chunk" === $"b.chunk" && $"a.vec_id" =!= $"b.vec_id")
+      .select(least($"a.vec_id", $"b.vec_id").as("va"),
+        greatest($"a.vec_id", $"b.vec_id").as("vb"))
+      .distinct()
+    cand
+      .join(e.select($"vec_id".as("va"), $"v".as("av"), $"nrm".as("an")), Seq("va"))
+      .join(e.select($"vec_id".as("vb"), $"v".as("bv"), $"nrm".as("bn")), Seq("vb"))
+      .withColumn("sim", round(dot($"av", $"bv") / ($"an" * $"bn"), 6))
+      .filter($"sim" >= 0.4)
+      .select($"va", $"vb", $"sim")
+      .orderBy($"va", $"vb")
   }
 
   def lshNearDup(spark: SparkSession, dir: String): DataFrame = {
@@ -542,6 +608,52 @@ object Embeddings {
 
   val lshNearDupSql: String =
     embCte + ",\n" + srpCandSql + """
+      |SELECT va, vb,
+      |  round(list_sum(list_transform(list_zip(x.v, y.v), t -> t[1] * t[2])) / (x.nrm * y.nrm), 6) AS sim
+      |FROM cand JOIN ev x ON x.vec_id = va JOIN ev y ON y.vec_id = vb
+      |WHERE round(list_sum(list_transform(list_zip(x.v, y.v), t -> t[1] * t[2])) / (x.nrm * y.nrm), 6) >= 0.4
+      |ORDER BY va, vb""".stripMargin
+
+  /** Oracle replay of the E14 probe chunks: same planes/sig CTEs, the
+    * per-band argmin-margin bit via the identical rounded-rank window,
+    * probes UNION'd with true chunks on the probe side only.
+    */
+  val multiProbeNearDupSql: String =
+    embCte + """,
+      |planes AS (
+      |  SELECT h.h, d.d,
+      |    CASE WHEN strpos('01234567', substr(md5(h.h::VARCHAR || '|' || d.d::VARCHAR), 1, 1)) > 0
+      |         THEN 1.0 ELSE -1.0 END AS w
+      |  FROM generate_series(0, 15) h(h) CROSS JOIN generate_series(1, 64) d(d)),
+      |bitsp AS (
+      |  SELECT ev.vec_id, p.h, SUM(p.w * ev.v[p.d]) AS proj
+      |  FROM ev JOIN planes p ON TRUE
+      |  GROUP BY 1, 2),
+      |bits AS (
+      |  SELECT vec_id, h, proj,
+      |    CASE WHEN proj >= 0 THEN '1' ELSE '0' END AS bit
+      |  FROM bitsp),
+      |sig AS (SELECT vec_id, string_agg(bit, '' ORDER BY h) AS bits FROM bits GROUP BY 1),
+      |bands AS (
+      |  SELECT vec_id, band, substr(bits, band * 4 + 1, 4) AS chunk
+      |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)),
+      |flip AS (
+      |  SELECT vec_id, band, pos FROM (
+      |    SELECT vec_id, h // 4 AS band, h % 4 AS pos,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, h // 4
+      |        ORDER BY round(abs(proj), 6) ASC, h ASC) AS rk
+      |    FROM bits) WHERE rk = 1),
+      |probes AS (
+      |  SELECT b.vec_id, b.band,
+      |    substr(b.chunk, 1, f.pos)
+      |      || (CASE WHEN substr(b.chunk, f.pos + 1, 1) = '1' THEN '0' ELSE '1' END)
+      |      || substr(b.chunk, f.pos + 2, 3 - f.pos) AS chunk
+      |  FROM bands b JOIN flip f ON f.vec_id = b.vec_id AND f.band = b.band),
+      |probeall AS (SELECT * FROM bands UNION ALL SELECT * FROM probes),
+      |cand AS (
+      |  SELECT DISTINCT least(a.vec_id, b.vec_id) AS va, greatest(a.vec_id, b.vec_id) AS vb
+      |  FROM probeall a JOIN bands b
+      |    ON a.band = b.band AND a.chunk = b.chunk AND a.vec_id <> b.vec_id)
       |SELECT va, vb,
       |  round(list_sum(list_transform(list_zip(x.v, y.v), t -> t[1] * t[2])) / (x.nrm * y.nrm), 6) AS sim
       |FROM cand JOIN ev x ON x.vec_id = va JOIN ev y ON y.vec_id = vb
@@ -1286,6 +1398,7 @@ object Embeddings {
     "emb_cosine_topk" -> (cosineTopK _),
     "emb_ivf_topk"    -> (ivfTopK _),
     "emb_lsh_neardup" -> (lshNearDup _),
+    "emb_multiprobe_neardup" -> (multiProbeNearDup _),
     "emb_knn_graph"   -> (knnGraph _),
     "emb_semdedup"    -> (semDedup _),
     "emb_quantize"    -> (quantize _),
@@ -1301,6 +1414,7 @@ object Embeddings {
     "emb_cosine_topk" -> cosineTopKSql,
     "emb_ivf_topk"    -> ivfTopKSql,
     "emb_lsh_neardup" -> lshNearDupSql,
+    "emb_multiprobe_neardup" -> multiProbeNearDupSql,
     "emb_knn_graph"   -> knnGraphSql,
     "emb_semdedup"    -> semDedupSql,
     "emb_quantize"    -> quantizeSql,

@@ -150,6 +150,19 @@ class Round10Spec extends SparkSpec {
     assert(cl.filter($"n_members" < 2).isEmpty, "singleton cluster leaked through the filter")
   }
 
+  test("E14 multi-probe: contains every E3 single-probe pair (recall can only grow)") {
+    import spark.implicits._
+    val e3 = graft.llm.Embeddings.lshNearDup(spark, sfDir)
+    val e14 = graft.llm.Embeddings.multiProbeNearDup(spark, sfDir)
+    // probes ADD index lookups, never remove them: every true-chunk
+    // collision E3 finds must survive, with the identical verified sim
+    assert(e3.join(e14, Seq("va", "vb", "sim"), "left_anti").isEmpty,
+      "multi-probe lost a single-probe pair")
+    val (n3, n14) = (e3.count(), e14.count())
+    assert(n14 >= n3, s"E14 $n14 pairs < E3 $n3")
+    info(s"E3 $n3 verified pairs, E14 $n14 (probe gain ${n14 - n3})")
+  }
+
   test("G1 broadcast gate: identical trajectory hinted or not; hint present only under the gate") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val hinted = Graph.pagerank(spark, sfDir)
