@@ -1028,6 +1028,143 @@ object Embeddings {
   }
 
   // ---------------------------------------------------------------------
+  // E15 IVFADC — the COMPOSED memory path of Jégou, Douze & Schmid 2011
+  // and the layout every billion-scale ANN service actually deploys:
+  // E2's coarse quantizer (10-cell Lloyd) restricts each query to its 3
+  // probed cells, E6's PQ codes + ADC tables score ONLY those cells'
+  // members (m table lookups per candidate, no vector math), and the
+  // exact re-rank refines the 25-candidate shortlist. The inverted file
+  // carries (cell, m codes) per vector — ~36 bits of index payload at
+  // this config — built in ONE corpus scan (cell assignment and PQ
+  // encoding are both map-side against broadcast codebooks).
+  // Per-query work drops from corpus-wide ADC (E6) to
+  // (corpus/cells)·probes candidates; training (coarse + subspace Lloyd)
+  // shares ONE vector cache with encode and re-rank via
+  // untilResultConsumed (the E6 fusion). At 100 TB the probed-cell
+  // restriction is a partition-pruned read of the E2b bucketBy layout —
+  // the scan never touches unprobed cells' files.
+  // Determinism: every piece reuses its parent's contract (rounded
+  // centroid trajectories, cell-asc ties, ADC shortlist ties on cid,
+  // exact re-rank total order) — the oracle replays the full composition.
+  def ivfadcTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.ensure(spark)
+    import spark.implicits._
+    val shortk = udaf(new graft.functions.TopKCodesAggregator(25),
+      org.apache.spark.sql.Encoders.product[graft.functions.ScoredCode])
+    val eRaw = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".as("v"))
+      .withColumn("nrm", norm($"v"))
+    val e = eRaw.cache()
+    val cents = lloydCentroids(e, k = 10, iters = 5)
+    val books = pqCodebooks(e)
+    val cs = broadcast(books.agg(collect_list(struct($"s", $"cell", $"cv", $"cn")).as("cs")))
+    val bc = broadcast(cents)
+    // inverted file WITH codes: one scan, both quantizers map-side
+    val inverted = assignCells(e.filter($"vec_id" >= 5), cents)
+      .join(cs).withColumn("codes", expr(pqCodesExpr))
+      .select($"vec_id".as("cid"), $"cell", $"codes")
+    val q = e.filter($"vec_id" < 5)
+    val wProbe = Window.partitionBy($"qid").orderBy($"csim".desc, $"cell".asc)
+    val probes = q.join(bc)
+      .withColumn("csim", round(dot($"v", $"cv") / ($"nrm" * $"cn"), 6))
+      .select($"vec_id".as("qid"), $"cell", $"csim")
+      .withColumn("prn", row_number().over(wProbe))
+      .filter($"prn" <= 3)
+      .select($"qid", $"cell")
+    val qt = q.join(cs)
+      .select($"vec_id".as("qid"), $"nrm".as("qn"),
+        expr(s"transform(cs, c -> struct(c.s AS s, c.cell AS cell, graft_dot(slice(v, c.s * $PqSub + 1, $PqSub), c.cv) AS d, c.cn AS cn))").as("t"))
+    val shortlist = inverted.join(probes, Seq("cell"))
+      .join(broadcast(qt), Seq("qid"))
+      .withColumn("ps", expr("transform(codes, (code, s) -> filter(t, c -> c.s = s AND c.cell = code)[0])"))
+      .withColumn("apx", round(
+        expr("aggregate(ps, CAST(0.0 AS DOUBLE), (acc, p) -> acc + p.d)")
+          / ($"qn" * sqrt(expr("aggregate(ps, CAST(0.0 AS DOUBLE), (acc, p) -> acc + p.cn * p.cn)"))), 6))
+      .groupBy($"qid")
+      .agg(shortk($"cid", $"codes", $"apx").as("top"))
+      .select($"qid", explode($"top").as("sc"))
+      .select($"qid", $"sc.cid".as("cid"), $"sc.sim".as("apx_sim"))
+    val wTop = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid".asc)
+    val out = shortlist
+      .join(e.select($"vec_id".as("cid"), $"v".as("cv"), $"nrm".as("cn")), Seq("cid"))
+      .join(broadcast(e.filter($"vec_id" < 5)
+        .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))), Seq("qid"))
+      .withColumn("sim", round(dot($"qv", $"cv") / ($"qn" * $"cn"), 6))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter($"rnk" <= 3)
+      .select($"qid", $"rnk", $"cid", $"apx_sim", $"sim")
+      .orderBy($"qid", $"rnk")
+    graft.ops.ScopedCache.untilResultConsumed(e, out)
+  }
+
+  /** Oracle: the full IVFADC composition — coarse Lloyd (c5), subspace
+    * Lloyd (pc2 via pqCtes), inverted file + probes, ADC restricted to
+    * probed cells, exact re-rank. CTE namespaces don't collide (lloyd
+    * defines c0..c5 and a1..a5; pq defines subv, pcN, paN).
+    */
+  def ivfadcTopKSql: String = {
+    val score = "round(list_sum(list_transform(list_zip(sv.v, c.cv), z -> z[1] * z[2])) - 0.5 * c.cn * c.cn, 6)"
+    val coarse = "round(list_sum(list_transform(list_zip(ev.v, c.cv), t -> t[1] * t[2])) / (ev.nrm * c.cn), 6)"
+    embCte + ",\n" + lloydCtes(10, 5) + ",\n" + pqCtes + s""",
+      |iva AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT ev.vec_id, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY ev.vec_id ORDER BY
+      |        $coarse DESC,
+      |        c.cell ASC) AS arn
+      |    FROM ev CROSS JOIN c5 c WHERE ev.vec_id >= 5)
+      |  WHERE arn = 1),
+      |qprobes AS (
+      |  SELECT qid, cell FROM (
+      |    SELECT ev.vec_id AS qid, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY ev.vec_id ORDER BY
+      |        $coarse DESC,
+      |        c.cell ASC) AS prn
+      |    FROM ev CROSS JOIN c5 c WHERE ev.vec_id < 5)
+      |  WHERE prn <= 3),
+      |enc AS (
+      |  SELECT vec_id, list(cell ORDER BY s) AS codes FROM (
+      |    SELECT sv.s, sv.vec_id, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY sv.s, sv.vec_id ORDER BY
+      |        $score DESC,
+      |        c.cell ASC) AS rn
+      |    FROM subv sv JOIN pc$PqIters c ON c.s = sv.s WHERE sv.vec_id >= 5) WHERE rn = 1
+      |  GROUP BY vec_id),
+      |qd AS (
+      |  SELECT sv.vec_id AS qid, c.s, c.cell,
+      |    list_sum(list_transform(list_zip(sv.v, c.cv), z -> z[1] * z[2])) AS d, c.cn AS cn
+      |  FROM subv sv JOIN pc$PqIters c ON c.s = sv.s WHERE sv.vec_id < 5),
+      |qs AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM ev WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT p.qid, e.vec_id AS cid,
+      |    round(SUM(qd.d) / (ANY_VALUE(q.qn) * sqrt(SUM(qd.cn * qd.cn))), 6) AS apx_sim
+      |  FROM enc e
+      |  JOIN iva ON iva.vec_id = e.vec_id
+      |  JOIN qprobes p ON p.cell = iva.cell
+      |  JOIN qs q ON q.qid = p.qid
+      |  JOIN qd ON qd.qid = p.qid AND qd.cell = e.codes[qd.s + 1]
+      |  GROUP BY p.qid, e.vec_id),
+      |short AS (
+      |  SELECT qid, cid, apx_sim FROM (
+      |    SELECT qid, cid, apx_sim,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY apx_sim DESC, cid ASC) AS srn
+      |    FROM scored)
+      |  WHERE srn <= 25),
+      |rr AS (
+      |  SELECT s.qid, s.cid, s.apx_sim,
+      |    round(list_sum(list_transform(list_zip(q.qv, c.v), z -> z[1] * z[2])) / (q.qn * c.nrm), 6) AS sim
+      |  FROM short s
+      |  JOIN ev c ON c.vec_id = s.cid
+      |  JOIN qs q ON q.qid = s.qid),
+      |ranked AS (
+      |  SELECT qid, cid, apx_sim, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+      |  FROM rr)
+      |SELECT qid, rnk, cid, apx_sim, sim
+      |FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // E7 MMR-diversified top-k (maximal marginal relevance, Carbonell &
   // Goldstein 1998 — the diversity rerank RAG retrieval ships): from each
   // query's top-25 cosine candidates, greedily pick 3 results maximizing
@@ -1399,6 +1536,7 @@ object Embeddings {
     "emb_ivf_topk"    -> (ivfTopK _),
     "emb_lsh_neardup" -> (lshNearDup _),
     "emb_multiprobe_neardup" -> (multiProbeNearDup _),
+    "emb_ivfadc_topk" -> (ivfadcTopK _),
     "emb_knn_graph"   -> (knnGraph _),
     "emb_semdedup"    -> (semDedup _),
     "emb_quantize"    -> (quantize _),
@@ -1415,6 +1553,7 @@ object Embeddings {
     "emb_ivf_topk"    -> ivfTopKSql,
     "emb_lsh_neardup" -> lshNearDupSql,
     "emb_multiprobe_neardup" -> multiProbeNearDupSql,
+    "emb_ivfadc_topk" -> ivfadcTopKSql,
     "emb_knn_graph"   -> knnGraphSql,
     "emb_semdedup"    -> semDedupSql,
     "emb_quantize"    -> quantizeSql,

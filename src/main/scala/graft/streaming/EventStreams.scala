@@ -48,6 +48,28 @@ object EventStreams {
       .select($"w.start".as("window_start"), $"n_users")
   }
 
+  /** X22 streaming exact-dedup at ingest (docs: ts, doc_id, text): the
+    * streaming form of L1 — md5 content hash keys
+    * `dropDuplicatesWithinWatermark`, so the FIRST arrival of a text
+    * survives and re-arrivals inside the watermark horizon are dropped
+    * with BOUNDED state (one 128-bit hash + timestamp per distinct doc
+    * in the horizon; the state store evicts keys the watermark has
+    * passed — unlike plain streaming dropDuplicates, whose state grows
+    * forever on an unbounded corpus). Duplicates straggling in later
+    * than the horizon are the documented residual the periodic batch L1
+    * pass sweeps — the standard ingest-time/batch-time split for
+    * training-data pipelines. Payload hashing is map-side; only the hash
+    * + kept row cross the dedup shuffle.
+    */
+  def dedupStream(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("h", org.apache.spark.sql.functions.md5($"text"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("h")
+      .select($"ts", $"doc_id", $"text")
+  }
+
   /** Stream-stream interval join: each purchase attributed to the same
     * user's clicks in the preceding hour — the streaming form of the J6
     * band join (ops/Relational.scala j6BandJoin). Both sides carry

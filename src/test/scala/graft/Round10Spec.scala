@@ -163,6 +163,22 @@ class Round10Spec extends SparkSpec {
     info(s"E3 $n3 verified pairs, E14 $n14 (probe gain ${n14 - n3})")
   }
 
+  test("E15 IVFADC: full result shape, and ADC scores reconcile with E6 where they overlap") {
+    import spark.implicits._
+    val e15 = graft.llm.Embeddings.ivfadcTopK(spark, sfDir)
+    val rows = e15.collect()
+    assert(rows.length === 15, s"expected 5 queries x top-3, got ${rows.length}")
+    // both operators quantize with the SAME codebooks, so any (qid, cid)
+    // both surface must carry the identical ADC approximation — a
+    // cross-query reconciliation of the whole quantization stack
+    val e6 = graft.llm.Embeddings.pqTopK(spark, sfDir)
+      .select($"qid", $"cid", $"apx_sim".as("apx6"))
+    val joined = e15.select($"qid", $"cid", $"apx_sim").join(e6, Seq("qid", "cid"))
+    assert(joined.count() > 0, "no overlap between E15 and E6 results — reconciliation vacuous")
+    assert(joined.filter($"apx_sim" =!= $"apx6").isEmpty,
+      "cell-restricted ADC disagrees with corpus-wide ADC on a shared candidate")
+  }
+
   test("G1 broadcast gate: identical trajectory hinted or not; hint present only under the gate") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val hinted = Graph.pagerank(spark, sfDir)

@@ -290,6 +290,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("X22 ingest dedup stream: content-hash first arrival survives, re-arrivals drop") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = EventStreams.dedupStream(input.toDF.toDF("ts", "doc_id", "text"))
+    val q = out.writeStream.format("memory")
+      .queryName("stream_docdedup").outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "the quick brown fox"),
+        (ts("2024-01-01 10:01:00"), 2L, "an entirely new doc"))
+      q.processAllAvailable()
+      // doc 3 re-submits doc 1's exact text (different id) inside the
+      // horizon — content hash drops it; doc 4 is genuinely new
+      input.addData(
+        (ts("2024-01-01 10:02:00"), 3L, "the quick brown fox"),
+        (ts("2024-01-01 10:03:00"), 4L, "yet another new doc"))
+      q.processAllAvailable()
+      val kept = spark.table("stream_docdedup").select("doc_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(kept.toSeq === Seq(1L, 2L, 4L), "content dup doc_id=3 must be dropped")
+    } finally q.stop()
+  }
+
   test("checkpointed file source IS the S5 incremental: reruns skip seen files") {
     import graft.streaming.WeatherIngestStream
     import graft.weather.{Staging, WeatherGen}
