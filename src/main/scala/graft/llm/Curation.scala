@@ -496,6 +496,80 @@ object Curation {
       .limit(25)
   }
 
+  // -------------------------------------------------------------------
+  // C16 corpus snapshot diff — the CDC report every dataset release
+  // needs ("what changed between v1 and v2"): full-outer join of two
+  // snapshots on doc_id, content equality via md5, per-source counts of
+  // added / removed / modified / unchanged docs. The two snapshots are
+  // derived DETERMINISTICALLY from the driver table with the shared C1
+  // bucket formula (v1 lacks buckets 80–84 → those read as ADDED in v2;
+  // v2 lacks 85–89 → REMOVED; buckets 0–9 get a text revision in v2 →
+  // MODIFIED), so the report exercises all four classes on real data
+  // with no RNG. The generic core is [[snapshotDiff]](old, new) — point
+  // it at two real snapshot scans in production.
+  // 100 TB: ONE shuffle on doc_id for the full-outer join (both sides
+  // hash the same key; with both snapshots bucketBy'd on doc_id — the
+  // S7b layout — even that shuffle disappears); content hashes are
+  // map-side, and only 128-bit hashes + flags reach the join, never the
+  // payload text.
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    val o = oldSnap.select(col("doc_id"), col("source"),
+      md5(col("text")).as("oh"))
+    val n = newSnap.select(col("doc_id"), col("source").as("nsource"),
+      md5(col("text")).as("nh"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("source"), col("nsource")).as("source"),
+        when(col("oh").isNull, "added")
+          .when(col("nh").isNull, "removed")
+          .when(col("oh") =!= col("nh"), "modified")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("status") === "modified", 1L).otherwise(0L)).as("n_modified"),
+        sum(when(col("status") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"))
+      .orderBy(col("source"))
+  }
+
+  def snapshotDiffReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .withColumn("bucket", expr(splitBucketExpr))
+    val v1 = docs.filter(!$"bucket".between(80, 84))
+      .select($"doc_id", $"source", $"text")
+    val v2 = docs.filter(!$"bucket".between(85, 89))
+      .withColumn("text",
+        when($"bucket" < 10, concat($"text", lit(" v2"))).otherwise($"text"))
+      .select($"doc_id", $"source", $"text")
+    snapshotDiff(v1, v2)
+  }
+
+  val snapshotDiffSql: String =
+    s"""WITH b AS (
+      |  SELECT doc_id, source, text, $splitBucketSql AS bucket FROM documents),
+      |v1 AS (
+      |  SELECT doc_id, source, md5(text) AS oh FROM b
+      |  WHERE bucket NOT BETWEEN 80 AND 84),
+      |v2 AS (
+      |  SELECT doc_id, source AS nsource,
+      |    md5(CASE WHEN bucket < 10 THEN text || ' v2' ELSE text END) AS nh
+      |  FROM b WHERE bucket NOT BETWEEN 85 AND 89),
+      |j AS (
+      |  SELECT COALESCE(v1.source, v2.nsource) AS source,
+      |    CASE WHEN v1.oh IS NULL THEN 'added'
+      |         WHEN v2.nh IS NULL THEN 'removed'
+      |         WHEN v1.oh <> v2.nh THEN 'modified'
+      |         ELSE 'unchanged' END AS status
+      |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+      |SELECT source,
+      |  CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+      |  CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |  CAST(SUM(CASE WHEN status = 'modified' THEN 1 ELSE 0 END) AS BIGINT) AS n_modified,
+      |  CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+      |FROM j GROUP BY source ORDER BY source""".stripMargin
+
   val weightedSampleSql: String =
     """WITH b AS (
       |  SELECT doc_id, source, n_chars,
@@ -695,6 +769,7 @@ object Curation {
     "cur_dsir"         -> (dsirWeights _),
     "cur_neardedup_best" -> (nearDedupBest _),
     "cur_weighted_sample" -> (weightedSample _),
+    "cur_snapshot_diff" -> (snapshotDiffReport _),
     "cur_chunk"        -> (chunk _),
     "cur_mix"          -> (mix _),
     "cur_shuffle"      -> (shuffleShards _),
@@ -712,6 +787,7 @@ object Curation {
     "cur_dsir"         -> dsirSql,
     "cur_neardedup_best" -> nearDedupBestSql,
     "cur_weighted_sample" -> weightedSampleSql,
+    "cur_snapshot_diff" -> snapshotDiffSql,
     "cur_chunk"        -> chunkSql,
     "cur_mix"          -> mixSql,
     "cur_shuffle"      -> shuffleShardsSql,
