@@ -280,26 +280,34 @@ object TextDedup {
   // 100 TB: the band join shuffles on (band, signature) — bucket sizes stay
   // bounded because identical signatures imply near-identical docs; the
   // minhash itself is a map-side groupBy(doc, seed) aggregation.
+  /** (doc_id, band, sig) MinHash LSH entries — 12 md5-seeded permutation
+    * minima in ONE aggregation pass, 6 bands of 2 — shared by L3 and the
+    * L8 incremental form. (All 12 minima in one groupBy: each
+    * permutation's value is an expression over the same base hash, so the
+    * groupBy(doc) carries 12 min() columns instead of exploding every
+    * (doc, shingle) row 12× and shuffling on (doc, seed) — the same
+    * one-pass-votes lesson as simhash, SURVEY §7.3. The mod makes each
+    * permutation non-monotone in h, so the 12 mins are genuinely
+    * independent aggregates.)
+    */
+  private def minhashBandSigs(sh: DataFrame): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val minCols = (0 until 12).map(sd =>
+      min(expr(s"((${2 * sd + 3}) * h + ${5 * sd + 7}) % 1000000007")).as(s"m$sd"))
+    sh.withColumn("h", expr("CAST(conv(substr(md5(s), 1, 8), 16, 10) AS BIGINT) % 1000000007"))
+      .groupBy($"doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select($"doc_id",
+        posexplode(array((0 until 6).map(b =>
+          concat_ws("|", col(s"m${2 * b}"), col(s"m${2 * b + 1}"))): _*)).as(Seq("band", "sig")))
+  }
+
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // consumed by the minhash, the size agg and the 2-scan verify join
     val sh = graft.ops.ScopedCache.untilConsumed(shingles(Tables.documents(spark, dir)))
-    // All 12 minima in ONE aggregation pass: each permutation's value is an
-    // expression over the same base hash, so the groupBy(doc) carries 12
-    // min() columns instead of exploding every (doc, shingle) row 12× and
-    // shuffling on (doc, seed) — the same one-pass-votes lesson as simhash
-    // (SURVEY §7.3). The mod makes each permutation non-monotone in h, so
-    // the 12 mins are genuinely independent aggregates (min of the affine
-    // form does NOT equal the affine form of min(h)).
-    val minCols = (0 until 12).map(sd =>
-      min(expr(s"((${2 * sd + 3}) * h + ${5 * sd + 7}) % 1000000007")).as(s"m$sd"))
-    val mins = sh
-      .withColumn("h", expr("CAST(conv(substr(md5(s), 1, 8), 16, 10) AS BIGINT) % 1000000007"))
-      .groupBy($"doc_id")
-      .agg(minCols.head, minCols.tail: _*)
-    val sig = mins.select($"doc_id",
-        posexplode(array((0 until 6).map(b =>
-          concat_ws("|", col(s"m${2 * b}"), col(s"m${2 * b + 1}"))): _*)).as(Seq("band", "sig")))
+    val sig = minhashBandSigs(sh)
     val cand = sig.as("a").join(sig.as("b"),
         $"a.band" === $"b.band" && $"a.sig" === $"b.sig" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("da"), $"b.doc_id".as("db")).distinct()
@@ -352,6 +360,98 @@ object TextDedup {
       |FROM inter JOIN szs sa ON sa.doc_id = da JOIN szs sb ON sb.doc_id = db
       |WHERE i * 2 >= sa.n + sb.n - i
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // L8 incremental dedup: dedup an INCOMING batch against the EXISTING
+  // corpus — the daily-crawl shape, where re-pairing existing×existing
+  // every day would be quadratic waste. The band join is ASYMMETRIC:
+  // incoming signatures probe the existing-side index only (no
+  // incoming×incoming, no existing×existing pairs), verify is exact
+  // Jaccard ≥ 0.5 over full shingle sets, and the report is the ingest
+  // decision per source: how many incoming docs are near-dups of the
+  // corpus vs genuinely new (with the chars the new ones contribute).
+  // The registered query derives the split deterministically from the C1
+  // bucket formula (existing = buckets 0–79, incoming = 80–99).
+  // 100 TB: the existing index (doc_id, band, sig) is a stored table
+  // maintained incrementally (append the batch's signatures after each
+  // run — minima are stable per doc); per-day cost is |batch| signature
+  // scans + a band-bucketed join against the index, NEVER corpus².
+  def incrDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .withColumn("bucket", expr(graft.ops.ScalarFuncs.splitBucketExpr))
+    val sh = graft.ops.ScopedCache.untilConsumed(shingles(docs))
+    val side = docs.select($"doc_id", $"source", $"n_chars", ($"bucket" >= 80).as("incoming"))
+    val sig = minhashBandSigs(sh).join(side.select($"doc_id", $"incoming"), Seq("doc_id"))
+    val cand = sig.filter($"incoming").as("i")
+      .join(sig.filter(!$"incoming").as("e"),
+        $"i.band" === $"e.band" && $"i.sig" === $"e.sig")
+      .select($"i.doc_id".as("di"), $"e.doc_id".as("de")).distinct()
+    val szs = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val dupIncoming = cand
+      .join(sh.as("x"), $"x.doc_id" === $"di")
+      .join(sh.as("y"), $"y.doc_id" === $"de" && $"y.s" === $"x.s")
+      .groupBy($"di", $"de").agg(count(lit(1)).as("i"))
+      .join(szs.as("sa"), $"sa.doc_id" === $"di")
+      .join(szs.as("sb"), $"sb.doc_id" === $"de")
+      .filter($"i" * 2 >= $"sa.n" + $"sb.n" - $"i")
+      .select($"di").distinct()
+    side.filter($"incoming")
+      .join(dupIncoming.withColumn("dup", lit(true)), $"doc_id" === $"di", "left")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_incoming"),
+        sum(when($"dup", 1L).otherwise(0L)).as("n_dup"),
+        sum(when($"dup".isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when($"dup".isNull, $"n_chars")).as("new_chars"))
+      .orderBy($"source")
+  }
+
+  val incrDedupSql: String =
+    shingleCte + s""",
+      |side AS (
+      |  SELECT doc_id, source, n_chars,
+      |    (${graft.ops.ScalarFuncs.splitBucketSql}) >= 80 AS incoming
+      |  FROM documents),
+      |hb AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform([1,2,3,4,5,6,7,8], i ->
+      |      CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 AS BIGINT)
+      |        * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT) % 1000000007 AS h
+      |  FROM sh),
+      |hv AS (
+      |  SELECT doc_id, seed, ((2 * seed + 3) * h + 5 * seed + 7) % 1000000007 AS hvv
+      |  FROM hb CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed)),
+      |mh AS (SELECT doc_id, seed, MIN(hvv) AS mh FROM hv GROUP BY 1, 2),
+      |sig AS (
+      |  SELECT doc_id, seed // 2 AS band,
+      |    CAST(MIN(CASE WHEN seed % 2 = 0 THEN mh END) AS VARCHAR) || '|' ||
+      |    CAST(MIN(CASE WHEN seed % 2 = 1 THEN mh END) AS VARCHAR) AS sig
+      |  FROM mh GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT i.doc_id AS di, e.doc_id AS de
+      |  FROM sig i JOIN side si ON si.doc_id = i.doc_id AND si.incoming
+      |  JOIN sig e ON e.band = i.band AND e.sig = i.sig
+      |  JOIN side se ON se.doc_id = e.doc_id AND NOT se.incoming),
+      |szs AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |dup AS (
+      |  SELECT DISTINCT p.di FROM (
+      |    SELECT c.di, c.de, COUNT(*) AS i
+      |    FROM cand c
+      |    JOIN sh x ON x.doc_id = c.di
+      |    JOIN sh y ON y.doc_id = c.de AND y.s = x.s
+      |    GROUP BY 1, 2) p
+      |  JOIN szs sa ON sa.doc_id = p.di
+      |  JOIN szs sb ON sb.doc_id = p.de
+      |  WHERE p.i * 2 >= sa.n + sb.n - p.i)
+      |SELECT s.source,
+      |  COUNT(*) AS n_incoming,
+      |  CAST(SUM(CASE WHEN d.di IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |  CAST(SUM(CASE WHEN d.di IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |  CAST(SUM(CASE WHEN d.di IS NULL THEN s.n_chars END) AS BIGINT) AS new_chars
+      |FROM side s LEFT JOIN dup d ON d.di = s.doc_id
+      |WHERE s.incoming
+      |GROUP BY s.source ORDER BY s.source""".stripMargin
 
   // ---------------------------------------------------------------------
   // L4 SimHash: 32-bit signature over distinct unigrams. Each token
@@ -727,6 +827,7 @@ object TextDedup {
     "llm_containment"   -> (containment _),
     "llm_ppjoin"        -> (ppjoin _),
     "llm_minhash_lsh"   -> (minhashLsh _),
+    "llm_incr_dedup"    -> (incrDedup _),
     "llm_simhash"       -> (simhash _),
     "llm_simhash_clusters" -> (simhashClusters _),
     "llm_editdist"      -> (editDistance _),
@@ -740,6 +841,7 @@ object TextDedup {
     "llm_containment"   -> containmentSql,
     "llm_ppjoin"        -> ngramJaccardSql, // same answer by construction — see ppjoin scaladoc
     "llm_minhash_lsh"   -> minhashLshSql,
+    "llm_incr_dedup"    -> incrDedupSql,
     "llm_simhash"       -> simhashSql,
     "llm_simhash_clusters" -> simhashClustersSql,
     "llm_editdist"      -> editDistanceSql,

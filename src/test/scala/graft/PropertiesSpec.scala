@@ -129,4 +129,35 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  private val corpusGen: Gen[List[(Long, String)]] = Gen
+    .listOfN(15, for {
+      n  <- Gen.choose(3, 12)
+      ws <- Gen.listOfN(n, Gen.oneOf((1 to 8).map(i => s"w$i")))
+    } yield ws.mkString(" "))
+    .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+
+  test("property: L2 df-capped pipeline equals the uncapped reference on random corpora") {
+    import spark.implicits._
+    graft.GraftExtensions.ensure(spark)
+    // tiny vocab => dense shingle sharing and plenty of hot shingles —
+    // exactly the regime the probe cap prunes; the capped pipeline must
+    // still return the IDENTICAL qualifying pair set (losslessness is a
+    // theorem, so it must hold on every corpus, not just the fixtures)
+    for (seed <- 1L to 5L) {
+      val docs = sample(corpusGen, seed).toDF("doc_id", "text")
+      val got = graft.llm.TextDedup.ngramJaccardFrom(spark, docs)
+        .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sh = docs.filter(size(split($"text", " ")) >= 3)
+        .select($"doc_id", explode(call_function("graft_shingles", $"text", lit(3))).as("s"))
+      val szs = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val ref = sh.as("x").join(sh.as("y"), $"x.s" === $"y.s" && $"x.doc_id" < $"y.doc_id")
+        .groupBy($"x.doc_id".as("da"), $"y.doc_id".as("db")).agg(count(lit(1)).as("i"))
+        .join(szs.as("sa"), $"sa.doc_id" === $"da")
+        .join(szs.as("sb"), $"sb.doc_id" === $"db")
+        .filter($"i" * 5 >= ($"sa.n" + $"sb.n" - $"i") * 4)
+        .select($"da", $"db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === ref, s"seed=$seed: capped ${got.size} pairs vs uncapped ${ref.size}")
+    }
+  }
 }
