@@ -32,14 +32,20 @@ object Tables {
     * which time-arithmetic functions like unix_micros refuse). Normalize
     * both to the session-tz TimestampType: the NTZ→TZ cast is wall-clock-
     * identical to DuckDB's naive read ONLY under a UTC session timezone,
-    * so the loader pins that invariant itself (every entry point also sets
-    * it at build time, but an entry point that forgot would otherwise
-    * shift every ts by the host offset and fail oracle compare
-    * confusingly far from the cause).
+    * so the loader ASSERTS that invariant (every entry point sets it at
+    * build time; an entry point that forgot would otherwise shift every
+    * ts by the host offset and fail oracle compare confusingly far from
+    * the cause). Asserting rather than setting keeps the loader from
+    * hijacking a session that deliberately chose another timezone — the
+    * failure is immediate and names the fix.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.conf.set("spark.sql.session.timeZone", "UTC")
+    val tz = s.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"Tables.events requires spark.sql.session.timeZone=UTC (got $tz): " +
+        "the NTZ->TZ normalization is only oracle-identical under UTC; " +
+        "set it in the SparkSession builder")
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType =>

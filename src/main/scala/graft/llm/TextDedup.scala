@@ -111,9 +111,15 @@ object TextDedup {
   //    is exactly why the build side stays full.
   // The oracle stays the UNCAPPED SQL — the sf0.01 hash match is a
   // machine-checked instance of this proof, like L2b's.
-  private[graft] def cappedCandidates(sh: DataFrame): DataFrame = {
+  private[graft] def cappedCandidates(sh: DataFrame): DataFrame =
+    cappedCandidates(sh, sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n")))
+
+  /** As above with the per-doc size relation supplied by the caller —
+    * L2/L2c also need it for the threshold test, so passing it in keeps
+    * the pipeline at ONE size aggregation instead of two identical ones.
+    */
+  private[graft] def cappedCandidates(sh: DataFrame, szs: DataFrame): DataFrame = {
     val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val szs = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("s").asc)
     val probe = sh.join(dfreq, Seq("s"))
       .join(szs, Seq("doc_id"))
@@ -152,8 +158,8 @@ object TextDedup {
     // the shingle relation feeds the candidate join, the verify join and
     // the size agg — cache instead of recomputing the explode five times
     val sh = graft.ops.ScopedCache.untilConsumed(shingles(docs))
-    val pairs = verifiedIntersections(sh, cappedCandidates(sh))
     val szs = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val pairs = verifiedIntersections(sh, cappedCandidates(sh, szs))
     pairs
       .join(szs.as("sa"), $"sa.doc_id" === $"da")
       .join(szs.as("sb"), $"sb.doc_id" === $"db")
@@ -197,8 +203,8 @@ object TextDedup {
   private[graft] def containmentFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     val sh = graft.ops.ScopedCache.untilConsumed(shingles(docs))
-    val pairs = verifiedIntersections(sh, cappedCandidates(sh))
     val szs = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val pairs = verifiedIntersections(sh, cappedCandidates(sh, szs))
     pairs
       .join(szs.as("sa"), $"sa.doc_id" === $"da")
       .join(szs.as("sb"), $"sb.doc_id" === $"db")

@@ -174,8 +174,12 @@ object Graph {
 
   private[graft] def backboneEdges(spark: SparkSession, dir: String): DataFrame =
     mvSource match {
-      case Some(p) => spark.read.parquet(p)
-      case None    => deriveBackboneEdges(spark, dir)
+      // the MV path encodes a hash of the canonical dataset dir, so the
+      // guard is exact: a kernel asked about a DIFFERENT dataset while
+      // the switch is on must derive fresh, never silently read the
+      // materialized dataset's backbone (wrong data, no error)
+      case Some(p) if p == backboneRoot(dir) => spark.read.parquet(p)
+      case _ => deriveBackboneEdges(spark, dir)
     }
 
   private def deriveBackboneEdges(spark: SparkSession, dir: String): DataFrame = {

@@ -44,6 +44,15 @@ object ScopedCache {
     * reused across all of them plus the final query, and released by the
     * caller's single consuming action on the returned result; the same
     * no-blocks-left-behind contract the cache-hygiene audit pins.
+    *
+    * Constraint (by canonicalized-plan matching, same as untilConsumed):
+    * Spark's CacheManager keys on the canonical plan, so two LIVE
+    * operator instances caching the SAME plan share one entry — consuming
+    * the first result unpersists it for both. Hold at most one
+    * constructed instance per cached plan and execute it before
+    * constructing the next (Verify, Bench and the audits all construct →
+    * execute per query, which satisfies this); a constructed-but-never-
+    * consumed result keeps its blocks until `spark.catalog.clearCache()`.
     */
   def untilResultConsumed(cached: DataFrame, result: DataFrame): DataFrame = {
     opened.incrementAndGet()

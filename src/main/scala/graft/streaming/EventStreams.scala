@@ -50,8 +50,11 @@ object EventStreams {
 
   /** X22 streaming exact-dedup at ingest (docs: ts, doc_id, text): the
     * streaming form of L1 — md5 content hash keys
-    * `dropDuplicatesWithinWatermark`, so the FIRST arrival of a text
-    * survives and re-arrivals inside the watermark horizon are dropped
+    * `dropDuplicatesWithinWatermark`, so the first-BATCH arrival of a
+    * text survives (within a single micro-batch the kept row among
+    * same-hash ties is engine-chosen, not ts-ordered — the downstream
+    * batch L1 pass is what canonicalizes survivors deterministically)
+    * and re-arrivals inside the watermark horizon are dropped
     * with BOUNDED state (one 128-bit hash + timestamp per distinct doc
     * in the horizon; the state store evicts keys the watermark has
     * passed — unlike plain streaming dropDuplicates, whose state grows

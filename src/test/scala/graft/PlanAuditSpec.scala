@@ -95,11 +95,19 @@ class PlanAuditSpec extends SparkSpec {
     // evaluating constructions (driver-held training state, MV writes)
     // may materialize blocks during the scan, so the leak baseline is
     // taken AFTER a clearCache that resets the scan's side effects.
+    val constructionFailures = scala.collection.mutable.ListBuffer[String]()
     val derived = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val b = graft.ops.ScopedCache.scopesOpened
-      try { fn(spark, sfDir); () } catch { case _: Throwable => () }
+      try { fn(spark, sfDir); () }
+      catch { case scala.util.control.NonFatal(e) =>
+        constructionFailures += s"$name: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(120)}"
+      }
       if (graft.ops.ScopedCache.scopesOpened > b) Some(name) else None
     }
+    // a query whose construction throws would otherwise be silently
+    // classified as non-caching and vanish from the audit — surface it
+    assert(constructionFailures.isEmpty,
+      s"query construction failed during the derivation scan:\n${constructionFailures.mkString("\n")}")
     // the mechanism must actually fire — a broken counter would otherwise
     // make this test pass vacuously
     val sentinel = Seq("llm_ngram_jaccard", "llm_minhash_lsh", "emb_pq_topk", "g1_pagerank")

@@ -102,6 +102,13 @@ class Round10Spec extends SparkSpec {
       val plan = Graph.triangles(spark, sfDir).queryExecution.executedPlan.toString
       assert(plan.contains("graft_backbone_mv_"), plan.take(1500))
       assert(!plan.contains("lineitem"), "MV-mode plan still derives from base tables")
+      // dataset guard: with the switch on for THIS dataset, a kernel
+      // asked about ANOTHER dataset must derive fresh — reading the
+      // materialized dataset's backbone would be silent wrong data
+      val other = Graph.triangles(spark, "/root/testdata/sf0.01")
+        .queryExecution.executedPlan.toString
+      assert(!other.contains("graft_backbone_mv_"),
+        "different-dataset call read the materialized backbone")
     } finally Graph.clearMaterializedBackbone()
   }
 
