@@ -182,7 +182,14 @@ object Graph {
       case _ => deriveBackboneEdges(spark, dir)
     }
 
-  private def deriveBackboneEdges(spark: SparkSession, dir: String): DataFrame = {
+  private def deriveBackboneEdges(spark: SparkSession, dir: String): DataFrame =
+    deriveBackboneWeighted(spark, dir).select(col("u"), col("v"))
+
+  /** Same backbone derivation with the shared-customer count kept — G8's
+    * edge weights. (Derives fresh always: the parquet MV stores only
+    * (u, v), so the weighted consumer never reads it.)
+    */
+  private def deriveBackboneWeighted(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pairs = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
       .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
@@ -201,7 +208,73 @@ object Graph {
       .filter($"cume" >= expr("m div 10"))
       .agg(max($"sv").as("t"))
     graft.ops.ScopedCache.untilConsumed(
-      w.crossJoin(broadcast(thr)).filter($"shared" >= $"t").select($"u", $"v"))
+      w.crossJoin(broadcast(thr)).filter($"shared" >= $"t")
+        .select($"u", $"v", $"shared"))
+  }
+
+  /** G8 single-source shortest path: 4 FIXED Bellman–Ford rounds over
+    * the WEIGHTED backbone, edge cost = 1_000_000 div shared (stronger
+    * co-purchase ties are cheaper to traverse) — the weighted sibling of
+    * G5's unit-hop BFS and the "how tightly is X connected to the
+    * trusted seed" signal weighted curation filters rank by. Source =
+    * the MIN backbone node (deterministic); the FIXED round count keeps
+    * both engines on one trajectory (the G1/G7 discipline) and bounds
+    * the horizon like G5's hop cap. All arithmetic is exact int64
+    * (integer div, +, min) — no float anywhere.
+    * 100 TB: each round is one shuffle — dist joins the edge list on the
+    * src endpoint, partial-agg min on dst; the dist frame stays
+    * node-sized and the small early rounds broadcast under AQE without
+    * hints (the G1 gate lesson: never force it); a longer-horizon run
+    * iterates with delta-only frontiers + localCheckpoint (G4/G5), which
+    * 4 unrolled rounds sit safely under.
+    */
+  def sssp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wEdges = graft.ops.ScopedCache.untilConsumed(
+      deriveBackboneWeighted(spark, dir)
+        .select($"u", $"v", expr("1000000 div shared").as("cost")))
+    val und = wEdges.select($"u".as("src"), $"v".as("dst"), $"cost")
+      .unionByName(wEdges.select($"v".as("src"), $"u".as("dst"), $"cost"))
+    val srcRow = und.agg(min(least($"src", $"dst")).as("s"))
+    var dist = broadcast(srcRow).select($"s".as("node"), lit(0L).as("dist"))
+    for (_ <- 1 to 4) {
+      val relax = und
+        .join(dist.select($"node".as("src"), $"dist".as("dsrc")), Seq("src"))
+        .select($"dst".as("node"), ($"dsrc" + $"cost").as("cand"))
+      dist = dist.select($"node", $"dist".as("cand"))
+        .unionByName(relax)
+        .groupBy($"node").agg(min($"cand").as("dist"))
+    }
+    dist.orderBy($"dist".asc, $"node".asc).limit(20)
+  }
+
+  // lazy: backboneSql is declared further down the object body, so an
+  // eager val here would read null during object init
+  lazy val ssspSql: String = {
+    val weightedBackbone = backboneSql.replace(
+      "edges AS (SELECT u, v FROM w CROSS JOIN thr WHERE shared >= t)",
+      "edges AS (SELECT u, v, shared FROM w CROSS JOIN thr WHERE shared >= t)")
+    def round_(t: Int) =
+      s"""d$t AS (
+         |  SELECT node, MIN(cand) AS dist FROM (
+         |    SELECT node, dist AS cand FROM d${t - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, d.dist + e.cost AS cand
+         |    FROM d${t - 1} d JOIN und e ON e.src = d.node)
+         |  GROUP BY node)""".stripMargin
+    "WITH " + weightedBackbone + """,
+      |wedges AS (SELECT u, v, 1000000 // shared AS cost FROM edges),
+      |und AS (
+      |  SELECT u AS src, v AS dst, cost FROM wedges
+      |  UNION ALL
+      |  SELECT v, u, cost FROM wedges),
+      |srcn AS (SELECT MIN(LEAST(src, dst)) AS s FROM und),
+      |d0 AS (SELECT s AS node, CAST(0 AS BIGINT) AS dist FROM srcn),
+      |""".stripMargin +
+      (1 to 4).map(round_).mkString(",\n") + """
+      |SELECT node, dist FROM d4
+      |ORDER BY dist ASC, node ASC
+      |LIMIT 20""".stripMargin
   }
 
   /** Oracle CTE chain producing the same backbone `edges(u, v)`. */
@@ -709,7 +782,8 @@ object Graph {
     "g5_hopdist"   -> (hopDist _),
     "g6_linkpred"  -> (linkpred _),
     "g7_labelprop" -> (labelProp _),
-    "g0_backbone_mv" -> (backboneMaterialize _))
+    "g0_backbone_mv" -> (backboneMaterialize _),
+    "g8_sssp" -> (sssp _))
 
   val oracles: Map[String, String] = Map(
     "g1_pagerank"  -> pagerankSql,
@@ -719,5 +793,6 @@ object Graph {
     "g5_hopdist"   -> hopDistSql,
     "g6_linkpred"  -> linkpredSql,
     "g7_labelprop" -> labelPropSql,
-    "g0_backbone_mv" -> backboneMaterializeSql)
+    "g0_backbone_mv" -> backboneMaterializeSql,
+    "g8_sssp" -> ssspSql)
 }

@@ -23,6 +23,7 @@ class PlanAuditSpec extends SparkSpec {
     "g4_concomp", "g5_hopdist", // same backbone threshold broadcasts
     "g6_linkpred",  // same backbone threshold broadcasts (shared builder)
     "g7_labelprop", // same backbone threshold broadcasts (shared builder)
+    "g8_sssp",      // same backbone threshold broadcasts + ONE-row source-node seed
     "g0_backbone_mv", // ONE-row × ONE-row stats cross product over the MV
     "a20_kmv",     // ONE-row broadcasts of sketch stats (nsk, hk, cnt_both)
     "j10_bloom_join", // ONE-row broadcast of the Bloom bitmap map
