@@ -186,6 +186,20 @@ class Round10Spec extends SparkSpec {
       "cell-restricted ADC disagrees with corpus-wide ADC on a shared candidate")
   }
 
+  test("L8 incremental dedup: report partitions the incoming batch exactly") {
+    import spark.implicits._
+    val got = TextDedup.incrDedup(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("bucket", expr(graft.ops.ScalarFuncs.splitBucketExpr))
+    val nIncoming = docs.filter($"bucket" >= 80).count()
+    val Seq(inc, dup, nw) = got
+      .agg(sum($"n_incoming"), sum($"n_dup"), sum($"n_new"))
+      .head().toSeq.map(_.asInstanceOf[Long])
+    assert(inc === nIncoming, s"report covers $inc of $nIncoming incoming docs")
+    assert(dup + nw === inc, "dup + new must partition the incoming batch")
+    assert(got.filter($"n_dup" < 0 || $"n_new" < 0).isEmpty)
+  }
+
   test("G1 broadcast gate: identical trajectory hinted or not; hint present only under the gate") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val hinted = Graph.pagerank(spark, sfDir)
