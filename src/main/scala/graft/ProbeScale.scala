@@ -23,12 +23,16 @@ object ProbeScale {
     import spark.implicits._
 
     val tmp = System.getProperty("java.io.tmpdir", "/tmp").stripSuffix("/")
-    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    // replica id offset past the real id range, so replicas can never
+    // collide with base doc_ids on any corpus
+    val idOff = base.agg(max($"doc_id")).head().getLong(0) + 1
     for (k <- Seq(1, 2, 4)) {
       val reps = (0 until k).map { i =>
         if (i == 0) base
         else base
-          .withColumn("doc_id", $"doc_id" + lit(i * 10000000L))
+          .withColumn("doc_id", $"doc_id" + lit(i * idOff))
           .withColumn("text", concat($"text", lit(s" rep$i")))
       }
       reps.reduce(_ unionByName _)

@@ -208,7 +208,17 @@ object Embeddings {
   private[llm] def lloydCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    val ec = e.select($"vec_id", $"v", $"nrm").cache()
+    // caller-caches contract (pqCodebooks' contract, extended here per
+    // the round-10 advice): when the input is ALREADY cached — ivfadcTopK
+    // shares one vector cache across coarse training, PQ training, encode
+    // and re-rank — the projection reads straight from it; caching it
+    // again would transiently hold a second copy of the vector set for
+    // the whole coarse-training phase. Uncached callers (ivfTopK,
+    // semDedup) still get the internal action-lived cache.
+    val callerCached =
+      e.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val ec0 = e.select($"vec_id", $"v", $"nrm")
+    val ec = if (callerCached) ec0 else ec0.cache()
     try {
       var cents: Seq[(Int, Seq[Double], Double)] = ec
         .select(md5($"vec_id".cast("string")).as("sk"), $"vec_id", $"v", $"nrm")
@@ -222,7 +232,7 @@ object Embeddings {
           .as[(Int, Seq[Double], Double)].collect().toSeq.sortBy(_._1)
       }
       spark.createDataset(cents).toDF("cell", "cv", "cn")
-    } finally { ec.unpersist(false); () }
+    } finally { if (!callerCached) { ec.unpersist(false); () } }
   }
 
   /** The oracle's replay of [[lloydCentroids]]: c0 = md5-ranked seeds,

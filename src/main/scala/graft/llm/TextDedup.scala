@@ -133,14 +133,29 @@ object TextDedup {
       .distinct()
   }
 
-  /** Full-set intersection counts for a candidate pair set: the verify
-    * join runs over the FULL index but only for candidate docs, so its
-    * cost tracks the candidate count (output size), not corpus df².
+  /** Full-set intersection counts for a candidate pair set, with both
+    * set sizes riding along: (da, db, i, na, nb). Verifies against
+    * per-doc shingle ARRAYS (`docsets`: doc_id, set) instead of
+    * re-joining the shingle table twice — the old form shuffled
+    * shingle-level rows through two joins (on doc_id, then on
+    * (doc_id, s)); this form joins the candidate list against DOC-level
+    * rows twice and computes each pair's exact intersection with one
+    * hash-set array_intersect inside the row (shingles are distinct per
+    * doc by construction, so |array_intersect| IS |A∩B|). Cost tracks
+    * candidate count × doc size — linear in output, and the heavy
+    * shingle relation never re-shuffles. (The round-10 verdict's
+    * verify-join tightening: isolated two-JVM A/B at sf0.1 measures
+    * L2 at 3.8 s and L2c at 2.8 s with this form, vs 5.8 / 4.1 s in
+    * the r10 suite with the double shingle re-join — hashes unchanged.)
     */
-  private def verifiedIntersections(sh: DataFrame, cand: DataFrame): DataFrame =
-    cand.join(sh.as("va"), col("va.doc_id") === col("da"))
-      .join(sh.as("vb"), col("vb.doc_id") === col("db") && col("va.s") === col("vb.s"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
+  private def verifiedIntersections(docsets: DataFrame, cand: DataFrame): DataFrame =
+    cand
+      .join(docsets.select(col("doc_id").as("da"), col("set").as("sa")), Seq("da"))
+      .join(docsets.select(col("doc_id").as("db"), col("set").as("sb")), Seq("db"))
+      .select(col("da"), col("db"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("i"),
+        size(col("sa")).cast("long").as("na"),
+        size(col("sb")).cast("long").as("nb"))
 
   // ---------------------------------------------------------------------
   // L2 n-gram Jaccard dedup via inverted index: candidate pairs from the
@@ -155,19 +170,21 @@ object TextDedup {
 
   private[graft] def ngramJaccardFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    // the shingle relation feeds the candidate join, the verify join and
-    // the size agg — cache instead of recomputing the explode five times
+    // the shingle relation feeds the candidate join's index/probe sides —
+    // cache instead of recomputing the explode per consumer
     val sh = graft.ops.ScopedCache.untilConsumed(shingles(docs))
-    val szs = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val pairs = verifiedIntersections(sh, cappedCandidates(sh, szs))
-    pairs
-      .join(szs.as("sa"), $"sa.doc_id" === $"da")
-      .join(szs.as("sb"), $"sb.doc_id" === $"db")
-      .filter($"i" * 5 >= ($"sa.n" + $"sb.n" - $"i") * 4)
+    // per-doc shingle sets: ONE aggregation feeding the cap's size
+    // column, the verify arrays AND the output sizes (replaces the old
+    // separate size agg + two post-verify size joins)
+    val ds = graft.ops.ScopedCache.untilConsumed(
+      sh.groupBy($"doc_id").agg(collect_list($"s").as("set")))
+    val szs = ds.select($"doc_id", size($"set").cast("long").as("n"))
+    verifiedIntersections(ds, cappedCandidates(sh, szs))
+      .filter($"i" * 5 >= ($"na" + $"nb" - $"i") * 4)
       .select(
         $"da".as("doc_a"), $"db".as("doc_b"),
-        $"i".as("n_common"), $"sa.n".as("n_a"), $"sb.n".as("n_b"),
-        ($"i".cast("double") / ($"sa.n" + $"sb.n" - $"i")).as("jaccard"))
+        $"i".as("n_common"), $"na".as("n_a"), $"nb".as("n_b"),
+        ($"i".cast("double") / ($"na" + $"nb" - $"i")).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -203,16 +220,15 @@ object TextDedup {
   private[graft] def containmentFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     val sh = graft.ops.ScopedCache.untilConsumed(shingles(docs))
-    val szs = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val pairs = verifiedIntersections(sh, cappedCandidates(sh, szs))
-    pairs
-      .join(szs.as("sa"), $"sa.doc_id" === $"da")
-      .join(szs.as("sb"), $"sb.doc_id" === $"db")
-      .filter($"i" * 10 >= least($"sa.n", $"sb.n") * 9)
+    val ds = graft.ops.ScopedCache.untilConsumed(
+      sh.groupBy($"doc_id").agg(collect_list($"s").as("set")))
+    val szs = ds.select($"doc_id", size($"set").cast("long").as("n"))
+    verifiedIntersections(ds, cappedCandidates(sh, szs))
+      .filter($"i" * 10 >= least($"na", $"nb") * 9)
       .select(
         $"da".as("doc_a"), $"db".as("doc_b"),
-        $"i".as("n_common"), $"sa.n".as("n_a"), $"sb.n".as("n_b"),
-        ($"i".cast("double") / least($"sa.n", $"sb.n")).as("containment"))
+        $"i".as("n_common"), $"na".as("n_a"), $"nb".as("n_b"),
+        ($"i".cast("double") / least($"na", $"nb")).as("containment"))
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -790,6 +806,112 @@ object TextDedup {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // C-series substring CUT (the transformation L7 only accounts for):
+  // apply the Lee et al. 2022 ExactSubstr pass — every token position
+  // covered by a cross-document duplicated 8-token window is REMOVED,
+  // and the cleaned document is emitted (pinned by md5, not shipped as
+  // text). Coverage intervals are merged per doc (island detection over
+  // flagged window starts), collected as a per-doc interval ARRAY (few
+  // after merging), and the cut is one higher-order filter over the
+  // token array — no per-token join. Emits only AFFECTED docs (a doc
+  // with no flagged window is byte-identical to its input).
+  // Determinism: window hashes are md5; interval arithmetic is exact
+  // int64; the emitted md5 is over the space-joined kept tokens, ''
+  // when a doc is fully covered.
+  // 100 TB: same window-hash shapes as L7 (one partial-agg shuffle on
+  // the hash, flag join back on the same key); the interval sweep and
+  // the cut are per-doc windows/maps over FLAGGED docs only. The
+  // PROPERTY tying this to L7 — per-doc cut_tokens equals L7's covered
+  // token count — is pinned in Round11Spec, and the cleaned text itself
+  // is pinned against the oracle's independent reconstruction.
+  def substringCut(spark: SparkSession, dir: String): DataFrame =
+    substringCutFrom(spark, Tables.documents(spark, dir))
+
+  private[graft] def substringCutFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val w = 8
+    val toks = docs
+      .select($"doc_id", split($"text", " ").as("t"))
+      .withColumn("n", size($"t"))
+    val wins = toks.filter($"n" >= w)
+      .select($"doc_id", posexplode(transform(sequence(lit(0), $"n" - w),
+        i => md5(concat_ws(" ", slice($"t", i + 1, lit(w)))))).as(Seq("pos", "h")))
+    val winsC = graft.ops.ScopedCache.untilConsumed(wins)
+    val dupHashes = winsC.select($"h", $"doc_id").distinct()
+      .groupBy($"h").agg(count(lit(1)).as("nd"))
+      .filter($"nd" >= 2).select($"h")
+    val wOrd = Window.partitionBy($"doc_id").orderBy($"pos")
+    val flagged = winsC.join(dupHashes, Seq("h")).select($"doc_id", $"pos")
+    val iv = flagged
+      .withColumn("prev_end",
+        max($"pos" + lit(w - 1)).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_grp",
+        when($"prev_end".isNull || $"pos" > $"prev_end", 1L).otherwise(0L))
+      .withColumn("grp",
+        sum($"new_grp").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"doc_id", $"grp")
+      .agg(min($"pos").as("lo"), max($"pos" + lit(w - 1)).as("hi"))
+    val ivs = iv.groupBy($"doc_id").agg(collect_list(struct($"lo", $"hi")).as("ivs"))
+    toks.join(ivs, Seq("doc_id"))
+      .withColumn("kept",
+        expr("filter(t, (x, i) -> NOT exists(ivs, v -> i >= v.lo AND i <= v.hi))"))
+      .select(
+        $"doc_id",
+        $"n".cast("long").as("n_tokens"),
+        ($"n" - size($"kept")).cast("long").as("cut_tokens"),
+        size($"kept").cast("long").as("kept_tokens"),
+        md5(concat_ws(" ", $"kept")).as("clean_md5"))
+      .orderBy($"doc_id")
+  }
+
+  val substringCutSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t,
+      |         len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |win0 AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, n - 7),
+      |    i -> {'pos': i - 1, 'h': md5(array_to_string(t[i:i+7], ' '))})) AS wn
+      |  FROM tok WHERE n >= 8),
+      |win AS (SELECT doc_id, wn.pos AS pos, wn.h AS h FROM win0),
+      |dups AS (
+      |  SELECT h FROM (SELECT DISTINCT h, doc_id FROM win)
+      |  GROUP BY h HAVING COUNT(*) >= 2),
+      |dwin AS (SELECT w.doc_id, w.pos FROM win w JOIN dups USING (h)),
+      |iv0 AS (
+      |  SELECT doc_id, pos,
+      |    MAX(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |  FROM dwin),
+      |iv1 AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS new_grp
+      |  FROM iv0),
+      |iv2 AS (
+      |  SELECT doc_id, pos, SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY pos
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM iv1),
+      |iv AS (SELECT doc_id, grp, MIN(pos) AS lo, MAX(pos + 7) AS hi FROM iv2 GROUP BY 1, 2),
+      |aff AS (SELECT DISTINCT t.doc_id, t.n FROM tok t JOIN iv ON iv.doc_id = t.doc_id),
+      |keep0 AS (
+      |  SELECT t.doc_id, unnest(list_transform(generate_series(1, t.n),
+      |    i -> {'pos': i - 1, 'tokv': t.t[i]})) AS kp
+      |  FROM tok t JOIN aff a ON a.doc_id = t.doc_id),
+      |keep AS (SELECT doc_id, kp.pos AS pos, kp.tokv AS tokv FROM keep0),
+      |kept AS (
+      |  SELECT k.doc_id, k.pos, k.tokv FROM keep k
+      |  WHERE NOT EXISTS (SELECT 1 FROM iv
+      |    WHERE iv.doc_id = k.doc_id AND k.pos BETWEEN iv.lo AND iv.hi))
+      |SELECT a.doc_id,
+      |  CAST(a.n AS BIGINT) AS n_tokens,
+      |  CAST(a.n - COUNT(k.pos) AS BIGINT) AS cut_tokens,
+      |  COUNT(k.pos) AS kept_tokens,
+      |  md5(COALESCE(string_agg(k.tokv, ' ' ORDER BY k.pos), '')) AS clean_md5
+      |FROM aff a LEFT JOIN kept k ON k.doc_id = a.doc_id
+      |GROUP BY a.doc_id, a.n
+      |ORDER BY a.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // L6 document novelty: per-doc fraction of its distinct word-3-gram
   // shingles whose corpus-wide FIRST OCCURRENCE (min doc_id) is the doc
   // itself — the dedupe-aware sampling signal ("how much of this doc is
@@ -837,7 +959,8 @@ object TextDedup {
     "llm_simhash"       -> (simhash _),
     "llm_simhash_clusters" -> (simhashClusters _),
     "llm_editdist"      -> (editDistance _),
-    "llm_crossdoc_dup"  -> (crossdocDup _))
+    "llm_crossdoc_dup"  -> (crossdocDup _),
+    "cur_substr_cut"    -> (substringCut _))
 
   val oracles: Map[String, String] = Map(
     "llm_novelty"       -> noveltySql,
@@ -851,5 +974,6 @@ object TextDedup {
     "llm_simhash"       -> simhashSql,
     "llm_simhash_clusters" -> simhashClustersSql,
     "llm_editdist"      -> editDistanceSql,
-    "llm_crossdoc_dup"  -> crossdocDupSql)
+    "llm_crossdoc_dup"  -> crossdocDupSql,
+    "cur_substr_cut"    -> substringCutSql)
 }

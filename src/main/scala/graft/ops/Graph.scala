@@ -178,26 +178,80 @@ object Graph {
       // guard is exact: a kernel asked about a DIFFERENT dataset while
       // the switch is on must derive fresh, never silently read the
       // materialized dataset's backbone (wrong data, no error)
-      case Some(p) if p == backboneRoot(dir) => spark.read.parquet(p)
+      case Some(p) if p == backboneRoot(dir) =>
+        spark.read.parquet(p).select(col("u"), col("v"))
       case _ => deriveBackboneEdges(spark, dir)
+    }
+
+  /** Weighted twin of [[backboneEdges]]: (u, v, shared), reading the MV
+    * when the switch is on (the MV stores the weight column since round
+    * 11 — G8 no longer re-derives what the refresh already computed).
+    */
+  private[graft] def backboneWeighted(spark: SparkSession, dir: String): DataFrame =
+    mvSource match {
+      case Some(p) if p == backboneRoot(dir) =>
+        spark.read.parquet(p).select(col("u"), col("v"), col("shared"))
+      case _ => deriveBackboneWeighted(spark, dir)
     }
 
   private def deriveBackboneEdges(spark: SparkSession, dir: String): DataFrame =
     deriveBackboneWeighted(spark, dir).select(col("u"), col("v"))
 
-  /** Same backbone derivation with the shared-customer count kept — G8's
-    * edge weights. (Derives fresh always: the parquet MV stores only
-    * (u, v), so the weighted consumer never reads it.)
+  /** Degree cap for the bipartite projection's self-join. The projection
+    * is Σ(customer-degree²): one hub customer connected to d suppliers
+    * contributes d²/2 join rows, so a skewed key turns the stage
+    * quadratic with no bound (the L2 hot-shingle hazard, co-purchase
+    * flavor). Customers above the cap keep only their `cap`
+    * lowest-supplier-id pairs (a deterministic total order); the COLD
+    * path — every customer at or under the cap — passes through with no
+    * extra sort, so at the test SFs (max degree ≤ the supplier count,
+    * ≪ 8192) the capped plan is row-identical to the uncapped one and
+    * the UNCAPPED oracle SQL is the machine-checked proof. At 100 TB a
+    * deployment tunes this down (a hub's pairs are the least informative
+    * edges: a customer buying from everyone adds +1 to every pair —
+    * noise, not signal; Round11Spec quantifies backbone stability under
+    * a binding cap). Env-overridable for probes.
     */
-  private def deriveBackboneWeighted(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] val DefaultDegreeCap: Int =
+    sys.env.get("SPARK_GRAFT_BACKBONE_DEGCAP").map(_.toInt).getOrElse(8192)
+
+  /** Applies the degree cap to the bipartite (c, s) pair list. Hot
+    * customers (degree > cap) are found with one partial-agg count and
+    * broadcast; only THEIR rows pay the per-customer ranking window —
+    * the cold path is an anti-join against the (tiny) hot set, so the
+    * common case adds no sort to the projection.
+    */
+  private[graft] def cappedPairs(pairs: DataFrame, cap: Int): DataFrame = {
+    import pairs.sparkSession.implicits._
+    val hot = broadcast(
+      pairs.groupBy($"c").agg(count(lit(1)).as("cdeg"))
+        .filter($"cdeg" > cap).select($"c"))
+    val cold = pairs.join(hot, Seq("c"), "left_anti")
+    val hotCapped = pairs.join(hot, Seq("c"), "left_semi")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"c").orderBy($"s".asc)))
+      .filter($"rk" <= cap).drop("rk")
+    cold.unionByName(hotCapped)
+  }
+
+  /** Same backbone derivation with the shared-customer count kept — G8's
+    * edge weights and the MV's stored payload.
+    */
+  private[graft] def deriveBackboneWeighted(
+      spark: SparkSession, dir: String,
+      degCap: Int = DefaultDegreeCap): DataFrame = {
     import spark.implicits._
-    val pairs = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
-      .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
-        $"o_orderkey" === $"l_orderkey")
-      .select($"o_custkey".as("c"), $"l_suppkey".as("s"))
-      .distinct()
+    // the pair list feeds the hot-customer count, both self-join sides
+    // and the cap's anti/semi joins — cache it for the caller's action
+    val pairs = graft.ops.ScopedCache.untilConsumed(
+      Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+        .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
+          $"o_orderkey" === $"l_orderkey")
+        .select($"o_custkey".as("c"), $"l_suppkey".as("s"))
+        .distinct())
+    val capped = cappedPairs(pairs, degCap)
     val w = graft.ops.ScopedCache.untilConsumed(
-      pairs.as("a").join(pairs.as("b"), $"a.c" === $"b.c" && $"a.s" < $"b.s")
+      capped.as("a").join(capped.as("b"), $"a.c" === $"b.c" && $"a.s" < $"b.s")
         .groupBy($"a.s".as("u"), $"b.s".as("v"))
         .agg(count(lit(1)).as("shared")))
     val vc = w.groupBy($"shared".as("sv")).agg(count(lit(1)).as("cv"))
@@ -228,11 +282,24 @@ object Graph {
     * iterates with delta-only frontiers + localCheckpoint (G4/G5), which
     * 4 unrolled rounds sit safely under.
     */
-  def sssp(spark: SparkSession, dir: String): DataFrame = {
+  def sssp(spark: SparkSession, dir: String): DataFrame =
+    ssspDistFrom(backboneWeighted(spark, dir))
+      .orderBy(col("dist").asc, col("node").asc).limit(20)
+
+  /** The 4-round Bellman–Ford kernel over a weighted (u, v, shared) edge
+    * frame — shared by G8 (fresh-or-MV backbone) and the G9 pipeline
+    * (MV read-back). The edge list is localCheckpointed ONCE (one
+    * consuming action that also releases a derive-mode scoped cache —
+    * single-layer caching, the round-10 advice); each round's node-sized
+    * dist frame is checkpointed too, so the 4-round plan stays linear
+    * instead of doubling per round (the G3/G4/G5 iteration pattern).
+    */
+  private[graft] def ssspDistFrom(weighted: DataFrame): DataFrame = {
+    val spark = weighted.sparkSession
     import spark.implicits._
-    val wEdges = graft.ops.ScopedCache.untilConsumed(
-      deriveBackboneWeighted(spark, dir)
-        .select($"u", $"v", expr("1000000 div shared").as("cost")))
+    val wEdges = weighted
+      .select($"u", $"v", expr("1000000 div shared").as("cost"))
+      .localCheckpoint()
     val und = wEdges.select($"u".as("src"), $"v".as("dst"), $"cost")
       .unionByName(wEdges.select($"v".as("src"), $"u".as("dst"), $"cost"))
     val srcRow = und.agg(min(least($"src", $"dst")).as("s"))
@@ -244,40 +311,48 @@ object Graph {
       dist = dist.select($"node", $"dist".as("cand"))
         .unionByName(relax)
         .groupBy($"node").agg(min($"cand").as("dist"))
+        .localCheckpoint()
     }
-    dist.orderBy($"dist".asc, $"node".asc).limit(20)
+    dist
   }
 
-  // lazy: backboneSql is declared further down the object body, so an
-  // eager val here would read null during object init
-  lazy val ssspSql: String = {
-    val weightedBackbone = backboneSql.replace(
-      "edges AS (SELECT u, v FROM w CROSS JOIN thr WHERE shared >= t)",
-      "edges AS (SELECT u, v, shared FROM w CROSS JOIN thr WHERE shared >= t)")
+  /** SSSP oracle CTE chain over the shared `edges(u, v, shared)` —
+    * prefixed names (wedges/sund/srcn/d*) so the G9 pipeline oracle can
+    * splice it next to the triangle and label-prop chains. lazy:
+    * backboneSql is declared further down the object body, so an eager
+    * val here would read null during object init.
+    */
+  private lazy val ssspCtes: String = {
     def round_(t: Int) =
       s"""d$t AS (
          |  SELECT node, MIN(cand) AS dist FROM (
          |    SELECT node, dist AS cand FROM d${t - 1}
          |    UNION ALL
          |    SELECT e.dst AS node, d.dist + e.cost AS cand
-         |    FROM d${t - 1} d JOIN und e ON e.src = d.node)
+         |    FROM d${t - 1} d JOIN sund e ON e.src = d.node)
          |  GROUP BY node)""".stripMargin
-    "WITH " + weightedBackbone + """,
-      |wedges AS (SELECT u, v, 1000000 // shared AS cost FROM edges),
-      |und AS (
+    """wedges AS (SELECT u, v, 1000000 // shared AS cost FROM edges),
+      |sund AS (
       |  SELECT u AS src, v AS dst, cost FROM wedges
       |  UNION ALL
       |  SELECT v, u, cost FROM wedges),
-      |srcn AS (SELECT MIN(LEAST(src, dst)) AS s FROM und),
+      |srcn AS (SELECT MIN(LEAST(src, dst)) AS s FROM sund),
       |d0 AS (SELECT s AS node, CAST(0 AS BIGINT) AS dist FROM srcn),
       |""".stripMargin +
-      (1 to 4).map(round_).mkString(",\n") + """
+      (1 to 4).map(round_).mkString(",\n")
+  }
+
+  lazy val ssspSql: String =
+    "WITH " + backboneSql + ",\n" + ssspCtes + """
       |SELECT node, dist FROM d4
       |ORDER BY dist ASC, node ASC
       |LIMIT 20""".stripMargin
-  }
 
-  /** Oracle CTE chain producing the same backbone `edges(u, v)`. */
+  /** Oracle CTE chain producing the same backbone `edges(u, v, shared)`.
+    * (The weight column rides along since round 11 — consumers that only
+    * need the topology project it away, the weighted ones no longer
+    * rebuild it.)
+    */
   private val backboneSql: String =
     """pairs AS (
       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
@@ -293,11 +368,14 @@ object Graph {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cume
       |  FROM vc),
       |thr AS (SELECT MAX(sv) AS t FROM cum CROSS JOIN m WHERE cume >= m // 10),
-      |edges AS (SELECT u, v FROM w CROSS JOIN thr WHERE shared >= t)""".stripMargin
+      |edges AS (SELECT u, v, shared FROM w CROSS JOIN thr WHERE shared >= t)""".stripMargin
 
-  def triangles(spark: SparkSession, dir: String): DataFrame = {
+  def triangles(spark: SparkSession, dir: String): DataFrame =
+    trianglesFrom(backboneEdges(spark, dir))
+
+  private[graft] def trianglesFrom(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
     import spark.implicits._
-    val edges = backboneEdges(spark, dir)
     val deg = edges.select($"u".as("node"))
       .unionByName(edges.select($"v".as("node")))
       .groupBy($"node").agg(count(lit(1)).as("deg"))
@@ -368,22 +446,32 @@ object Graph {
     s"$tmp/graft_backbone_mv_${h}_$mvNonce"
   }
 
-  def backboneMaterialize(spark: SparkSession, dir: String): DataFrame = {
+  /** The refresh body shared by G0 and the G9 pipeline: derive the
+    * WEIGHTED backbone fresh (never reading the MV's own previous
+    * output), publish it endpoint-clustered, return the read-back frame.
+    */
+  private[graft] def refreshBackboneMv(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     mvCleanup // ensure the shutdown hook is registered before first write
     mvWritten.add(backboneRoot(dir))
-    // derive FRESH even when the MV switch is on — the refresh must never
-    // read its own previous output
-    deriveBackboneEdges(spark, dir)
+    deriveBackboneWeighted(spark, dir)
       .repartition(4, $"u").sortWithinPartitions($"u", $"v")
       .write.mode("overwrite").parquet(backboneRoot(dir))
-    val mv = spark.read.parquet(backboneRoot(dir))
+    spark.read.parquet(backboneRoot(dir))
+  }
+
+  def backboneMaterialize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mv = refreshBackboneMv(spark, dir)
     val nodes = mv.select($"u".as("node")).unionByName(mv.select($"v".as("node")))
+    // sum_shared certifies the round-tripped WEIGHT column, not just the
+    // topology — the g8/g9 consumers read it from the artifact
     mv.agg(
         count(lit(1)).as("n_edges"),
-        min($"u").as("min_u"), max($"v").as("max_v"))
+        min($"u").as("min_u"), max($"v").as("max_v"),
+        sum($"shared").as("sum_shared"))
       .crossJoin(nodes.agg(countDistinct($"node").as("n_nodes")))
-      .select($"n_edges", $"n_nodes", $"min_u", $"max_v")
+      .select($"n_edges", $"n_nodes", $"min_u", $"max_v", $"sum_shared")
   }
 
   val backboneMaterializeSql: String =
@@ -393,7 +481,75 @@ object Graph {
       |  (SELECT COUNT(DISTINCT node) FROM
       |    (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)) AS n_nodes,
       |  (SELECT MIN(u) FROM edges) AS min_u,
-      |  (SELECT MAX(v) FROM edges) AS max_v""".stripMargin
+      |  (SELECT MAX(v) FROM edges) AS max_v,
+      |  (SELECT CAST(SUM(shared) AS BIGINT) FROM edges) AS sum_shared""".stripMargin
+
+  /** G9 the production graph DAG as ONE registered query: refresh the
+    * weighted backbone MV (the G0 step), then run three kernels —
+    * triangles, label propagation, weighted SSSP — off the READ-BACK
+    * artifact, so the projection self-join runs exactly once for the
+    * whole composition (vs once per kernel when each query stands
+    * alone). This is the derive-once-read-many DAG the per-kernel
+    * scaladocs defer to, registered so the correctness gate and bench
+    * see it. Output: one (step, m1, m2) summary row per stage, all
+    * exact int64 — backbone (edges, Σshared), triangles (Σ per-node
+    * incidences, nodes in ≥1 triangle), labelprop (communities, largest
+    * community), sssp (nodes reached in 4 rounds, Σdist).
+    * 100 TB: the MV write is the one heavy stage; each kernel then pays
+    * only edge-list-sized shuffles — Round11Spec pins that no kernel
+    * plan re-derives from the base tables.
+    */
+  def graphPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (mv, tri, lpa, dist) = graphPipelineParts(spark, dir)
+    def row(step: String, df: DataFrame): DataFrame =
+      df.select(lit(step).as("step"), col("m1"), col("m2"))
+    row("backbone", mv.agg(count(lit(1)).as("m1"), sum($"shared").as("m2")))
+      .unionByName(row("triangles",
+        tri.agg(sum($"n_tri").as("m1"),
+          sum(when($"n_tri" > 0, 1L).otherwise(0L)).as("m2"))))
+      .unionByName(row("labelprop",
+        lpa.agg(count(lit(1)).as("m1"), max($"n_nodes").as("m2"))))
+      .unionByName(row("sssp",
+        dist.agg(count(lit(1)).as("m1"), sum($"dist").as("m2"))))
+      .orderBy($"step")
+  }
+
+  /** The pipeline's stage frames, exposed so Round11Spec can pin each
+    * kernel's PLAN (scans the MV artifact, never the base tables).
+    */
+  private[graft] def graphPipelineParts(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    // localCheckpoint pins the read-back snapshot for all three kernels
+    // (and keeps each kernel's lineage rooted at the artifact, not at a
+    // re-plannable parquet scan a concurrent refresh could invalidate)
+    val mv = refreshBackboneMv(spark, dir).localCheckpoint()
+    val edges = mv.select($"u", $"v")
+    (mv, trianglesFrom(edges), labelPropFrom(edges), ssspDistFrom(mv))
+  }
+
+  // lazy: splices CTE vals declared further down the object body
+  lazy val graphPipelineSql: String =
+    "WITH " + backboneSql + ",\n" + trianglesCtes + ",\n" +
+      labelPropCtes + ",\n" + ssspCtes + """
+      |SELECT * FROM (
+      |  SELECT 'backbone' AS step,
+      |    (SELECT COUNT(*) FROM edges) AS m1,
+      |    (SELECT CAST(SUM(shared) AS BIGINT) FROM edges) AS m2
+      |  UNION ALL
+      |  SELECT 'triangles',
+      |    (SELECT CAST(COALESCE(SUM(n_tri), 0) AS BIGINT) FROM pernode),
+      |    (SELECT COUNT(*) FROM pernode WHERE n_tri > 0)
+      |  UNION ALL
+      |  SELECT 'labelprop',
+      |    (SELECT COUNT(*) FROM lrep),
+      |    (SELECT CAST(MAX(n_nodes) AS BIGINT) FROM lrep)
+      |  UNION ALL
+      |  SELECT 'sssp',
+      |    (SELECT COUNT(*) FROM d4),
+      |    (SELECT CAST(SUM(dist) AS BIGINT) FROM d4))
+      |ORDER BY step""".stripMargin
 
   /** G7 label propagation communities (3 FIXED synchronous rounds) over
     * the G2 backbone — the community-detection kernel (concomp finds the
@@ -411,9 +567,12 @@ object Graph {
     * frame; production iterates with the dupClusters localCheckpoint
     * pattern.
     */
-  def labelProp(spark: SparkSession, dir: String): DataFrame = {
+  def labelProp(spark: SparkSession, dir: String): DataFrame =
+    labelPropFrom(backboneEdges(spark, dir))
+
+  private[graft] def labelPropFrom(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
     import spark.implicits._
-    val edges = backboneEdges(spark, dir)
     val und = edges.select($"u".as("node"), $"v".as("nb"))
       .unionByName(edges.select($"v".as("node"), $"u".as("nb")))
     var lbl = und.select($"node").distinct().withColumn("lbl", $"node")
@@ -431,31 +590,40 @@ object Graph {
       .orderBy($"community")
   }
 
-  val labelPropSql: String = {
+  /** LPA oracle CTE chain over `edges` — prefixed names (lund/l0..l3/
+    * lrep) so the G9 pipeline oracle can splice it next to the other
+    * kernel chains.
+    */
+  private val labelPropCtes: String = {
     def roundCte(t: Int, prev: String) =
       s"""l$t AS (
          |  SELECT node, lbl FROM (
          |    SELECT u.node, l.lbl, COUNT(*) AS c,
          |      ROW_NUMBER() OVER (PARTITION BY u.node ORDER BY COUNT(*) DESC, l.lbl ASC) AS rn
-         |    FROM und u JOIN $prev l ON l.node = u.nb
+         |    FROM lund u JOIN $prev l ON l.node = u.nb
          |    GROUP BY u.node, l.lbl)
          |  WHERE rn = 1)""".stripMargin
-    "WITH " + backboneSql + s""",
-      |und AS (
+    s"""lund AS (
       |  SELECT u AS node, v AS nb FROM edges
       |  UNION ALL SELECT v AS node, u AS nb FROM edges),
-      |l0 AS (SELECT DISTINCT node, node AS lbl FROM und),
+      |l0 AS (SELECT DISTINCT node, node AS lbl FROM lund),
       |${roundCte(1, "l0")},
       |${roundCte(2, "l1")},
-      |${roundCte(3, "l2")}
-      |SELECT lbl AS community, COUNT(*) AS n_nodes,
-      |  MIN(node) AS min_node, MAX(node) AS max_node
-      |FROM l3 GROUP BY lbl ORDER BY community""".stripMargin
+      |${roundCte(3, "l2")},
+      |lrep AS (
+      |  SELECT lbl AS community, COUNT(*) AS n_nodes,
+      |    MIN(node) AS min_node, MAX(node) AS max_node
+      |  FROM l3 GROUP BY lbl)""".stripMargin
   }
 
-  val trianglesSql: String =
-    "WITH " + backboneSql + """,
-      |deg AS (
+  val labelPropSql: String =
+    "WITH " + backboneSql + ",\n" + labelPropCtes + """
+      |SELECT community, n_nodes, min_node, max_node
+      |FROM lrep ORDER BY community""".stripMargin
+
+  /** Triangle oracle CTE chain over `edges` — spliceable (G9). */
+  private val trianglesCtes: String =
+    """deg AS (
       |  SELECT node, COUNT(*) AS deg FROM (
       |    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges)
       |  GROUP BY 1),
@@ -467,7 +635,10 @@ object Graph {
       |pernode AS (
       |  SELECT node, COUNT(*) AS n_tri FROM (
       |    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
-      |  GROUP BY 1)
+      |  GROUP BY 1)""".stripMargin
+
+  val trianglesSql: String =
+    "WITH " + backboneSql + ",\n" + trianglesCtes + """
       |SELECT d.node, d.deg, COALESCE(p.n_tri, 0) AS n_tri,
       |  CASE WHEN d.deg >= 2
       |       THEN CAST(COALESCE(p.n_tri, 0) * 2 AS DOUBLE) / (d.deg * (d.deg - 1))
@@ -783,7 +954,8 @@ object Graph {
     "g6_linkpred"  -> (linkpred _),
     "g7_labelprop" -> (labelProp _),
     "g0_backbone_mv" -> (backboneMaterialize _),
-    "g8_sssp" -> (sssp _))
+    "g8_sssp" -> (sssp _),
+    "g9_pipeline" -> (graphPipeline _))
 
   val oracles: Map[String, String] = Map(
     "g1_pagerank"  -> pagerankSql,
@@ -794,5 +966,6 @@ object Graph {
     "g6_linkpred"  -> linkpredSql,
     "g7_labelprop" -> labelPropSql,
     "g0_backbone_mv" -> backboneMaterializeSql,
-    "g8_sssp" -> ssspSql)
+    "g8_sssp" -> ssspSql,
+    "g9_pipeline" -> graphPipelineSql)
 }

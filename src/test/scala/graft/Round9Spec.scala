@@ -196,7 +196,12 @@ class Round9Spec extends SparkSpec {
     val nMv = mv.count()
     assert(stats.getLong(0) === nMv)
     assert(derived.count() === nMv)
-    assert(mv.exceptAll(ops.Graph.backboneEdges(spark, sfDir)).isEmpty)
+    assert(mv.select($"u", $"v")
+      .exceptAll(ops.Graph.backboneEdges(spark, sfDir)).isEmpty)
+    // the round-11 artifact also stores the WEIGHT column — read-back
+    // weighted edges equal a fresh weighted derivation (multiset)
+    assert(mv.select($"u", $"v", $"shared")
+      .exceptAll(ops.Graph.deriveBackboneWeighted(spark, sfDir)).isEmpty)
   }
 
   test("E11 rproj: projection formula matches an independent driver-side replay") {

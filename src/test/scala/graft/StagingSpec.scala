@@ -179,6 +179,75 @@ class StagingSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(root + "__lock")))
   }
 
+  test("S6 snapshot publish: a concurrent reader observes only complete committed snapshots") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_snap_").toString + "/stg"
+    // invariant per version v: ver column constant = v, count = 100*(v+1).
+    // A reader that ever sees a mixed/partial state breaks it.
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reads = new java.util.concurrent.atomic.AtomicLong(0)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        Staging.currentSnapshotVersion(spark, root).foreach { v =>
+          try {
+            val r = Staging.readSnapshotAt(spark, root, v)
+              .agg(count(lit(1)), min($"ver"), max($"ver")).head()
+            val (n, lo, hi) = (r.getLong(0), r.getLong(1), r.getLong(2))
+            if (lo != hi || n != 100L * (lo + 1))
+              errs.add(s"inconsistent snapshot read: v=$v n=$n ver=[$lo,$hi]")
+            reads.incrementAndGet()
+          } catch {
+            case e: Throwable => errs.add(s"read of committed v=$v failed: ${e.getMessage}")
+          }
+        }
+      }
+    }, "snapshot-reader")
+    reader.start()
+    try {
+      for (v <- 0L to 4L) {
+        val got = Staging.publishSnapshot(spark, root) { p =>
+          spark.range(100 * (v + 1)).select($"id", lit(v).as("ver"))
+            .write.mode("overwrite").parquet(p)
+        }
+        assert(got === v)
+      }
+    } finally { stop.set(true); reader.join() }
+    assert(errs.isEmpty, errs.toArray.mkString("\n"))
+    assert(reads.get() > 0, "reader never got a snapshot in — test proves nothing")
+    // time travel: every committed version remains readable at its state
+    assert(Staging.readSnapshotAt(spark, root, 2).count() === 300)
+    assert(Staging.readSnapshot(spark, root).count() === 500)
+    // GC retains the newest `keep`; older versions stop resolving
+    assert(Staging.gcSnapshots(spark, root, keep = 2) === Seq(0L, 1L, 2L))
+    assert(Staging.currentSnapshotVersion(spark, root) === Some(4L))
+    assert(Staging.readSnapshotAt(spark, root, 3).count() === 400)
+    intercept[java.io.IOException](Staging.readSnapshotAt(spark, root, 2))
+  }
+
+  test("S6 snapshot upsert: merge semantics with the previous version still readable") {
+    import spark.implicits._
+    def batch(rows: Seq[(String, String, String, String, String)]) =
+      rows.toDF("file_path", "parameter", "reading_datetime", "file_modified", "reading_value")
+        .withColumn("reading_datetime", to_timestamp($"reading_datetime"))
+        .withColumn("file_modified", to_timestamp($"file_modified"))
+    val root = Files.createTempDirectory("graft_snap_").toString + "/stg"
+    val v0 = Staging.upsertSnapshot(spark, root, batch(Seq(
+      ("f1", "t_2m:C", "2025-03-25 00:00:00", "2025-03-25 02:00:00", "1.0"),
+      ("f1", "t_2m:C", "2025-03-25 01:00:00", "2025-03-25 02:00:00", "2.0"))))
+    val v1 = Staging.upsertSnapshot(spark, root, batch(Seq(
+      ("f1", "t_2m:C", "2025-03-25 00:00:00", "2025-03-26 02:00:00", "9.9"))))
+    assert((v0, v1) === ((0L, 1L)))
+    val cur = Staging.readSnapshot(spark, root)
+    assert(cur.count() === 2)
+    assert(cur.filter($"reading_datetime" === "2025-03-25 00:00:00")
+      .select("reading_value").head.getString(0) === "9.9")
+    // the pre-merge version is still exactly what it was (isolation)
+    val prev = Staging.readSnapshotAt(spark, root, 0)
+    assert(prev.filter($"reading_datetime" === "2025-03-25 00:00:00")
+      .select("reading_value").head.getString(0) === "1.0")
+  }
+
   test("V1 Dataset[EnrichedDoc] parse-as-validation accepts the generated docs") {
     import spark.implicits._
     val ds = WeatherGen.docs(spark).drop("file_path").as[WeatherSchema.EnrichedDoc]
