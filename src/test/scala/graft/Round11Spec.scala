@@ -35,9 +35,10 @@ class Round11Spec extends SparkSpec {
     val before = graft.ops.ScopedCache.scopesOpened
     val (mv, tri, lpa, dist) = Graph.graphPipelineParts(spark, sfDir)
     val opened = graft.ops.ScopedCache.scopesOpened - before
-    // one weighted derivation = exactly 3 scopes (pairs, w, edges); a
-    // kernel re-deriving the projection would open 3 more
-    assert(opened === 3, s"pipeline opened $opened cache scopes, expected 3")
+    // one weighted derivation = exactly 2 scopes (w, edges — the wedge
+    // generator streams pairs without caching them); a kernel
+    // re-deriving the projection would open 2 more
+    assert(opened === 2, s"pipeline opened $opened cache scopes, expected 2")
     for ((df, nm) <- Seq((tri, "triangles"), (lpa, "labelprop"), (dist, "sssp"))) {
       val plan = df.queryExecution.optimizedPlan.toString
       assert(!plan.contains("lineitem") && !plan.contains("orders"),
@@ -68,23 +69,23 @@ class Round11Spec extends SparkSpec {
     assert(capped.nonEmpty)
   }
 
-  test("degree cap: a hub customer's candidate pairs are bounded by cap², not degree²") {
+  test("degree cap: a hub customer's wedge pairs are bounded by cap², not degree²") {
     import spark.implicits._
-    def candCount(nSup: Int, cap: Int): Long = {
+    def wedgeCount(nSup: Int, cap: Int): Long = {
       val pairs = spark.range(nSup).select(lit(1L).as("c"), $"id".as("s"))
-      val cp = Graph.cappedPairs(pairs, cap)
-      cp.as("a").join(cp.as("b"), $"a.c" === $"b.c" && $"a.s" < $"b.s").count()
+      Graph.wedgePairs(pairs, cap).count()
     }
     // uncapped: quadratic in hub degree
-    assert(candCount(400, Int.MaxValue) === 400L * 399 / 2)
+    assert(wedgeCount(400, Int.MaxValue) === 400L * 399 / 2)
     // capped: flat at cap*(cap-1)/2 no matter how large the hub grows —
     // the projection stage can no longer go quadratic on one key
-    assert(candCount(400, 64) === 64L * 63 / 2)
-    assert(candCount(1600, 64) === 64L * 63 / 2)
+    assert(wedgeCount(400, 64) === 64L * 63 / 2)
+    assert(wedgeCount(1600, 64) === 64L * 63 / 2)
     // the cap keeps the hub's LOWEST supplier ids — deterministic
-    val kept = Graph.cappedPairs(
+    val kept = Graph.wedgePairs(
         spark.range(100).select(lit(1L).as("c"), $"id".as("s")), 10)
-      .select($"s").collect().map(_.getLong(0)).sorted.toSeq
+      .select(explode(array($"u", $"v")).as("s"))
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
     assert(kept === (0L until 10L))
   }
 
