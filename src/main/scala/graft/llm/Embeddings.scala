@@ -159,7 +159,7 @@ object Embeddings {
     * (csim, -cell)). No shuffle of the corpus: this is what makes each
     * Lloyd round, and the inverted-file build itself, a single scan.
     */
-  private[llm] def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
     val cs = broadcast(cents.agg(collect_list(struct($"cell", $"cv", $"cn")).as("cs")))
     e.join(cs)
@@ -167,6 +167,23 @@ object Embeddings {
         "transform(cs, c -> struct(round(graft_dot(v, c.cv) / (nrm * c.cn), 6) AS csim, -c.cell AS negcell))")))
       .withColumn("cell", (-$"best.negcell").cast("int"))
       .drop("cs", "best")
+  }
+
+  /** Query-side probe selection: each query vector ranks the (broadcast,
+    * fixed-k) centroid table by rounded cosine and keeps its `nprobe`
+    * best cells. Shared by the inline IVF search (E2), the persisted-
+    * index path (E16/E17) and — in oracle form — by ivfSearchCtes'
+    * `probes` CTE, which replays the identical window.
+    */
+  private[graft] def probeCells(q: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+    import q.sparkSession.implicits._
+    val wProbe = Window.partitionBy($"qid").orderBy($"csim".desc, $"cell".asc)
+    q.join(broadcast(cents))
+      .withColumn("csim", round(dot($"v", $"cv") / ($"nrm" * $"cn"), 6))
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"), $"cell", $"csim")
+      .withColumn("prn", row_number().over(wProbe))
+      .filter($"prn" <= nprobe)
+      .select($"qid", $"qv", $"qn", $"cell")
   }
 
   /** One centroid update: element-wise mean of each cell's members,
@@ -303,19 +320,11 @@ object Embeddings {
     // the final assembly reads the corpus twice (inverted file + queries):
     // cache it for that one action, released when the action completes
     val e = graft.ops.ScopedCache.untilConsumed(eRaw)
-    val bc = broadcast(cents)
     // inverted file: every vector → argmax-cosine cell, map-side
     val assigned = assignCells(e, cents)
       .select($"vec_id", $"v", $"nrm", $"cell")
     // queries probe top-3 cells
-    val q = e.filter($"vec_id" < 5)
-    val wProbe = Window.partitionBy($"qid").orderBy($"csim".desc, $"cell".asc)
-    val probes = q.join(bc)
-      .withColumn("csim", round(dot($"v", $"cv") / ($"nrm" * $"cn"), 6))
-      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"), $"cell", $"csim")
-      .withColumn("prn", row_number().over(wProbe))
-      .filter($"prn" <= 3)
-      .select($"qid", $"qv", $"qn", $"cell")
+    val probes = probeCells(e.filter($"vec_id" < 5), cents, nprobe = 3)
     // search only inside probed cells
     val wTop = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id".asc)
     probes.join(assigned.filter($"vec_id" >= 5), Seq("cell"))
@@ -356,6 +365,185 @@ object Embeddings {
       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
       |  FROM hits)
       |SELECT qid, rnk, cid, cell, sim FROM ranked WHERE rnk <= 3
+      |ORDER BY qid, rnk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // E16 persisted IVF index (the G0 materialized-view pattern applied to
+  // vector search): E2 retrains the quantizer and rebuilds the inverted
+  // file inside every query — a production vector store builds the index
+  // ONCE, persists it CELL-PARTITIONED, and answers queries from the
+  // artifact. emb_ivf_mv registers that composition end-to-end: train →
+  // write `cells/cell=N/` (hive-partitioned parquet) + `centroids/` →
+  // read BACK → answer the standard top-3-probe query from the
+  // round-tripped artifact, so the oracle (ivfTopKSql, unchanged)
+  // certifies the on-disk copy the way g0's stats row certifies the
+  // backbone MV.
+  // 100 TB: the index layout IS the query plan — a probe reads
+  // `nprobe/k` of the corpus via PARTITION pruning (the cell list is
+  // resolved driver-side from the broadcast-sized centroid table — the
+  // vector-DB query-router step — so the pruned dirs are known at plan
+  // time; IvfMvSpec pins PartitionFilters on the cells scan), and the
+  // build amortizes across every query until the next refresh instead
+  // of being paid per query.
+
+  private lazy val ivfNonce: String =
+    java.lang.Long.toHexString(java.lang.ProcessHandle.current().pid()) + "-" +
+      java.util.UUID.randomUUID().toString.take(8)
+  private val ivfWritten = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val ivfCleanup: Thread = {
+    val t = new Thread(() => {
+      ivfWritten.forEach { root =>
+        def rm(f: java.io.File): Unit = {
+          val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(): Unit
+        }
+        rm(new java.io.File(root))
+      }
+    }, "graft-ivf-mv-cleanup")
+    java.lang.Runtime.getRuntime.addShutdownHook(t)
+    t
+  }
+
+  /** Artifact root for one (dataset, variant) pair — the backbone MV's
+    * path discipline (Graph.backboneRoot): keyed by a hash of the
+    * CANONICAL dataset path plus a per-process nonce so concurrent runs
+    * never clobber each other's index, deleted by a shutdown hook.
+    */
+  private[graft] def ivfRoot(dir: String, tag: String): String = {
+    val canon = new java.io.File(dir).getCanonicalPath
+    val h = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(canon.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val tmp = System.getProperty("java.io.tmpdir", "/tmp").stripSuffix("/")
+    s"$tmp/graft_ivf_mv_${tag}_${h}_$ivfNonce"
+  }
+
+  /** Build + persist the IVF index over the vectors selected by `pred`:
+    * train the coarse quantizer (k=10 × 5 Lloyd rounds, E2's exact
+    * recipe), assign every selected vector map-side, write the inverted
+    * file hive-partitioned by `cell` (each cell one directory — the
+    * FAISS IVF-flat layout as a filesystem fact) and the centroid table
+    * alongside it. The vector set is cached for exactly the build's
+    * actions (training collects + the two writes) and released before
+    * return — lloydCentroids sees the cache via its caller-caches
+    * contract and skips its internal copy.
+    */
+  private[graft] def buildIvfIndex(spark: SparkSession, dir: String, tag: String,
+                                   pred: DataFrame => DataFrame): String = {
+    graft.GraftExtensions.ensure(spark)
+    import spark.implicits._
+    val root = ivfRoot(dir, tag)
+    ivfCleanup // ensure the shutdown hook is registered before first write
+    ivfWritten.add(root)
+    val eAll = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".as("v"))
+      .withColumn("nrm", norm($"v"))
+    val e = pred(eAll).cache()
+    try {
+      val cents = lloydCentroids(e, k = 10, iters = 5)
+      assignCells(e, cents).select($"vec_id", $"v", $"nrm", $"cell")
+        .repartition($"cell")
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$root/cells")
+      cents.repartition(1).write.mode("overwrite").parquet(s"$root/centroids")
+    } finally { e.unpersist(false); () }
+    root
+  }
+
+  /** E17's ingest step: route a NEW batch into an existing index with
+    * the FROZEN quantizer — read the persisted centroids back, assign
+    * the batch map-side, append to the cell partitions. No retraining,
+    * no touch of the resident vectors: per-batch cost is batch-sized
+    * (the L8 asymmetric-dedup discipline applied to the vector index),
+    * which is what lets a streaming ingest keep an index fresh without
+    * ever re-paying the corpus-sized build. Parquet round-trips doubles
+    * bit-exactly, so frozen-centroid assignment matches what training-
+    * time assignment of the same rows would produce (IvfMvSpec pins it).
+    */
+  private[graft] def appendIvfIndex(spark: SparkSession, root: String, batch: DataFrame): Unit = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$root/centroids")
+    assignCells(batch, cents).select($"vec_id", $"v", $"nrm", $"cell")
+      .repartition($"cell")
+      .write.mode("append").partitionBy("cell").parquet(s"$root/cells")
+  }
+
+  /** Answer the standard query set (vec_id < 5, top-3 probes, top-3
+    * hits) from a persisted index. The probe list is resolved DRIVER-
+    * side — centroids are k×dim rounded doubles, so ranking 5 queries
+    * against them collects ≤ nqueries × nprobe constant-size rows (the
+    * vector-DB query-router step) — and becomes a STATIC `cell IN (…)`
+    * predicate on the hive-partitioned cells scan: partition pruning at
+    * plan time, `nprobe/k` of the corpus read, no DPP gamble. Scoring
+    * reuses E2's expressions verbatim on the re-created probe rows
+    * (collected floats re-enter bit-exactly), so the persisted path is
+    * value-identical to the inline one.
+    */
+  private[graft] def ivfQueryFromIndex(spark: SparkSession, dir: String, root: String): DataFrame = {
+    graft.GraftExtensions.ensure(spark)
+    import spark.implicits._
+    val q = Tables.embeddings(spark, dir).filter($"vec_id" < 5)
+      .select($"vec_id", $"embedding".as("v"))
+      .withColumn("nrm", norm($"v"))
+    val cents = spark.read.parquet(s"$root/centroids")
+    val probes = probeCells(q, cents, nprobe = 3)
+      .as[(Long, Seq[Float], Double, Int)].collect().toSeq.sortBy(r => (r._1, r._4))
+    val probedCells = probes.map(_._4).distinct.sorted
+    val probesDf = broadcast(
+      spark.createDataset(probes).toDF("qid", "qv", "qn", "cell"))
+    val cells = spark.read.parquet(s"$root/cells")
+      .filter($"cell".isin(probedCells: _*))
+    val wTop = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id".asc)
+    probesDf.join(cells.filter($"vec_id" >= 5), Seq("cell"))
+      .withColumn("sim", round(dot($"qv", $"v") / ($"qn" * $"nrm"), 6))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter($"rnk" <= 3)
+      .select($"qid", $"rnk", $"vec_id".as("cid"), $"cell", $"sim")
+      .orderBy($"qid", $"rnk")
+  }
+
+  /** E16 registered composition: full build → persist → query-from-
+    * artifact. Result-identical to emb_ivf_topk BY CONSTRUCTION (same
+    * training, same assignment, same probe and scoring expressions, and
+    * parquet round-trips both float vectors and double centroids
+    * bit-exactly), so it shares ivfTopKSql — the oracle match certifies
+    * the artifact end-to-end, not just the in-memory plan.
+    */
+  def ivfMvTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfQueryFromIndex(spark, dir, buildIvfIndex(spark, dir, "full", identity))
+
+  val ivfMvTopKSql: String = ivfTopKSql
+
+  // ---------------------------------------------------------------------
+  // E17 incremental index ingest: 90% of the corpus (vec_id % 10 <> 7)
+  // is the resident index — quantizer trained on IT alone — and the
+  // remaining 10% arrives as a new batch, routed in by appendIvfIndex
+  // with the frozen quantizer. The query then runs over the UNION index;
+  // `is_new` marks hits that only exist because of the append, so the
+  // oracle certifies that appended vectors are retrievable (and ranked
+  // identically to a from-scratch assignment under the same centroids).
+  // This is the operator a streaming embedding pipeline actually runs
+  // every micro-batch; the full rebuild (E16) becomes a periodic
+  // compaction, exactly like S11/S12's merge-then-compact file story.
+
+  def ivfAppendTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.ensure(spark)
+    import spark.implicits._
+    val root = buildIvfIndex(spark, dir, "incr", _.filter($"vec_id" % 10 =!= 7))
+    val batch = Tables.embeddings(spark, dir).filter($"vec_id" % 10 === 7)
+      .select($"vec_id", $"embedding".as("v"))
+      .withColumn("nrm", norm($"v"))
+    appendIvfIndex(spark, root, batch)
+    ivfQueryFromIndex(spark, dir, root)
+      .withColumn("is_new", ($"cid" % 10 === 7).cast("int"))
+  }
+
+  val ivfAppendTopKSql: String =
+    embCte + ",\nbase AS (SELECT * FROM ev WHERE vec_id % 10 <> 7),\n" +
+      lloydCtes(10, 5, src = "base") + ",\n" + ivfSearchCtes + """,
+      |ranked AS (
+      |  SELECT qid, cid, cell, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+      |  FROM hits)
+      |SELECT qid, rnk, cid, cell, sim, CAST(cid % 10 = 7 AS INT) AS is_new
+      |FROM ranked WHERE rnk <= 3
       |ORDER BY qid, rnk""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -1544,6 +1732,8 @@ object Embeddings {
     "emb_pq_topk"     -> (pqTopK _),
     "emb_cosine_topk" -> (cosineTopK _),
     "emb_ivf_topk"    -> (ivfTopK _),
+    "emb_ivf_mv"      -> (ivfMvTopK _),
+    "emb_ivf_append"  -> (ivfAppendTopK _),
     "emb_lsh_neardup" -> (lshNearDup _),
     "emb_multiprobe_neardup" -> (multiProbeNearDup _),
     "emb_ivfadc_topk" -> (ivfadcTopK _),
@@ -1561,6 +1751,8 @@ object Embeddings {
     "emb_pq_topk"     -> pqTopKSql,
     "emb_cosine_topk" -> cosineTopKSql,
     "emb_ivf_topk"    -> ivfTopKSql,
+    "emb_ivf_mv"      -> ivfMvTopKSql,
+    "emb_ivf_append"  -> ivfAppendTopKSql,
     "emb_lsh_neardup" -> lshNearDupSql,
     "emb_multiprobe_neardup" -> multiProbeNearDupSql,
     "emb_ivfadc_topk" -> ivfadcTopKSql,

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.llm.Embeddings
+
+/** E16/E17 persisted-IVF-index pins: the artifact path must be value-
+  * identical to the inline IVF search, the probed read must be partition-
+  * PRUNED (the layout is the query plan — reading every cell would make
+  * the MV pointless at scale), and the append path must route a new batch
+  * with the FROZEN quantizer, never retraining or rewriting the resident
+  * cells.
+  */
+class IvfMvSpec extends SparkSpec {
+
+  test("persisted-index query is row-identical to the inline IVF search") {
+    val inline  = Embeddings.ivfTopK(spark, sfDir).collect().toSeq
+    val fromMv  = Embeddings.ivfMvTopK(spark, sfDir).collect().toSeq
+    assert(fromMv == inline)
+  }
+
+  test("probed cells scan is partition-pruned to the probe list") {
+    import spark.implicits._
+    val root = Embeddings.buildIvfIndex(spark, sfDir, "spec_prune", identity)
+    val all = spark.read.parquet(s"$root/cells")
+    val allCells = all.select($"cell").distinct().as[Int].collect().sorted.toSeq
+    assert(allCells.size > 3, s"degenerate index: cells=$allCells")
+    val probed = allCells.take(2)
+    val pruned = all.filter($"cell".isin(probed: _*))
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }.get
+    // the cell predicate must land in PartitionFilters (directory-level
+    // pruning), NOT in the data filters (which would scan every file)
+    assert(scan.partitionFilters.nonEmpty,
+      s"no PartitionFilters on the cells scan:\n${scan.metadata}")
+    assert(scan.relation.partitionSchema.fieldNames.contains("cell"))
+    // and the EXECUTED scan must touch fewer files than the index holds
+    // (inputFiles lists the unpruned index; the numFiles metric is what
+    // the pruned scan actually read)
+    pruned.collect()
+    assert(scan.metrics("numFiles").value < all.inputFiles.length,
+      s"read=${scan.metrics("numFiles").value} of ${all.inputFiles.length} files")
+    val kept = pruned.select($"cell").distinct().as[Int].collect().sorted.toSeq
+    assert(kept == probed)
+  }
+
+  test("append routes the batch with the frozen quantizer, asymmetrically") {
+    import spark.implicits._
+    val root = Embeddings.buildIvfIndex(spark, sfDir, "spec_append",
+      _.filter($"vec_id" % 10 =!= 7))
+    val residentBefore = spark.read.parquet(s"$root/cells")
+      .select($"vec_id", $"cell").collect().toSet
+    val centsBefore = spark.read.parquet(s"$root/centroids").collect().toSet
+    val batch = Tables.embeddings(spark, sfDir).filter($"vec_id" % 10 === 7)
+      .select($"vec_id", $"embedding".as("v"))
+      .withColumn("nrm", sqrt(call_function("graft_dot", $"v", $"v")))
+    val nBatch = batch.count()
+    assert(nBatch > 0)
+    Embeddings.appendIvfIndex(spark, root, batch)
+    val after = spark.read.parquet(s"$root/cells").select($"vec_id", $"cell")
+    // resident rows are untouched (append-only), batch rows all arrived,
+    // and the quantizer did not move
+    val afterSet = after.collect().toSet
+    assert(residentBefore.subsetOf(afterSet))
+    assert(afterSet.size == residentBefore.size + nBatch)
+    assert(spark.read.parquet(s"$root/centroids").collect().toSet == centsBefore)
+    // appended rows sit in the SAME cell a from-scratch assignment under
+    // the frozen centroids would give them (parquet double round-trip is
+    // bit-exact, so frozen-quantizer routing loses nothing)
+    val expected = Embeddings.assignCells(
+        batch, spark.read.parquet(s"$root/centroids"))
+      .select($"vec_id", $"cell").collect().toSet
+    assert((afterSet -- residentBefore) == expected)
+  }
+
+  test("registered append query retrieves across resident and appended vectors") {
+    val rows = SparkEntry.queries("emb_ivf_append")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // every query returns its full top-3 (the probed cells are never empty
+    // at this SF) and the is_new flag is consistent with the cid
+    assert(rows.forall(r => (r.getAs[Long]("cid") % 10 == 7) == (r.getAs[Int]("is_new") == 1)))
+  }
+}

@@ -28,6 +28,7 @@ class PlanAuditSpec extends SparkSpec {
     "a20_kmv",     // ONE-row broadcasts of sketch stats (nsk, hk, cnt_both)
     "j10_bloom_join", // ONE-row broadcast of the Bloom bitmap map
     "a17_welch", // pairwise < join of the GROUP-COUNT-sized stats table (5 rows)
+    "emb_ivf_mv", "emb_ivf_append", // same fixed-k centroid broadcasts as emb_ivf_topk (build + probe phases)
     "emb_cosine_topk", "emb_ivf_topk", "emb_lsh_neardup", "emb_semdedup",
     "emb_pq_topk", "emb_mmr_topk",
     "emb_multiprobe_neardup", // same 16×64 CONSTANT hyperplane crossJoin as emb_lsh_neardup
