@@ -153,6 +153,81 @@ object Curation {
       |ORDER BY cluster_root""".stripMargin
 
   // ---------------------------------------------------------------------
+  // C18 leakage-safe split: C1's hash-mod split keyed on the DOC id lets
+  // two near-duplicate documents land in train and test — the classic
+  // silent-leakage path that inflates eval numbers (the reason Dodge et
+  // al. 2021 / Lee et al. 2022 dedup BEFORE splitting). This operator
+  // splits on the near-dup CLUSTER id instead: resolve the LSH pair graph
+  // to components (C3's shared core), key every member — and every
+  // untouched singleton, via its own doc_id — by the component root, and
+  // bucket THAT. A document family moves as one unit, so no near-dup pair
+  // can ever straddle a split boundary (LlmSpec pins one split per
+  // component).
+  // 100 TB: the component map covers only docs that appear in a near-dup
+  // pair (pair-graph-sized, typically ≪ corpus) — the corpus-side join is
+  // a LEFT join against that small map (broadcastable under AQE), then
+  // the bucket is map-side; identical cost shape to C1 plus one dedup
+  // pass the pipeline already runs.
+
+  /** Per-doc assignment (doc_id, source, n_chars, cluster_id, split) —
+    * exposed for the no-straddling property pin; the registered query
+    * aggregates it.
+    */
+  private[graft] def leakSafeAssignments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val comp = graft.ops.Graph.connectedComponents(
+      TextDedup.minhashLsh(spark, dir).select($"doc_a", $"doc_b"))
+      .select($"node".as("doc_id"), $"component".as("root"))
+    Tables.documents(spark, dir)
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce($"root", $"doc_id"))
+      .withColumn("bucket", expr(graft.ops.ScalarFuncs.bucketExpr("cluster_id")))
+      .withColumn("split",
+        when($"bucket" < 80, "train").when($"bucket" < 90, "val").otherwise("test"))
+      .select($"doc_id", $"source", $"n_chars", $"cluster_id", $"split")
+  }
+
+  def leakSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    leakSafeAssignments(spark, dir)
+      .groupBy($"split", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"cluster_id").as("n_clusters"),
+        sum($"n_chars").as("sum_chars"))
+      .orderBy($"split", $"source")
+  }
+
+  val leakSafeSplitSql: String = {
+    val inner = TextDedup.minhashLshSql.replace("ORDER BY doc_a, doc_b", "")
+    require(inner != TextDedup.minhashLshSql,
+      "minhashLshSql tail drifted; leakSafeSplitSql would inline its ORDER BY")
+    "WITH RECURSIVE pairs AS (\n" + inner + """
+      |),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION
+      |  SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |lbl AS (
+      |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS root
+      |  FROM reach GROUP BY src),
+      |a AS (
+      |  SELECT d.source, d.n_chars, COALESCE(l.root, d.doc_id) AS cluster_id
+      |  FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id),
+      |b AS (
+      |  SELECT source, n_chars, cluster_id,
+      |    """.stripMargin + graft.ops.ScalarFuncs.bucketSql("cluster_id") + """ AS bucket
+      |  FROM a)
+      |SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+      |  source, COUNT(*) AS n_docs, COUNT(DISTINCT cluster_id) AS n_clusters,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM b GROUP BY split, source ORDER BY split, source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // C4 sequence packing: fill fixed token-budget bins (context windows) in
   // doc_id order within each source — bin = floor(start_offset / budget)
   // over a running token count, the relational form of greedy sequential
@@ -776,6 +851,7 @@ object Curation {
     "cur_redact"       -> (redact _),
     "cur_filter"       -> (filterCorpus _),
     "cur_split"        -> (splitCorpus _),
+    "cur_leak_safe_split" -> (leakSafeSplit _),
     "cur_dedup_best"   -> (dedupBest _),
     "cur_dup_clusters" -> (dupClusters _),
     "cur_pack"         -> (pack _),
@@ -794,6 +870,7 @@ object Curation {
     "cur_redact"       -> redactSql,
     "cur_filter"       -> filterSql,
     "cur_split"        -> splitSql,
+    "cur_leak_safe_split" -> leakSafeSplitSql,
     "cur_dedup_best"   -> dedupBestSql,
     "cur_dup_clusters" -> dupClustersSql,
     "cur_pack"         -> packSql,

@@ -23,16 +23,20 @@ object ScalarFuncs {
     * — the populations those operators compare are the C1 split by
     * construction, so the formula must never fork.
     */
-  val splitBucketExpr: String =
-    "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"
+  def bucketExpr(keyCol: String): String =
+    s"CAST(conv(substr(md5(CAST($keyCol AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"
 
-  /** DuckDB replay of [[splitBucketExpr]] (hex fold, single line for
+  val splitBucketExpr: String = bucketExpr("doc_id")
+
+  /** DuckDB replay of [[bucketExpr]] (hex fold, single line for
     * interpolation into any CTE).
     */
-  val splitBucketSql: String =
+  def bucketSql(keyCol: String): String =
     "CAST(list_sum(list_transform([1,2,3,4,5,6,7,8], i -> " +
-      "CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT) " +
+      s"CAST(strpos('0123456789abcdef', substr(md5(CAST($keyCol AS VARCHAR)), i, 1)) - 1 AS BIGINT) " +
       "* CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT) % 100"
+
+  val splitBucketSql: String = bucketSql("doc_id")
 
   /** dbt_utils.generate_surrogate_key (reference dim_location.sql:4). */
   def surrogateKey(cols: Column*): Column =

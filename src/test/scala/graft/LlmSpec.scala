@@ -409,4 +409,33 @@ class LlmSpec extends SparkSpec {
       }
     }
   }
+
+  test("leak-safe split: no near-dup pair straddles a split boundary") {
+    import spark.implicits._
+    val assign = graft.llm.Curation.leakSafeAssignments(spark, sfDir).cache()
+    try {
+      // every document assigned exactly once
+      assert(assign.count() === Tables.documents(spark, sfDir).count())
+      // one split per cluster — the operator's defining property
+      val straddling = assign.groupBy($"cluster_id")
+        .agg(countDistinct($"split").as("ns")).filter($"ns" > 1)
+      assert(straddling.isEmpty, straddling.collect().mkString(","))
+      // the property is binding at this SF: the pair graph is non-empty
+      // and the DOC-keyed C1 bucketing WOULD have split at least one
+      // cluster (i.e. this operator differs from cur_split for a reason)
+      val pairs = TextDedup.minhashLsh(spark, sfDir)
+        .select($"doc_a", $"doc_b").collect()
+      assert(pairs.nonEmpty)
+      val docSplit = Tables.documents(spark, sfDir)
+        .withColumn("bucket", expr(graft.ops.ScalarFuncs.splitBucketExpr))
+        .withColumn("dsplit",
+          when($"bucket" < 80, "train").when($"bucket" < 90, "val").otherwise("test"))
+        .select($"doc_id", $"dsplit")
+      val wouldStraddle = assign.join(docSplit, Seq("doc_id"))
+        .groupBy($"cluster_id").agg(countDistinct($"dsplit").as("ns"))
+        .filter($"ns" > 1).count()
+      assert(wouldStraddle > 0,
+        "fixture too clean: doc-keyed split never straddles, property untestable")
+    } finally { assign.unpersist(false); () }
+  }
 }
