@@ -295,6 +295,27 @@ object Relational {
       |  ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
       |ORDER BY e.event_id""".stripMargin
 
+  // J5n: J5 again, but through the NATIVE as-of operator (custom logical
+  // plan + strategy + merge exec — graft.plans.AsOfJoin, the tier-(c)
+  // extension). Same dedup'd right side, same >= semantics, same output —
+  // shares J5's oracle, so the oracle certifies the custom operator's
+  // physical merge against DuckDB's own ASOF JOIN. AsOfJoinSpec pins the
+  // plan differences (no union/window, per-child exchanges) and the
+  // zero-new-shuffle behavior on pre-partitioned inputs.
+  def j5nAsOfNative(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select($"user_id", $"ts", $"event_id")
+    val od = Tables.orders(spark, dir)
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max($"o_orderkey").as("o_orderkey"))
+      // the union form coerces DATE to TIMESTAMP implicitly; here the
+      // cast is explicit (UTC session: same instant either way)
+      .select($"o_custkey", $"o_orderdate".cast(TimestampType).as("o_ts"), $"o_orderkey")
+    graft.plans.AsOf.joinAsOf(ev, od, "user_id", "o_custkey", "ts", "o_ts")
+      .select($"event_id", $"user_id", $"o_orderkey".as("matched_orderkey"))
+      .orderBy($"event_id")
+  }
+
   // -------------------------------------------------------------------------
   // J6 band (range) join: events within 3 days after the same user's order.
   // Spark-first shape: the EQUI key (user_id) drives a hash/SMJ join and
@@ -1543,6 +1564,7 @@ object Relational {
     "j3_semi_anti"  -> (j3SemiAnti _),
     "j4_outer"      -> (j4Outer _),
     "j5_asof"       -> (j5AsOf _),
+    "j5n_asof_native" -> (j5nAsOfNative _),
     "j6_band_join"  -> (j6BandJoin _),
     "j8_interval_bin" -> (j8IntervalBin _),
     "x3_salted_agg" -> (x3SaltedAgg _),
@@ -1584,6 +1606,7 @@ object Relational {
     "j3_semi_anti"  -> j3SemiAntiSql,
     "j4_outer"      -> j4OuterSql,
     "j5_asof"       -> j5AsOfSql,
+    "j5n_asof_native" -> j5AsOfSql,
     "j6_band_join"  -> j6BandJoinSql,
     "j8_interval_bin" -> j8IntervalBinSql,
     "x3_salted_agg" -> x3SaltedAggSql,

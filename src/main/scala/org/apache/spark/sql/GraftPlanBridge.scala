@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** The package-private bridge every Spark extension library that adds its
+  * own logical operators uses (Delta, Iceberg, GraphFrames all carry the
+  * same shim): `Dataset.ofRows` — the only way to wrap a custom
+  * [[LogicalPlan]] in a user-facing DataFrame — is `private[sql]`, so the
+  * one call lives in this package and the whole graft.plans layer stays in
+  * its own namespace.
+  */
+object GraftPlanBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}
