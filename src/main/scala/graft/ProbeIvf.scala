@@ -35,6 +35,25 @@ object ProbeIvf {
       spark.catalog.clearCache()
       val _ = cents
     }
+    // E16 amortization: the persisted index pays the build once; each
+    // subsequent query batch is router-collect + pruned-cells scan only.
+    val root = time("e16_build_index") {
+      Embeddings.buildIvfIndex(spark, sfDir, "probe", identity)
+    }
+    for (_ <- 1 to 3) {
+      time("e16_query_from_index") {
+        Embeddings.ivfQueryFromIndex(spark, sfDir, root).count()
+      }
+    }
+    // E17 routing cost for a 10% batch against the frozen quantizer
+    {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val batch = Tables.embeddings(spark, sfDir).filter($"vec_id" % 10 === 7)
+        .select($"vec_id", $"embedding".as("v"))
+        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+      time("e17_append_batch") { Embeddings.appendIvfIndex(spark, root, batch) }
+    }
     spark.stop()
   }
 }
