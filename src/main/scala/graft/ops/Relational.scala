@@ -1420,6 +1420,29 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  // J5bn: J5b through the native operator — the tolerance test needs NO
+  // operator support, it is a projection over the matched row (NULL the
+  // attribution when the last prior view is staler than the lookback),
+  // which is exactly why the custom plan node carries the whole right row
+  // instead of baking a tolerance parameter into the exec. Shares J5b's
+  // oracle. Self-join note: both sides derive from the events scan; the
+  // right side's aliases mint fresh attribute ids, so the node's output
+  // stays conflict-free without a dedup rule.
+  def j5bnAsOfTolNative(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val views = ev.filter($"event_type" === "view")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("vid"))
+      .select($"user_id".as("v_user"), $"ts".as("vt"), $"vid")
+    val buys = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id")
+    graft.plans.AsOf.joinAsOf(buys, views, "user_id", "v_user", "ts", "vt")
+      .select($"event_id", $"user_id",
+        when($"vt".isNotNull && $"ts" <= $"vt" + expr("INTERVAL 1 HOUR"), $"vid")
+          .as("attributed_view"))
+      .orderBy($"event_id")
+  }
+
   val j5bAsOfTolSql: String =
     """WITH v AS (
       |  SELECT user_id, ts, MAX(event_id) AS vid FROM events
@@ -1537,6 +1560,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j10_bloom_join" -> (j10BloomJoin _),
     "j5b_asof_tol" -> (j5bAsOfTol _),
+    "j5bn_asof_tol_native" -> (j5bnAsOfTolNative _),
     "a17_welch"    -> (a17Welch _),
     "a21_theilsen" -> (a21TheilSen _),
     "a16_spearman" -> (a16Spearman _),
@@ -1579,6 +1603,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "j10_bloom_join" -> j10BloomJoinSql,
     "j5b_asof_tol" -> j5bAsOfTolSql,
+    "j5bn_asof_tol_native" -> j5bAsOfTolSql,
     "a17_welch"    -> a17WelchSql,
     "a21_theilsen" -> a21TheilSenSql,
     "a16_spearman" -> a16SpearmanSql,

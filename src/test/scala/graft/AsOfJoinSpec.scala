@@ -31,6 +31,13 @@ class AsOfJoinSpec extends SparkSpec {
     assert(native.nonEmpty)
   }
 
+  test("native tolerance variant equals the composed J5b (self-join inputs)") {
+    val composed = Relational.j5bAsOfTol(spark, sfDir).collect().toSeq
+    val native = Relational.j5bnAsOfTolNative(spark, sfDir).collect().toSeq
+    assert(native == composed)
+    assert(native.nonEmpty)
+  }
+
   test("hand-built semantics: ties match, gaps null, null keys never match") {
     import spark.implicits._
     val left = Seq(
