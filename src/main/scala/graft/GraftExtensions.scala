@@ -30,8 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
       (children: Seq[Expression]) => WordShingles(children.head, children(1))))
-    // whole-operator extension tier: the native as-of join
+    // whole-operator extension tier: the native as-of join, plus the
+    // optimizer rule that narrows its children before their exchanges
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PruneAsOfJoinColumns)
   }
 }
 

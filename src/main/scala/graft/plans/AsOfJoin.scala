@@ -181,9 +181,46 @@ case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
+/** Catalyst integration for the custom node: the built-in ColumnPruning
+  * rule doesn't know [[AsOfJoin]], so without help a join of two wide
+  * tables shuffles EVERY column even when the caller selects three — at
+  * 100 TB the exchange width is the cost. This injected
+  * [[org.apache.spark.sql.catalyst.rules.Rule]] (the extension hook the
+  * engine hadn't needed before: expression < aggregator < rule <
+  * strategy+plan) narrows each child to the columns the parent Project
+  * and the join condition actually reference, BEFORE the exchanges the
+  * exec's distribution requirements will insert. Fixed-point safe: it
+  * only fires when a child still carries unreferenced columns.
+  * (Injected post-main-batch, so the inserted Project stays a projection
+  * above the scan rather than merging into it — it narrows the SHUFFLE,
+  * which is the scale cost; scan-level pruning remains the caller's
+  * select, as everywhere else in the engine.)
+  */
+object PruneAsOfJoinColumns
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(_, j: AsOfJoin) =>
+      val needed = AttributeSet(p.projectList.flatMap(_.references)) ++
+        AttributeSet(Seq(j.leftKey, j.rightKey, j.leftTime, j.rightTime))
+      def prune(child: LogicalPlan): Option[LogicalPlan] = {
+        val keep = child.output.filter(needed.contains)
+        if (keep.size < child.output.size) Some(Project(keep, child)) else None
+      }
+      (prune(j.left), prune(j.right)) match {
+        case (None, None) => p
+        case (pl, pr) => p.copy(child =
+          j.copy(left = pl.getOrElse(j.left), right = pr.getOrElse(j.right)))
+      }
+  }
+}
+
 /** User-facing constructor (the `merge_asof` entry point). Registers the
-  * strategy idempotently on the session's experimental list so the
-  * operator works in sessions built without `spark.sql.extensions`.
+  * strategy and the pruning rule idempotently on the session's
+  * experimental lists so the operator works in sessions built without
+  * `spark.sql.extensions`.
   */
 object AsOf {
   def joinAsOf(left: DataFrame, right: DataFrame,
@@ -193,6 +230,10 @@ object AsOf {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+    if (!spark.experimental.extraOptimizations.contains(PruneAsOfJoinColumns)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PruneAsOfJoinColumns
     }
     def attr(df: DataFrame, name: String): Attribute = {
       val out = df.queryExecution.analyzed.output

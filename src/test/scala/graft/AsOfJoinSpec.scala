@@ -70,6 +70,26 @@ class AsOfJoinSpec extends SparkSpec {
     assert(n == 2, s"expected one exchange per child, got $n:\n$plan")
   }
 
+  test("injected rule prunes unreferenced columns below the join") {
+    import spark.implicits._
+    import graft.plans.AsOfJoin
+    val l = spark.range(100).select(($"id" % 10).as("k"), $"id".as("t"),
+      $"id".as("la"), $"id".as("lb"), $"id".as("lc"))
+    val r = spark.range(50).select(($"id" % 10).as("k2"), ($"id" * 2).as("t2"),
+      $"id".as("ra"), $"id".as("rb"), $"id".as("rc"))
+    val j = AsOf.joinAsOf(l, r, "k", "k2", "t", "t2").select($"k", $"t", $"ra")
+    val pruned = j.queryExecution.optimizedPlan.collect { case a: AsOfJoin => a }
+    assert(pruned.nonEmpty, j.queryExecution.optimizedPlan.toString)
+    // keys+times+selected survive; la/lb/lc and rb/rc never reach the join
+    // (nor, downstream, its exchanges)
+    assert(pruned.head.left.output.map(_.name).toSet == Set("k", "t"))
+    assert(pruned.head.right.output.map(_.name).toSet == Set("k2", "t2", "ra"))
+    // values unchanged by the rewrite
+    val full = AsOf.joinAsOf(l, r, "k", "k2", "t", "t2")
+      .select($"k", $"t", $"ra").collect().toSeq.sortBy(_.getLong(1))
+    assert(j.collect().toSeq.sortBy(_.getLong(1)) == full)
+  }
+
   test("pre-partitioned inputs join with no ADDITIONAL shuffle") {
     import spark.implicits._
     val l = spark.range(100).select(($"id" % 10).as("k"), $"id".as("t"), $"id".as("lv"))
