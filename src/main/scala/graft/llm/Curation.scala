@@ -58,9 +58,13 @@ object Curation {
   // doc_id, so the winner is total-order deterministic.
   /** T2 quality signal per document (shared by dedupBest and
     * nearDedupBest): stopword/alpha/length mix rounded to 6dp. */
-  private def qualityFrame(spark: SparkSession, dir: String): DataFrame = {
+  private def qualityFrame(spark: SparkSession, dir: String): DataFrame =
+    qualityFrameFrom(Tables.documents(spark, dir))
+
+  private def qualityFrameFrom(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    Tables.documents(spark, dir)
+    docs
       .withColumn("toks", split($"text", " "))
       .withColumn("n_tok", size($"toks"))
       .withColumn("n_stop", size(filter($"toks", t => t === "the" || t === "a")))
@@ -304,14 +308,30 @@ object Curation {
   // bucketed shape as LSH, never an all-pairs comparison.
   // 100 TB: probe grams are benchmark-sized (small) → Spark broadcasts the
   // build side of the semi join; corpus grams stream map-side through it.
+  /** md5'd word-8-gram SET over a `text` column — the contamination
+    * fingerprint shared by C6 and the C19 funnel's decontam stage.
+    * Computed with the native shingler (`graft_shingles(text, 8)` =
+    * DISTINCT 8-grams in one pass) + an md5 map; the previous
+    * transform-over-`sequence` formulation re-evaluated `split(text, ' ')`
+    * per lambda element — O(tokens²) per document (same hazard and fix as
+    * [[TextAnalysis.dupFracCol]], measured in ProbeFunnel round 11).
+    * DISTINCT is safe for every consumer: contamination is a set-
+    * membership probe — the probe side is explicitly `.distinct()`ed and
+    * the corpus side feeds a left-semi join, so duplicate gram positions
+    * never influence any result.
+    */
+  private[graft] val grams8Col =
+    expr("transform(graft_shingles(text, 8), g -> md5(g))")
+
+  /** DuckDB replay of [[grams8Col]] (list expression over `text`). */
+  private[graft] val grams8Sql =
+    "list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 7, 0)), " +
+      "i -> md5(array_to_string(list_slice(string_split(text, ' '), i, i + 7), ' ')))"
+
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    val grams8 =
-      expr("""CASE WHEN size(split(text, ' ')) >= 8
-             |THEN transform(sequence(1, size(split(text, ' ')) - 7),
-             |               i -> md5(array_join(slice(split(text, ' '), i, 8), ' ')))
-             |ELSE CAST(array() AS array<string>) END""".stripMargin)
+    val grams8 = grams8Col
     val probeGrams = docs.filter($"source" === "src0")
       .select(explode(grams8).as("g")).distinct()
     val contaminated = docs.filter($"source" =!= "src0")
@@ -341,6 +361,122 @@ object Curation {
       |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM contam) THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
       |FROM documents WHERE source <> 'src0'
       |GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  /** C19 end-to-end curation funnel: the production data-recipe DAG as ONE
+    * registered query — raw corpus → C7 quality filter → C2 exact-dedup
+    * keep-best → C6 decontamination against the benchmark source → C1
+    * train/val/test split — emitting the per-stage retention row every
+    * pretraining data card publishes: `(step, n_docs, n_tokens)`. Stage
+    * semantics are EXACTLY the standalone operators' (same rule constants,
+    * same 6-dp quality formula, same bucket hash, same 8-gram
+    * fingerprint), so the funnel certifies the COMPOSITION — the g9
+    * discipline applied to the curation family.
+    *
+    * Composition/scale design (the part a 100 TB run cares about):
+    * - ONE full scan computes every per-doc signal (n_tok, dup_frac,
+    *   stop_ratio, quality, split bucket, dedup key = md5(text)) into a
+    *   NARROW ScopedCached frame — the text payload is deliberately NOT
+    *   cached; stage aggregates and the dedup window all read the cached
+    *   signals.
+    * - dedup = one window shuffle on the 16-byte key, over filter
+    *   survivors only.
+    * - decontamination runs LAST-but-split, over the smallest surviving
+    *   set: only dedup survivors are re-shingled (a column-pruned
+    *   doc_id+text re-scan gated by a survivor-id semi-join — cheaper at
+    *   scale than caching payload text through the whole funnel), probed
+    *   against the broadcast benchmark-gram set.
+    * - every stage row is a conditional aggregate over a cached/derived
+    *   frame; reused exchanges cover the window across its consumers.
+    */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame =
+    curationPipelineFrom(Tables.documents(spark, dir))
+
+  /** Funnel over an explicit documents frame — Round11Spec injects a
+    * hand-built corpus where EVERY stage binds (the test-SF corpus has no
+    * exact duplicates, so c_dedup would be vacuous there).
+    */
+  private[graft] def curationPipelineFrom(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val per = graft.ops.ScopedCache.untilConsumed(
+      qualityFrameFrom(docs)
+        .filter($"source" =!= "src0")
+        .withColumn("dup_frac", TextAnalysis.dupFracCol)
+        .withColumn("stop_ratio", $"n_stop".cast("double") / $"n_tok")
+        .withColumn("keep_f", $"n_tok" >= 15 &&
+          $"dup_frac" <= TextAnalysis.repetitiousThreshold && $"stop_ratio" <= 0.3)
+        .withColumn("bucket", expr(splitBucketExpr))
+        .withColumn("dkey", md5($"text"))
+        .select($"doc_id", $"n_tok", $"quality", $"keep_f", $"bucket", $"dkey"))
+    val w = Window.partitionBy($"dkey").orderBy($"quality".desc, $"doc_id".asc)
+    val survivors = graft.ops.ScopedCache.untilConsumed(
+      per.filter($"keep_f")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"doc_id", $"n_tok", $"bucket"))
+    val probeGrams = docs.filter($"source" === "src0")
+      .select(explode(grams8Col).as("g")).distinct()
+    val contamIds = docs
+      .join(survivors.select($"doc_id"), Seq("doc_id"), "left_semi")
+      .select($"doc_id", explode(grams8Col).as("g"))
+      .join(broadcast(probeGrams), Seq("g"), "left_semi")
+      .select($"doc_id").distinct()
+    val clean = graft.ops.ScopedCache.untilConsumed(
+      survivors.join(contamIds, Seq("doc_id"), "left_anti"))
+    def stageRow(step: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum($"n_tok"), lit(0L)).as("n_tokens"))
+        .select(lit(step).as("step"), $"n_docs", $"n_tokens")
+    stageRow("a_raw", per)
+      .unionByName(stageRow("b_filter", per.filter($"keep_f")))
+      .unionByName(stageRow("c_dedup", survivors))
+      .unionByName(stageRow("d_decontam", clean))
+      .unionByName(stageRow("e_train", clean.filter($"bucket" < 80)))
+      .unionByName(stageRow("f_val", clean.filter($"bucket" >= 80 && $"bucket" < 90)))
+      .unionByName(stageRow("g_test", clean.filter($"bucket" >= 90)))
+      .orderBy($"step")
+  }
+
+  val curationPipelineSql: String =
+    s"""WITH corpus AS (
+      |  SELECT doc_id, source, text, n_chars FROM documents WHERE source <> 'src0'),
+      |per AS (
+      |  SELECT doc_id, text,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    round(0.4 * (1.0 - len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a'))::DOUBLE
+      |                        / len(string_split(text, ' ')))
+      |        + 0.3 * (len(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / n_chars)
+      |        + 0.3 * least(len(string_split(text, ' '))::DOUBLE / 100.0, 1.0), 6) AS quality,
+      |    ${TextAnalysis.dupFracSqlExpr} AS dup_frac,
+      |    CAST(len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS stop_ratio,
+      |    $splitBucketSql AS bucket
+      |  FROM corpus),
+      |flt AS (
+      |  SELECT * FROM per
+      |  WHERE n_tok >= 15 AND dup_frac <= ${TextAnalysis.repetitiousThreshold}
+      |    AND stop_ratio <= 0.3),
+      |ded AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY quality DESC, doc_id ASC) AS rn
+      |  FROM flt),
+      |sur AS (SELECT doc_id, text, n_tok, bucket FROM ded WHERE rn = 1),
+      |probe AS (
+      |  SELECT DISTINCT unnest($grams8Sql) AS g
+      |  FROM documents WHERE source = 'src0'),
+      |surg AS (SELECT doc_id, unnest($grams8Sql) AS g FROM sur),
+      |contam AS (SELECT DISTINCT doc_id FROM surg WHERE g IN (SELECT g FROM probe)),
+      |clean AS (SELECT * FROM sur WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+      |SELECT * FROM (
+      |  SELECT 'a_raw' AS step, COUNT(*) AS n_docs,
+      |    COALESCE(CAST(SUM(n_tok) AS BIGINT), 0) AS n_tokens FROM per
+      |  UNION ALL SELECT 'b_filter', COUNT(*), COALESCE(CAST(SUM(n_tok) AS BIGINT), 0) FROM flt
+      |  UNION ALL SELECT 'c_dedup', COUNT(*), COALESCE(CAST(SUM(n_tok) AS BIGINT), 0) FROM sur
+      |  UNION ALL SELECT 'd_decontam', COUNT(*), COALESCE(CAST(SUM(n_tok) AS BIGINT), 0) FROM clean
+      |  UNION ALL SELECT 'e_train', COUNT(*), COALESCE(CAST(SUM(n_tok) AS BIGINT), 0) FROM clean WHERE bucket < 80
+      |  UNION ALL SELECT 'f_val', COUNT(*), COALESCE(CAST(SUM(n_tok) AS BIGINT), 0) FROM clean WHERE bucket >= 80 AND bucket < 90
+      |  UNION ALL SELECT 'g_test', COUNT(*), COALESCE(CAST(SUM(n_tok) AS BIGINT), 0) FROM clean WHERE bucket >= 90)
+      |ORDER BY step""".stripMargin
 
   // ---------------------------------------------------------------------
   // C7 end-to-end quality filter: the C4/Gopher-style keep/drop decision
@@ -856,6 +992,7 @@ object Curation {
     "cur_dup_clusters" -> (dupClusters _),
     "cur_pack"         -> (pack _),
     "cur_sample"       -> (sampleCorpus _),
+    "cur_pipeline"     -> (curationPipeline _),
     "cur_decontam"     -> (decontaminate _))
 
   val oracles: Map[String, String] = Map(
@@ -875,5 +1012,6 @@ object Curation {
     "cur_dup_clusters" -> dupClustersSql,
     "cur_pack"         -> packSql,
     "cur_sample"       -> sampleSql,
+    "cur_pipeline"     -> curationPipelineSql,
     "cur_decontam"     -> decontaminateSql)
 }

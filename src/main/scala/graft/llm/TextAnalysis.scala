@@ -572,16 +572,25 @@ object TextAnalysis {
   // so both engines agree bit-for-bit. The Column and SQL fragment are
   // SHARED with C7 cur_filter (llm/Curation.scala) — one definition, no
   // drift between the audit query and the filter that acts on it.
-  val bigramsCol =
-    expr("""CASE WHEN size(split(text, ' ')) >= 2
-           |THEN transform(sequence(1, size(split(text, ' ')) - 1),
-           |               i -> array_join(slice(split(text, ' '), i, 2), ' '))
-           |ELSE CAST(array() AS array<string>) END""".stripMargin)
-
-  def dupFracCol: org.apache.spark.sql.Column =
-    when(size(bigramsCol) > 0,
-      lit(1.0) - size(array_distinct(bigramsCol)).cast("double") / size(bigramsCol))
+  /** Duplicate-bigram fraction over `text`: 1 − distinct/total bigrams,
+    * with total = n_tok − 1. The distinct set comes from the native
+    * [[graft.functions.WordShingles]] expression (`graft_shingles(text, 2)`,
+    * one JVM pass). The previous transform-lambda formulation
+    * (`transform(sequence(1, n−1), i -> array_join(slice(split(text,' '), i, 2)))`)
+    * re-evaluated `split(text, ' ')` PER LAMBDA INVOCATION — higher-order
+    * function bodies are not CSE'd — making this signal O(tokens²) per
+    * document: measured 3.8 s → 0.1 s for one sf0.1 corpus pass in a
+    * single task (ProbeFunnel, round 11). Same semantics (same token
+    * boundaries, distinct count unchanged), so every oracle using
+    * [[dupFracSqlExpr]] is unaffected.
+    */
+  def dupFracCol: org.apache.spark.sql.Column = {
+    val nTok = size(split(col("text"), " "))
+    when(nTok >= 2,
+      lit(1.0) - size(call_function("graft_shingles", col("text"), lit(2))).cast("double")
+        / (nTok - lit(1)))
       .otherwise(lit(0.0))
+  }
 
   /** SQL form of [[dupFracCol]] over a `text` column (DuckDB dialect). */
   val dupFracSqlExpr: String =

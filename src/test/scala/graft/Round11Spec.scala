@@ -150,4 +150,50 @@ class Round11Spec extends SparkSpec {
     assert(inter / full.size >= 0.85, f"recall ${inter / full.size}%.3f < 0.85")
     assert(inter / capped.size >= 0.75, f"precision ${inter / capped.size}%.3f < 0.75")
   }
+
+  test("C19 funnel: every stage binds on a hand-built corpus; 3 cache scopes") {
+    import spark.implicits._
+    // one benchmark doc (src0), then a corpus exercising every drop rule:
+    // d1 too short, d2 repetitious bigrams, d3 stopword-heavy, d4=d5 exact
+    // duplicates (dedup keeps one), d6 contains the benchmark 8-gram
+    // (decontaminated away), d7 clean survivor
+    val dup = "cat dog bird fish lion tiger bear wolf fox deer owl bat ant bee elk"
+    val docs = Seq(
+      (10L, "src0", "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "src1", "tiny doc only"),
+      (2L, "src1", "x y x y x y x y x y x y x y x y"),
+      (3L, "src1", "the w1 the w2 the w3 the w4 the w5 the w6 the w7 the w8"),
+      (4L, "src1", dup),
+      (5L, "src1", dup),
+      (6L, "src1", "alpha beta gamma delta epsilon zeta eta theta m1 m2 m3 m4 m5 m6 m7"),
+      (7L, "src1", "red green blue yellow purple orange pink brown black white gray cyan lime navy teal"))
+      .toDF("doc_id", "source", "text")
+      .withColumn("n_chars", length($"text"))
+    val before = graft.ops.ScopedCache.scopesOpened
+    val out = graft.llm.Curation.curationPipelineFrom(docs)
+    assert(graft.ops.ScopedCache.scopesOpened - before === 3,
+      "funnel construction must open exactly 3 cache scopes (signals, survivors, clean)")
+    val m = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("a_raw") === 7L)       // src0 excluded from the corpus
+    assert(m("b_filter") === 4L)    // d1/d2/d3 dropped, three distinct rules
+    assert(m("c_dedup") === 3L)     // d4=d5 collapsed
+    assert(m("d_decontam") === 2L)  // d6 contaminated
+    assert(m("e_train") + m("f_val") + m("g_test") === m("d_decontam"))
+  }
+
+  test("C19 funnel: monotone retention and exact split partition at sfDir") {
+    import spark.implicits._
+    val rows = graft.llm.Curation.curationPipeline(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val m = rows.map(t => t._1 -> t._2).toMap
+    val toks = rows.map(t => t._1 -> t._3).toMap
+    assert(m("a_raw") >= m("b_filter") && m("b_filter") >= m("c_dedup")
+      && m("c_dedup") >= m("d_decontam"))
+    assert(m("b_filter") < m("a_raw"), "quality filter must bind on the fixture corpus")
+    assert(m("e_train") + m("f_val") + m("g_test") === m("d_decontam"))
+    assert(toks("e_train") + toks("f_val") + toks("g_test") === toks("d_decontam"))
+    // token retention moves with doc retention at every stage
+    assert(toks("a_raw") >= toks("b_filter") && toks("b_filter") >= toks("c_dedup")
+      && toks("c_dedup") >= toks("d_decontam"))
+  }
 }
