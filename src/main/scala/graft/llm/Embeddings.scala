@@ -1023,16 +1023,6 @@ object Embeddings {
   // the IVFADC of the paper.
   private val PqM = 8; private val PqSub = 8; private val PqK = 16; private val PqIters = 2
 
-  /** Expression: per-row array of m subspace codes against broadcast
-    * codebooks `cs` (array of struct(s, cell, cv, cn)); argmin-L2 via
-    * argmax of round(dot − |c|²/2, 6), ties to the lowest cell id.
-    */
-  private def pqCodesExpr: String =
-    s"""transform(sequence(0, ${PqM - 1}), s ->
-       |  CAST(-array_max(transform(filter(cs, c -> c.s = s),
-       |    c -> struct(round(graft_dot(slice(v, s * $PqSub + 1, $PqSub), c.cv) - 0.5d * c.cn * c.cn, 6) AS csim,
-       |                -c.cell AS negcell))).negcell AS INT))""".stripMargin
-
   /** Multi-subspace Lloyd: one job per round trains all m Euclidean
     * codebooks in a single scan of the cached vectors. Returns
     * (s, cell, cv, cn) as a LocalRelation (driver-held state, like
@@ -1044,6 +1034,18 @@ object Embeddings {
     * against it.
     */
   private[llm] def pqCodebooks(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    spark.createDataset(pqCodebookSeq(e)).toDF("s", "cell", "cv", "cn")
+  }
+
+  /** The driver-held codebook state itself — (s, cell, cv, cn) rows.
+    * Callers that ENCODE (pqTopK, ivfadcTopK, the training rounds here)
+    * feed this straight into [[codesCol]], which runs the argmin in a
+    * native expression with the codebooks plan-serialized — no broadcast
+    * join in the encode plan at all.
+    */
+  private[llm] def pqCodebookSeq(e: DataFrame): Seq[(Int, Int, Seq[Double], Double)] = {
     val spark = e.sparkSession
     import spark.implicits._
     val ec = e.select($"vec_id", $"v")
@@ -1060,10 +1062,8 @@ object Embeddings {
           (s, j, sub, math.sqrt(sub.map(x => x * x).sum))
         }
       for (_ <- 1 to PqIters) {
-        val centsDf = spark.createDataset(cents).toDF("s", "cell", "cv", "cn")
-        val cs = broadcast(centsDf.agg(collect_list(struct($"s", $"cell", $"cv", $"cn")).as("cs")))
-        cents = ec.join(cs)
-          .withColumn("codes", expr(pqCodesExpr))
+        cents = ec
+          .withColumn("codes", codesCol($"v", cents))
           .select($"codes", posexplode($"v").as(Seq("p", "x")))
           .select($"codes", $"x",
             expr(s"CAST(p DIV $PqSub AS INT)").as("s"),
@@ -1077,8 +1077,25 @@ object Embeddings {
           .select($"s", $"cell", $"cv", $"cn")
           .as[(Int, Int, Seq[Double], Double)].collect().toSeq.sortBy(t => (t._1, t._2))
       }
-      spark.createDataset(cents).toDF("s", "cell", "cv", "cn")
+      cents
     }
+  }
+
+  /** [[graft.functions.PqCodes]] over a vector column for driver-held
+    * codebook rows — the m per-subspace buckets are cell-sorted so the
+    * native argmin's first-wins tie scan reproduces the lowest-cell-id
+    * tie-break exactly.
+    */
+  private[llm] def codesCol(
+      v: Column, cents: Seq[(Int, Int, Seq[Double], Double)]): Column = {
+    val books = cents.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, ws) =>
+      ws.sortBy(_._2)
+        .map(w => graft.functions.PqCodeword(w._2, w._3.toArray, (0.5 * w._4) * w._4))
+        .toArray
+    }.toArray
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.PqCodes(
+        org.apache.spark.sql.GraftColumnBridge.expression(v), books, PqSub))
   }
 
   def pqTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -1098,11 +1115,13 @@ object Embeddings {
     // the RESULT fragment (untilResultConsumed at the bottom), so the
     // caller's single action still leaves no blocks behind.
     val e = eRaw.cache()
-    val books = pqCodebooks(e)
+    val centsSeq = pqCodebookSeq(e)
+    val books = spark.createDataset(centsSeq).toDF("s", "cell", "cv", "cn")
     val cs = broadcast(books.agg(collect_list(struct($"s", $"cell", $"cv", $"cn")).as("cs")))
-    // encode: m argmin-L2 codes per vector — pure map work, one scan
-    val encoded = e.filter($"vec_id" >= 5).join(cs)
-      .withColumn("codes", expr(pqCodesExpr))
+    // encode: m argmin-L2 codes per vector — pure map work, one scan,
+    // codebooks inside the native expression (no broadcast join)
+    val encoded = e.filter($"vec_id" >= 5)
+      .withColumn("codes", codesCol($"v", centsSeq))
       .select($"vec_id".as("cid"), $"codes")
     // ADC tables: per query, the subspace dot against EVERY codeword
     // (m × k doubles), keyed by (subspace, cell)
@@ -1254,12 +1273,14 @@ object Embeddings {
       .withColumn("nrm", norm($"v"))
     val e = eRaw.cache()
     val cents = lloydCentroids(e, k = 10, iters = 5)
-    val books = pqCodebooks(e)
+    val centsSeq = pqCodebookSeq(e)
+    val books = spark.createDataset(centsSeq).toDF("s", "cell", "cv", "cn")
     val cs = broadcast(books.agg(collect_list(struct($"s", $"cell", $"cv", $"cn")).as("cs")))
     val bc = broadcast(cents)
-    // inverted file WITH codes: one scan, both quantizers map-side
+    // inverted file WITH codes: one scan, both quantizers map-side (PQ
+    // codebooks ride inside the native expression, not a join)
     val inverted = assignCells(e.filter($"vec_id" >= 5), cents)
-      .join(cs).withColumn("codes", expr(pqCodesExpr))
+      .withColumn("codes", codesCol($"v", centsSeq))
       .select($"vec_id".as("cid"), $"cell", $"codes")
     val q = e.filter($"vec_id" < 5)
     val wProbe = Window.partitionBy($"qid").orderBy($"csim".desc, $"cell".asc)

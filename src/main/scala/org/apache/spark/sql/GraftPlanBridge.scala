@@ -13,3 +13,14 @@ object GraftPlanBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
+
+/** Same-package bridge for Column <-> Expression (ExpressionUtils is
+  * private[sql]); used by operators that build native expressions carrying
+  * driver-held state (e.g. the PQ codebook encoder).
+  */
+object GraftColumnBridge {
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+}
