@@ -45,7 +45,8 @@ object ProbeFunnel {
       println(f"FUNNEL $tag wall=$wall%.2f s stages=${ss.size} " +
         s"top=${ss.sortBy(-_._2).take(4).map(t => s"${t._2}ms/${t._3}t").mkString(",")}")
     }
-    time("warmup")(graft.llm.Curation.curationPipeline(spark, "/root/testdata/sf0.001").collect())
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    time("warmup")(graft.llm.Curation.curationPipeline(spark, warmDir).collect())
     // full-output consumption (collect), NOT count(): count() lets Catalyst
     // prune aggregate values, under-billing exactly the per-row signal
     // expressions this probe exists to measure

@@ -329,6 +329,7 @@ object Curation {
       "i -> md5(array_to_string(list_slice(string_split(text, ' '), i, i + 7), ' ')))"
 
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.ensure(spark)
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
     val grams8 = grams8Col
@@ -398,6 +399,7 @@ object Curation {
     */
   private[graft] def curationPipelineFrom(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
+    graft.GraftExtensions.ensure(spark)
     import spark.implicits._
     val per = graft.ops.ScopedCache.untilConsumed(
       qualityFrameFrom(docs)
@@ -486,6 +488,7 @@ object Curation {
   // what a production curation pass must emit. Entirely map-side until the
   // per-source audit aggregate.
   def filterCorpus(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.ensure(spark)
     import spark.implicits._
     val per = Tables.documents(spark, dir)
       .withColumn("toks", split($"text", " "))

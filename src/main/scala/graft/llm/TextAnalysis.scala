@@ -607,6 +607,7 @@ object TextAnalysis {
   // Per-doc math is a pure array expression (no explode, no shuffle); only
   // the per-source audit aggregates.
   def repetition(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.ensure(spark)
     import spark.implicits._
     val per = Tables.documents(spark, dir)
       .withColumn("dup_frac", dupFracCol)
@@ -1017,7 +1018,186 @@ object TextAnalysis {
       |ORDER BY rrf_score DESC, doc_id ASC
       |LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // T17 trained naive-Bayes classifier: the supervised sibling of T3's
+  // profile scorer and the relational skeleton of every fastText-style
+  // quality/domain filter a pretraining pipeline runs (CCNet, RefinedWeb,
+  // DCLM all gate on one). Multinomial NB with add-one smoothing, fit on
+  // a deterministic 80% doc_id split, evaluated as a confusion matrix on
+  // the held-out 20%.
+  //
+  // The scoring identity that keeps this SPARSE (no class × vocab grid):
+  //   score(d, c) = ln P(c) + Σ_{t ∈ d} cnt_td · ln((c_tc + 1)/(n_c + V))
+  //               = ln(docs_c) − ln(N) − m_d·ln(n_c + V)
+  //                 + Σ_{t ∈ d, c_tc > 0} cnt_td · ln(c_tc + 1)
+  // because unseen (t, c) pairs contribute ln(0 + 1) = 0 to the numerator
+  // sum — so the only join needed is test-tokens ⋈ the OBSERVED (t, c)
+  // count table, plus a per-doc in-vocabulary token mass m_d (OOV tokens
+  // drop out, the standard NB treatment). Determinism: every input to ln
+  // is an exact int64; scores are rounded to 6dp BEFORE the argmax, ties
+  // to the first class id — both engines walk identical numbers.
+  // 100 TB: the count table is (df-capped) vocab × observed classes —
+  // broadcast-sized after the same document-frequency capping L2 uses;
+  // scoring is one explode + broadcast join + per-(doc, class) partial
+  // aggregation; the argmax is a bounded per-doc window (≤ C rows).
+  def nbClassify(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", split($"text", " ").as("toks"))
+    val train = docs.filter($"doc_id" % 5 < 4)
+    val test = docs.filter($"doc_id" % 5 >= 4)
+    val ctc = graft.ops.ScopedCache.untilConsumed(
+      train.select($"lang", explode($"toks").as("tok"))
+        .groupBy($"lang", $"tok").agg(count(lit(1)).as("c_tc")))
+    val vocabN = broadcast(ctc.agg(countDistinct($"tok").as("vv")))
+    val classes = broadcast(
+      ctc.groupBy($"lang").agg(sum($"c_tc").as("n_c"))
+        .join(train.groupBy($"lang").agg(count(lit(1)).as("docs_c")), Seq("lang"))
+        .crossJoin(broadcast(train.agg(count(lit(1)).as("nn"))))
+        .crossJoin(vocabN)
+        .select($"lang".as("cls"),
+          (log($"docs_c") - log($"nn")).as("logprior"),
+          log($"n_c" + $"vv").as("logdenom")))
+    val docTok = graft.ops.ScopedCache.untilConsumed(
+      test.select($"doc_id", $"lang", explode($"toks").as("tok"))
+        .join(ctc.select($"tok").distinct(), Seq("tok"), "left_semi")
+        .groupBy($"doc_id", $"lang", $"tok").agg(count(lit(1)).as("cnt_td")))
+    val mass = docTok.groupBy($"doc_id").agg(sum($"cnt_td").as("m_d"))
+    val numSum = docTok
+      .join(broadcast(ctc.select($"lang".as("cls"), $"tok", $"c_tc")), Seq("tok"))
+      .groupBy($"doc_id", $"cls")
+      .agg(sum($"cnt_td" * log($"c_tc" + 1)).as("matched"))
+    val wPred = Window.partitionBy($"doc_id").orderBy($"score".desc, $"cls".asc)
+    test.select($"doc_id", $"lang")
+      .join(mass, Seq("doc_id"), "left")
+      .crossJoin(classes)
+      .join(numSum, Seq("doc_id", "cls"), "left")
+      .withColumn("score", round(
+        $"logprior" - coalesce($"m_d", lit(0L)) * $"logdenom"
+          + coalesce($"matched", lit(0.0)), 6))
+      .withColumn("rk", row_number().over(wPred))
+      .filter($"rk" === 1)
+      .groupBy($"lang", $"cls".as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"predicted")
+  }
+
+  val nbClassifySql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+      |train AS (SELECT * FROM docs WHERE doc_id % 5 < 4),
+      |test AS (SELECT * FROM docs WHERE doc_id % 5 >= 4),
+      |ctc AS (
+      |  SELECT lang, tok, COUNT(*) AS c_tc FROM (
+      |    SELECT lang, unnest(toks) AS tok FROM train)
+      |  GROUP BY lang, tok),
+      |vocab AS (SELECT COUNT(DISTINCT tok) AS vv FROM ctc),
+      |classes AS (
+      |  SELECT c.lang AS cls,
+      |    ln(d.docs_c) - ln((SELECT COUNT(*) FROM train)) AS logprior,
+      |    ln(c.n_c + v.vv) AS logdenom
+      |  FROM (SELECT lang, SUM(c_tc) AS n_c FROM ctc GROUP BY lang) c
+      |  JOIN (SELECT lang, COUNT(*) AS docs_c FROM train GROUP BY lang) d USING (lang)
+      |  CROSS JOIN vocab v),
+      |doctok AS (
+      |  SELECT doc_id, lang, tok, COUNT(*) AS cnt_td FROM (
+      |    SELECT doc_id, lang, unnest(toks) AS tok FROM test)
+      |  WHERE tok IN (SELECT DISTINCT tok FROM ctc)
+      |  GROUP BY doc_id, lang, tok),
+      |mass AS (SELECT doc_id, SUM(cnt_td) AS m_d FROM doctok GROUP BY doc_id),
+      |numsum AS (
+      |  SELECT dt.doc_id, ctc.lang AS cls,
+      |    SUM(dt.cnt_td * ln(ctc.c_tc + 1)) AS matched
+      |  FROM doctok dt JOIN ctc ON ctc.tok = dt.tok
+      |  GROUP BY dt.doc_id, ctc.lang),
+      |scored AS (
+      |  SELECT t.doc_id, t.lang, c.cls,
+      |    round(c.logprior - COALESCE(m.m_d, 0) * c.logdenom
+      |          + COALESCE(n.matched, 0.0), 6) AS score
+      |  FROM test t
+      |  LEFT JOIN mass m ON m.doc_id = t.doc_id
+      |  CROSS JOIN classes c
+      |  LEFT JOIN numsum n ON n.doc_id = t.doc_id AND n.cls = c.cls),
+      |pred AS (
+      |  SELECT doc_id, lang, cls,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rk
+      |  FROM scored)
+      |SELECT lang, cls AS predicted, COUNT(*) AS n_docs
+      |FROM pred WHERE rk = 1
+      |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // T18 exact AUC of the T2 quality score against the C7 keep/drop rule —
+  // the evaluation every score-based filter needs before its threshold is
+  // trusted (is the score actually ranking keepers above droppers?).
+  // Mann–Whitney with full tie correction, computed WITHOUT a corpus-wide
+  // rank window: scores are 6dp-rounded, so per-SCORE counts (n, n_pos)
+  // are aggregated first (bounded cardinality ≤ 10^6 by construction) and
+  // average ranks come from the cumulative count — the window runs over
+  // score-level rows, never document-level ones. Exactness: every average
+  // rank is a multiple of 0.5 (exact in double), their positive-side sum
+  // stays < 2^53, and AUC is one division of exact values — bit-identical
+  // across engines with no rounding needed before the final report.
+  def aucQuality(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.ensure(spark)
+    import spark.implicits._
+    val per = Tables.documents(spark, dir)
+      .withColumn("toks", split($"text", " "))
+      .withColumn("n_tok", size($"toks"))
+      .withColumn("n_stop", size(filter($"toks", t => t === "the" || t === "a")))
+      .withColumn("n_alpha", length(regexp_replace($"text", "[^a-z]", "")))
+      .withColumn("dup_frac", dupFracCol)
+      .withColumn("quality", round(
+        lit(0.4) * (lit(1.0) - $"n_stop".cast("double") / $"n_tok")
+          + lit(0.3) * ($"n_alpha".cast("double") / $"n_chars")
+          + lit(0.3) * least($"n_tok".cast("double") / 100.0, lit(1.0)), 6))
+      .withColumn("pos", ($"n_tok" >= 15 && $"dup_frac" <= repetitiousThreshold
+        && $"n_stop".cast("double") / $"n_tok" <= 0.3).cast("long"))
+      .select($"quality", $"pos")
+    val byScore = per.groupBy($"quality")
+      .agg(count(lit(1)).as("m"), sum($"pos").as("p"))
+    val wCum = Window.orderBy($"quality")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("below", coalesce(sum($"m").over(wCum), lit(0L)))
+      .agg(
+        sum($"p").as("n_pos"),
+        (sum($"m") - sum($"p")).as("n_neg"),
+        sum($"p".cast("double") * ($"below" + ($"m" + 1) / lit(2.0))).as("rank_pos"))
+      .select($"n_pos", $"n_neg",
+        round((($"rank_pos" - $"n_pos" * ($"n_pos" + 1) / lit(2.0))
+          / ($"n_pos" * $"n_neg")), 6).as("auc"))
+  }
+
+  val aucQualitySql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, n_chars, string_split(text, ' ') AS toks, text
+      |  FROM documents),
+      |per AS (
+      |  SELECT
+      |    round(0.4 * (1.0 - len(list_filter(toks, x -> x = 'the' OR x = 'a'))::DOUBLE / len(toks))
+      |        + 0.3 * (len(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / n_chars)
+      |        + 0.3 * least(len(toks)::DOUBLE / 100.0, 1.0), 6) AS quality,
+      |    CASE WHEN len(toks) >= 15 AND $dupFracSqlExpr <= $repetitiousThreshold
+      |      AND len(list_filter(toks, x -> x = 'the' OR x = 'a'))::DOUBLE / len(toks) <= 0.3
+      |      THEN 1 ELSE 0 END AS pos
+      |  FROM t),
+      |byscore AS (
+      |  SELECT quality, COUNT(*) AS m, SUM(pos) AS p FROM per GROUP BY quality),
+      |cum AS (
+      |  SELECT quality, m, p,
+      |    COALESCE(SUM(m) OVER (ORDER BY quality
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      |  FROM byscore)
+      |SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+      |  CAST(SUM(m) - SUM(p) AS BIGINT) AS n_neg,
+      |  round((SUM(p::DOUBLE * (below + (m + 1) / 2.0))
+      |         - SUM(p) * (SUM(p) + 1) / 2.0) / (SUM(p) * (SUM(m) - SUM(p))), 6) AS auc
+      |FROM cum""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_nb_classify" -> (nbClassify _),
+    "ta_auc"         -> (aucQuality _),
     "ta_hybrid_rrf"  -> (hybridRrf _),
     "ta_rake"        -> (rake _),
     "ta_lm_xent"     -> (lmPerplexity _),
@@ -1036,6 +1216,8 @@ object TextAnalysis {
     "ta_pmi"         -> (pmi _))
 
   val oracles: Map[String, String] = Map(
+    "ta_nb_classify" -> nbClassifySql,
+    "ta_auc"         -> aucQualitySql,
     "ta_hybrid_rrf"  -> hybridRrfSql,
     "ta_rake"        -> rakeSql,
     "ta_lm_xent"     -> lmPerplexitySql,

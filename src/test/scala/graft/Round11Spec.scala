@@ -196,4 +196,20 @@ class Round11Spec extends SparkSpec {
     assert(toks("a_raw") >= toks("b_filter") && toks("b_filter") >= toks("c_dedup")
       && toks("c_dedup") >= toks("d_decontam"))
   }
+
+  test("T17/T18: NB confusion partitions the held-out docs; AUC separates the rule") {
+    import spark.implicits._
+    val conf = graft.llm.TextAnalysis.nbClassify(spark, sfDir).collect()
+    val langs = graft.Tables.documents(spark, sfDir)
+      .select($"lang").distinct().as[String].collect().toSet
+    assert(conf.map(_.getLong(2)).sum ===
+      graft.Tables.documents(spark, sfDir).filter($"doc_id" % 5 >= 4).count())
+    assert(conf.forall(r => langs(r.getString(0)) && langs(r.getString(1))))
+    val auc = graft.llm.TextAnalysis.aucQuality(spark, sfDir).collect().head
+    assert(auc.getLong(0) > 0 && auc.getLong(1) > 0, auc.toString)
+    val a = auc.getDouble(2)
+    // the quality score shares signals with the keep rule, so it must
+    // rank keepers above droppers far better than chance
+    assert(a > 0.7 && a <= 1.0, s"auc=$a")
+  }
 }
