@@ -45,9 +45,17 @@ object ProbeScale {
     for (name <- names; k <- Seq(1, 2, 4)) {
       val dir = s"$tmp/graft_scale_${k}x"
       val fn = SparkEntry.queries(name)
+      // report-shaped queries (funnel retention rows, AUC, confusion
+      // matrices) must be consumed via collect: count() lets Catalyst
+      // prune the aggregate values themselves (the SURVEY 6.1 lesson),
+      // under-billing exactly the work being measured. Their outputs are
+      // bounded (<= a few hundred rows), so collect is safe; the dedup
+      // defaults keep count() because their outputs are corpus-sized.
+      val collectMode = sys.env.get("SPARK_GRAFT_SCALE_COLLECT").contains("1")
       def once(): (Double, Long) = {
         val t0 = System.nanoTime()
-        val n = fn(spark, dir).count()
+        val n = if (collectMode) fn(spark, dir).collect().length.toLong
+          else fn(spark, dir).count()
         spark.catalog.clearCache()
         ((System.nanoTime() - t0) / 1e9, n)
       }

@@ -73,6 +73,62 @@ object EventStreams {
       .select($"ts", $"doc_id", $"text")
   }
 
+  /** C19s streaming curation funnel — the ingest-time form of the batch
+    * C19 `cur_pipeline` stages that CAN run at ingest: quality filter →
+    * content-hash dedup-within-watermark → decontamination, emitting the
+    * cleaned document stream. Stage semantics reuse the batch operators'
+    * exact constants and expressions (`TextAnalysis.dupFracCol`, the C7
+    * rule thresholds, `Curation.grams8Col`), so the split between this
+    * and the periodic batch funnel is purely WHEN, not WHAT: ingest
+    * drops cheap-to-reject rows before they are ever stored; the batch
+    * pass canonicalizes keep-best dedup and sweeps horizon stragglers
+    * (the X22 note).
+    *
+    * Decontamination here is MAP-SIDE: the benchmark 8-gram fingerprint
+    * set rides in as one literal array (driver-bounded state, the PQ
+    * codebook/BPE-rules class — benchmark suites are small by
+    * definition) probed with `arrays_overlap`; a larger benchmark set
+    * would swap in the j10-style bloom filter, still map-side. No
+    * stream-side explode, no stateful re-aggregation — the only state in
+    * the whole funnel is the watermark-evicted dedup hash store.
+    */
+  def curationStream(docs: DataFrame, benchGrams: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    graft.GraftExtensions.ensure(spark)
+    import spark.implicits._
+    docs
+      .withColumn("toks", org.apache.spark.sql.functions.split($"text", " "))
+      .withColumn("n_tok", org.apache.spark.sql.functions.size($"toks"))
+      .withColumn("n_stop", org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.filter($"toks", t => t === "the" || t === "a")))
+      .withColumn("dup_frac", graft.llm.TextAnalysis.dupFracCol)
+      .filter($"n_tok" >= 15 &&
+        $"dup_frac" <= graft.llm.TextAnalysis.repetitiousThreshold &&
+        $"n_stop".cast("double") / $"n_tok" <= 0.3)
+      .withColumn("h", org.apache.spark.sql.functions.md5($"text"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("h")
+      .filter(!org.apache.spark.sql.functions.arrays_overlap(
+        graft.llm.Curation.grams8Col,
+        org.apache.spark.sql.functions.typedlit(benchGrams)))
+      .select($"ts", $"doc_id", $"text", $"n_tok")
+  }
+
+  /** Per-window retention metrics over the cleaned stream — the
+    * streaming twin of the batch funnel's (step, n_docs, n_tokens)
+    * report row: one watermarked tumbling aggregate, bounded state.
+    */
+  def curationStreamMetrics(docs: DataFrame, benchGrams: Seq[String]): DataFrame = {
+    import docs.sparkSession.implicits._
+    curationStream(docs, benchGrams)
+      .groupBy(org.apache.spark.sql.functions.window($"ts", "1 hour").as("w"))
+      .agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+        org.apache.spark.sql.functions.sum($"n_tok").as("n_tokens"))
+      .select($"w.start".as("window_start"), $"n_docs", $"n_tokens")
+  }
+
   /** Stream-stream interval join: each purchase attributed to the same
     * user's clicks in the preceding hour — the streaming form of the J6
     * band join (ops/Relational.scala j6BandJoin). Both sides carry

@@ -397,4 +397,54 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.length === 3) // user 1: two sessions; user 2: one
     } finally q.stop()
   }
+
+  test("C19s streaming curation funnel: stage drops match the batch rules; metrics aggregate") {
+    graft.GraftExtensions.ensure(spark)
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the Round11Spec C19 fixture with arrival timestamps: every drop
+    // rule binds — d1 short, d2 repetitious, d3 stopword-heavy, d5 exact
+    // dup of d4 (arrives in a LATER batch so first-arrival is
+    // deterministic), d6 carries the benchmark 8-gram, d7 clean
+    val dup = "cat dog bird fish lion tiger bear wolf fox deer owl bat ant bee elk"
+    val bench = Seq((10L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+      .select(explode(graft.llm.Curation.grams8Col).as("g"))
+      .distinct().as[String].collect().toSeq
+    assert(bench.size === 1, "the 8-token benchmark doc has exactly one 8-gram")
+    val batch1 = Seq(
+      (ts("2024-01-01 10:01:00"), 1L, "tiny doc only"),
+      (ts("2024-01-01 10:02:00"), 2L, "x y x y x y x y x y x y x y x y"),
+      (ts("2024-01-01 10:03:00"), 3L, "the w1 the w2 the w3 the w4 the w5 the w6 the w7 the w8"),
+      (ts("2024-01-01 10:04:00"), 4L, dup))
+    val batch2 = Seq(
+      (ts("2024-01-01 10:05:00"), 5L, dup),
+      (ts("2024-01-01 10:06:00"), 6L, "alpha beta gamma delta epsilon zeta eta theta m1 m2 m3 m4 m5 m6 m7"),
+      (ts("2024-01-01 10:07:00"), 7L, "red green blue yellow purple orange pink brown black white gray cyan lime navy teal"))
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val cleaned = graft.streaming.EventStreams.curationStream(
+      input.toDF.toDF("ts", "doc_id", "text"), bench)
+    val q = cleaned.writeStream.format("memory")
+      .queryName("stream_curation").outputMode("append").start()
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      val kept = spark.table("stream_curation").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(kept === Seq(4L, 7L),
+        "quality drops 1/2/3, dedup drops 5, decontamination drops 6")
+    } finally q.stop()
+    // the windowed retention twin in complete mode
+    val input2 = MemoryStream[(Timestamp, Long, String)]
+    val metrics = graft.streaming.EventStreams.curationStreamMetrics(
+      input2.toDF.toDF("ts", "doc_id", "text"), bench)
+    val q2 = metrics.writeStream.format("memory")
+      .queryName("stream_curation_metrics").outputMode("complete").start()
+    try {
+      input2.addData((batch1 ++ batch2): _*); q2.processAllAvailable()
+      val rows = spark.table("stream_curation_metrics").collect()
+      assert(rows.length === 1)
+      assert(rows.head.getLong(1) === 2L && rows.head.getLong(2) === 30L)
+    } finally q2.stop()
+  }
 }
