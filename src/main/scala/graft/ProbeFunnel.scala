@@ -40,6 +40,11 @@ object ProbeFunnel {
       stages.clear()
       val t0 = System.nanoTime; f
       val wall = (System.nanoTime - t0) / 1e9
+      // listener events arrive on an async bus: without a drain the
+      // job's LAST stage (often the hottest one, the thing this probe
+      // exists to expose) can be missing from the snapshot and later be
+      // misattributed to the next tag
+      Thread.sleep(300)
       import scala.jdk.CollectionConverters._
       val ss = stages.asScala.toSeq
       println(f"FUNNEL $tag wall=$wall%.2f s stages=${ss.size} " +

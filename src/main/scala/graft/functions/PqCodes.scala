@@ -1,6 +1,5 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -109,11 +108,6 @@ case class PqCodes(child: Expression, books: Array[Array[PqCodeword]], sub: Int)
     val ref = ctx.addReferenceObj("pqCodes", this, classOf[PqCodes].getName)
     nullSafeCodeGen(ctx, ev, v =>
       s"${ev.value} = $ref.compute($v);")
-  }
-
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null else compute(v.asInstanceOf[Object])
   }
 
   override protected def withNewChildInternal(newChild: Expression): PqCodes =

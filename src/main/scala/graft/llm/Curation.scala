@@ -69,10 +69,8 @@ object Curation {
       .withColumn("n_tok", size($"toks"))
       .withColumn("n_stop", size(filter($"toks", t => t === "the" || t === "a")))
       .withColumn("n_alpha", length(regexp_replace($"text", "[^a-z]", "")))
-      .withColumn("quality", round(
-        lit(0.4) * (lit(1.0) - $"n_stop".cast("double") / $"n_tok")
-          + lit(0.3) * ($"n_alpha".cast("double") / $"n_chars")
-          + lit(0.3) * least($"n_tok".cast("double") / 100.0, lit(1.0)), 6))
+      .withColumn("quality",
+        TextAnalysis.qualityFormula($"n_stop", $"n_tok", $"n_alpha", $"n_chars"))
   }
 
   def dedupBest(spark: SparkSession, dir: String): DataFrame = {
@@ -350,10 +348,8 @@ object Curation {
   }
 
   val decontaminateSql: String =
-    """WITH t AS (
-      |  SELECT doc_id, source,
-      |    list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 7, 0)),
-      |      i -> md5(array_to_string(list_slice(string_split(text, ' '), i, i + 7), ' '))) AS grams
+    s"""WITH t AS (
+      |  SELECT doc_id, source, $grams8Sql AS grams
       |  FROM documents),
       |probe AS (SELECT DISTINCT unnest(grams) AS g FROM t WHERE source = 'src0'),
       |corp AS (SELECT doc_id, source, unnest(grams) AS g FROM t WHERE source <> 'src0'),
@@ -406,8 +402,8 @@ object Curation {
         .filter($"source" =!= "src0")
         .withColumn("dup_frac", TextAnalysis.dupFracCol)
         .withColumn("stop_ratio", $"n_stop".cast("double") / $"n_tok")
-        .withColumn("keep_f", $"n_tok" >= 15 &&
-          $"dup_frac" <= TextAnalysis.repetitiousThreshold && $"stop_ratio" <= 0.3)
+        .withColumn("keep_f",
+          TextAnalysis.keepRule($"n_tok", $"dup_frac", $"stop_ratio"))
         .withColumn("bucket", expr(splitBucketExpr))
         .withColumn("dkey", md5($"text"))
         .select($"doc_id", $"n_tok", $"quality", $"keep_f", $"bucket", $"dkey"))
@@ -497,9 +493,9 @@ object Curation {
       .withColumn("stop_ratio",
         size(filter($"toks", t => t === "the" || t === "a")).cast("double") / $"n_tok")
       .withColumn("verdict",
-        when($"n_tok" < 15, "drop_too_short")
+        when($"n_tok" < TextAnalysis.minKeepTokens, "drop_too_short")
           .when($"dup_frac" > TextAnalysis.repetitiousThreshold, "drop_repetitious")
-          .when($"stop_ratio" > 0.3, "drop_stopword_heavy")
+          .when($"stop_ratio" > TextAnalysis.maxStopRatio, "drop_stopword_heavy")
           .otherwise("keep"))
     per.groupBy($"source")
       .agg(

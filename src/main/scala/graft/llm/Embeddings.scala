@@ -1045,7 +1045,8 @@ object Embeddings {
     * native expression with the codebooks plan-serialized — no broadcast
     * join in the encode plan at all.
     */
-  private[llm] def pqCodebookSeq(e: DataFrame): Seq[(Int, Int, Seq[Double], Double)] = {
+  private[llm] def pqCodebookSeq(
+      e: DataFrame, iters: Int = PqIters): Seq[(Int, Int, Seq[Double], Double)] = {
     val spark = e.sparkSession
     import spark.implicits._
     val ec = e.select($"vec_id", $"v")
@@ -1061,7 +1062,7 @@ object Embeddings {
           val sub = cv.slice(s * PqSub, (s + 1) * PqSub)
           (s, j, sub, math.sqrt(sub.map(x => x * x).sum))
         }
-      for (_ <- 1 to PqIters) {
+      for (_ <- 1 to iters) {
         cents = ec
           .withColumn("codes", codesCol($"v", cents))
           .select($"codes", posexplode($"v").as(Seq("p", "x")))

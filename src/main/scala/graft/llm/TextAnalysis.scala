@@ -63,10 +63,8 @@ object TextAnalysis {
       .withColumn("mean_tok_len", round($"sum_len".cast("double") / $"n_tok", 6))
       .withColumn("stop_ratio", round($"n_stop".cast("double") / $"n_tok", 6))
       .withColumn("alpha_ratio", round($"n_alpha".cast("double") / $"n_chars", 6))
-      .withColumn("quality", round(
-        lit(0.4) * (lit(1.0) - $"n_stop".cast("double") / $"n_tok")
-          + lit(0.3) * ($"n_alpha".cast("double") / $"n_chars")
-          + lit(0.3) * least($"n_tok".cast("double") / 100.0, lit(1.0)), 6))
+      .withColumn("quality",
+        qualityFormula($"n_stop", $"n_tok", $"n_alpha", $"n_chars"))
       .select($"doc_id", $"lang", $"n_tok", $"n_stop", $"mean_tok_len",
         $"stop_ratio", $"alpha_ratio", $"quality")
       .orderBy($"doc_id")
@@ -604,6 +602,25 @@ object TextAnalysis {
   /** Drop threshold shared by T7's audit count and C7's filter rule. */
   val repetitiousThreshold = 0.2
 
+  /** C7 keep-rule constants + the ONE Column form of the rule and of the
+    * T2 composite quality formula, shared by the batch filter (C7 /
+    * cur_filter), the batch funnel (C19), the streaming funnel (C19s)
+    * and the T18 AUC label — the ingest-vs-batch contract is "WHEN, not
+    * WHAT", so the WHAT lives exactly once.
+    */
+  val minKeepTokens = 15
+  val maxStopRatio = 0.3
+
+  def keepRule(nTok: Column, dupFrac: Column, stopRatio: Column): Column =
+    nTok >= minKeepTokens && dupFrac <= repetitiousThreshold &&
+      stopRatio <= maxStopRatio
+
+  def qualityFormula(nStop: Column, nTok: Column,
+                     nAlpha: Column, nChars: Column): Column =
+    round(lit(0.4) * (lit(1.0) - nStop.cast("double") / nTok)
+      + lit(0.3) * (nAlpha.cast("double") / nChars)
+      + lit(0.3) * least(nTok.cast("double") / 100.0, lit(1.0)), 6)
+
   // Per-doc math is a pure array expression (no explode, no shuffle); only
   // the per-source audit aggregates.
   def repetition(spark: SparkSession, dir: String): DataFrame = {
@@ -1034,8 +1051,12 @@ object TextAnalysis {
   // sum — so the only join needed is test-tokens ⋈ the OBSERVED (t, c)
   // count table, plus a per-doc in-vocabulary token mass m_d (OOV tokens
   // drop out, the standard NB treatment). Determinism: every input to ln
-  // is an exact int64; scores are rounded to 6dp BEFORE the argmax, ties
-  // to the first class id — both engines walk identical numbers.
+  // is an exact int64, and each ln TERM is immediately quantized to
+  // int64 micro-nats (round(ln·1e6)); from there every sum and the
+  // argmax run in exact integer arithmetic, so the score is independent
+  // of partial-aggregation ORDER — a plain double sum of ln terms would
+  // be order-dependent and could flip a near-tie argmax between runs or
+  // engines. Ties go to the first class id.
   // 100 TB: the count table is (df-capped) vocab × observed classes —
   // broadcast-sized after the same document-frequency capping L2 uses;
   // scoring is one explode + broadcast join + per-(doc, class) partial
@@ -1056,8 +1077,8 @@ object TextAnalysis {
         .crossJoin(broadcast(train.agg(count(lit(1)).as("nn"))))
         .crossJoin(vocabN)
         .select($"lang".as("cls"),
-          (log($"docs_c") - log($"nn")).as("logprior"),
-          log($"n_c" + $"vv").as("logdenom")))
+          round((log($"docs_c") - log($"nn")) * 1e6).cast("long").as("logprior_u"),
+          round(log($"n_c" + $"vv") * 1e6).cast("long").as("logdenom_u")))
     val docTok = graft.ops.ScopedCache.untilConsumed(
       test.select($"doc_id", $"lang", explode($"toks").as("tok"))
         .join(ctc.select($"tok").distinct(), Seq("tok"), "left_semi")
@@ -1066,15 +1087,15 @@ object TextAnalysis {
     val numSum = docTok
       .join(broadcast(ctc.select($"lang".as("cls"), $"tok", $"c_tc")), Seq("tok"))
       .groupBy($"doc_id", $"cls")
-      .agg(sum($"cnt_td" * log($"c_tc" + 1)).as("matched"))
+      .agg(sum($"cnt_td" * round(log($"c_tc" + 1) * 1e6).cast("long")).as("matched_u"))
     val wPred = Window.partitionBy($"doc_id").orderBy($"score".desc, $"cls".asc)
     test.select($"doc_id", $"lang")
       .join(mass, Seq("doc_id"), "left")
       .crossJoin(classes)
       .join(numSum, Seq("doc_id", "cls"), "left")
-      .withColumn("score", round(
-        $"logprior" - coalesce($"m_d", lit(0L)) * $"logdenom"
-          + coalesce($"matched", lit(0.0)), 6))
+      .withColumn("score",
+        $"logprior_u" - coalesce($"m_d", lit(0L)) * $"logdenom_u"
+          + coalesce($"matched_u", lit(0L)))
       .withColumn("rk", row_number().over(wPred))
       .filter($"rk" === 1)
       .groupBy($"lang", $"cls".as("predicted"))
@@ -1094,8 +1115,8 @@ object TextAnalysis {
       |vocab AS (SELECT COUNT(DISTINCT tok) AS vv FROM ctc),
       |classes AS (
       |  SELECT c.lang AS cls,
-      |    ln(d.docs_c) - ln((SELECT COUNT(*) FROM train)) AS logprior,
-      |    ln(c.n_c + v.vv) AS logdenom
+      |    CAST(round((ln(d.docs_c) - ln((SELECT COUNT(*) FROM train))) * 1e6) AS BIGINT) AS logprior_u,
+      |    CAST(round(ln(c.n_c + v.vv) * 1e6) AS BIGINT) AS logdenom_u
       |  FROM (SELECT lang, SUM(c_tc) AS n_c FROM ctc GROUP BY lang) c
       |  JOIN (SELECT lang, COUNT(*) AS docs_c FROM train GROUP BY lang) d USING (lang)
       |  CROSS JOIN vocab v),
@@ -1107,13 +1128,13 @@ object TextAnalysis {
       |mass AS (SELECT doc_id, SUM(cnt_td) AS m_d FROM doctok GROUP BY doc_id),
       |numsum AS (
       |  SELECT dt.doc_id, ctc.lang AS cls,
-      |    SUM(dt.cnt_td * ln(ctc.c_tc + 1)) AS matched
+      |    SUM(dt.cnt_td * CAST(round(ln(ctc.c_tc + 1) * 1e6) AS BIGINT)) AS matched_u
       |  FROM doctok dt JOIN ctc ON ctc.tok = dt.tok
       |  GROUP BY dt.doc_id, ctc.lang),
       |scored AS (
       |  SELECT t.doc_id, t.lang, c.cls,
-      |    round(c.logprior - COALESCE(m.m_d, 0) * c.logdenom
-      |          + COALESCE(n.matched, 0.0), 6) AS score
+      |    c.logprior_u - COALESCE(m.m_d, 0) * c.logdenom_u
+      |      + COALESCE(n.matched_u, 0) AS score
       |  FROM test t
       |  LEFT JOIN mass m ON m.doc_id = t.doc_id
       |  CROSS JOIN classes c
@@ -1147,12 +1168,10 @@ object TextAnalysis {
       .withColumn("n_stop", size(filter($"toks", t => t === "the" || t === "a")))
       .withColumn("n_alpha", length(regexp_replace($"text", "[^a-z]", "")))
       .withColumn("dup_frac", dupFracCol)
-      .withColumn("quality", round(
-        lit(0.4) * (lit(1.0) - $"n_stop".cast("double") / $"n_tok")
-          + lit(0.3) * ($"n_alpha".cast("double") / $"n_chars")
-          + lit(0.3) * least($"n_tok".cast("double") / 100.0, lit(1.0)), 6))
-      .withColumn("pos", ($"n_tok" >= 15 && $"dup_frac" <= repetitiousThreshold
-        && $"n_stop".cast("double") / $"n_tok" <= 0.3).cast("long"))
+      .withColumn("quality",
+        qualityFormula($"n_stop", $"n_tok", $"n_alpha", $"n_chars"))
+      .withColumn("pos", keepRule($"n_tok", $"dup_frac",
+        $"n_stop".cast("double") / $"n_tok").cast("long"))
       .select($"quality", $"pos")
     val byScore = per.groupBy($"quality")
       .agg(count(lit(1)).as("m"), sum($"pos").as("p"))

@@ -102,9 +102,8 @@ object EventStreams {
       .withColumn("n_stop", org.apache.spark.sql.functions.size(
         org.apache.spark.sql.functions.filter($"toks", t => t === "the" || t === "a")))
       .withColumn("dup_frac", graft.llm.TextAnalysis.dupFracCol)
-      .filter($"n_tok" >= 15 &&
-        $"dup_frac" <= graft.llm.TextAnalysis.repetitiousThreshold &&
-        $"n_stop".cast("double") / $"n_tok" <= 0.3)
+      .filter(graft.llm.TextAnalysis.keepRule($"n_tok", $"dup_frac",
+        $"n_stop".cast("double") / $"n_tok"))
       .withColumn("h", org.apache.spark.sql.functions.md5($"text"))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("h")

@@ -6,9 +6,9 @@ import org.apache.spark.sql.functions._
   * INDEPENDENT implementation of the same argmin — the higher-order-
   * function formulation it replaced, kept here as the executable spec:
   * per subspace, max by (round(dot(slice) − 0.5·|c|², 6), −cell). Every
-  * corpus vector at sf0.001 must encode identically under both, across
-  * both trained rounds' codebooks (different codebooks exercise
-  * different tie/rounding neighborhoods).
+  * corpus vector at sf0.001 must encode identically under both, for the
+  * SEED codebooks (what the round-1 training encode sees) and the fully
+  * trained ones — two different tie/rounding neighborhoods.
   */
 class PqCodesSpec extends graft.SparkSpec {
 
@@ -26,15 +26,21 @@ class PqCodesSpec extends graft.SparkSpec {
       .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
       .cache()
     try {
+      // iters = 0 gives the SEED codebooks — the round-1 training encode
+      // runs against exactly these, so a divergence there would silently
+      // drift the trained books; both neighborhoods are pinned
+      for (iters <- Seq(0, 2)) {
+        val cents = Embeddings.pqCodebookSeq(e, iters)
+        val books = spark.createDataset(cents).toDF("s", "cell", "cv", "cn")
+        val cs = broadcast(books.agg(collect_list(struct($"s", $"cell", $"cv", $"cn")).as("cs")))
+        val mismatches = e.join(cs)
+          .withColumn("lambda", expr(lambdaCodes))
+          .withColumn("native", Embeddings.codesCol($"v", cents))
+          .filter(not($"lambda" <=> $"native"))
+          .count()
+        assert(mismatches === 0L, s"iters=$iters")
+      }
       val cents = Embeddings.pqCodebookSeq(e)
-      val books = spark.createDataset(cents).toDF("s", "cell", "cv", "cn")
-      val cs = broadcast(books.agg(collect_list(struct($"s", $"cell", $"cv", $"cn")).as("cs")))
-      val mismatches = e.join(cs)
-        .withColumn("lambda", expr(lambdaCodes))
-        .withColumn("native", Embeddings.codesCol($"v", cents))
-        .filter(not($"lambda" <=> $"native"))
-        .count()
-      assert(mismatches === 0L)
       // and the encode plan carries NO join: the codebooks are expression
       // state, so a native encode is a bare projection over the scan
       val plan = e.withColumn("native", Embeddings.codesCol($"v", cents))
