@@ -1214,9 +1214,83 @@ object TextAnalysis {
       |         - SUM(p) * (SUM(p) + 1) / 2.0) / (SUM(p) * (SUM(m) - SUM(p))), 6) AS auc
       |FROM cum""".stripMargin
 
+
+  // ---------------------------------------------------------------------
+  // T19 precision/recall threshold sweep — the operating-point companion
+  // to T18: before a quality threshold ships, the curve says what each
+  // candidate cutoff keeps and loses. Same scale shape as T18: per-SCORE
+  // (n, n_pos) aggregates first (6dp scores bound the cardinality), then
+  // each score-level row fans out to the 9 candidate thresholds via an
+  // exploded literal array — no join, no corpus-sized window, and the
+  // final counts are exact int64 conditional sums. Precision/recall/F1
+  // are single-expression-tree doubles over exact ints (identical IEEE
+  // arithmetic both engines); thresholds with no predicted positives
+  // report NULL precision/F1 rather than a fabricated 0.
+  def prCurve(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.ensure(spark)
+    import spark.implicits._
+    val per = Tables.documents(spark, dir)
+      .withColumn("toks", split($"text", " "))
+      .withColumn("n_tok", size($"toks"))
+      .withColumn("n_stop", size(filter($"toks", t => t === "the" || t === "a")))
+      .withColumn("n_alpha", length(regexp_replace($"text", "[^a-z]", "")))
+      .withColumn("dup_frac", dupFracCol)
+      .withColumn("quality",
+        qualityFormula($"n_stop", $"n_tok", $"n_alpha", $"n_chars"))
+      .withColumn("pos", keepRule($"n_tok", $"dup_frac",
+        $"n_stop".cast("double") / $"n_tok").cast("long"))
+      .select($"quality", $"pos")
+    val byScore = per.groupBy($"quality")
+      .agg(count(lit(1)).as("m"), sum($"pos").as("p"))
+    byScore
+      .select($"quality", $"m", $"p",
+        explode(typedlit((1 to 9).map(_ / 10.0))).as("thr"))
+      .groupBy($"thr")
+      .agg(
+        sum(when($"quality" >= $"thr", $"p").otherwise(0L)).as("tp"),
+        sum(when($"quality" >= $"thr", $"m" - $"p").otherwise(0L)).as("fp"),
+        sum(when($"quality" < $"thr", $"p").otherwise(0L)).as("fn"))
+      .withColumn("precision", round($"tp".cast("double") / nullif($"tp" + $"fp", lit(0L)), 6))
+      .withColumn("recall", round($"tp".cast("double") / nullif($"tp" + $"fn", lit(0L)), 6))
+      .withColumn("f1", round(lit(2.0) * $"tp" / nullif(lit(2L) * $"tp" + $"fp" + $"fn", lit(0L)), 6))
+      .select($"thr", $"tp", $"fp", $"fn", $"precision", $"recall", $"f1")
+      .orderBy($"thr")
+  }
+
+  val prCurveSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, n_chars, string_split(text, ' ') AS toks, text
+      |  FROM documents),
+      |per AS (
+      |  SELECT
+      |    round(0.4 * (1.0 - len(list_filter(toks, x -> x = 'the' OR x = 'a'))::DOUBLE / len(toks))
+      |        + 0.3 * (len(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / n_chars)
+      |        + 0.3 * least(len(toks)::DOUBLE / 100.0, 1.0), 6) AS quality,
+      |    CASE WHEN len(toks) >= $minKeepTokens AND $dupFracSqlExpr <= $repetitiousThreshold
+      |      AND len(list_filter(toks, x -> x = 'the' OR x = 'a'))::DOUBLE / len(toks) <= $maxStopRatio
+      |      THEN 1 ELSE 0 END AS pos
+      |  FROM t),
+      |byscore AS (
+      |  SELECT quality, COUNT(*) AS m, SUM(pos) AS p FROM per GROUP BY quality),
+      |fan AS (
+      |  SELECT quality, m, p, CAST(unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS thr
+      |  FROM byscore),
+      |cnt AS (
+      |  SELECT thr,
+      |    CAST(SUM(CASE WHEN quality >= thr THEN p ELSE 0 END) AS BIGINT) AS tp,
+      |    CAST(SUM(CASE WHEN quality >= thr THEN m - p ELSE 0 END) AS BIGINT) AS fp,
+      |    CAST(SUM(CASE WHEN quality < thr THEN p ELSE 0 END) AS BIGINT) AS fn
+      |  FROM fan GROUP BY thr)
+      |SELECT thr, tp, fp, fn,
+      |  round(tp::DOUBLE / NULLIF(tp + fp, 0), 6) AS precision,
+      |  round(tp::DOUBLE / NULLIF(tp + fn, 0), 6) AS recall,
+      |  round(2.0 * tp / NULLIF(2 * tp + fp + fn, 0), 6) AS f1
+      |FROM cnt ORDER BY thr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_nb_classify" -> (nbClassify _),
     "ta_auc"         -> (aucQuality _),
+    "ta_pr_curve"    -> (prCurve _),
     "ta_hybrid_rrf"  -> (hybridRrf _),
     "ta_rake"        -> (rake _),
     "ta_lm_xent"     -> (lmPerplexity _),
@@ -1237,6 +1311,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "ta_nb_classify" -> nbClassifySql,
     "ta_auc"         -> aucQualitySql,
+    "ta_pr_curve"    -> prCurveSql,
     "ta_hybrid_rrf"  -> hybridRrfSql,
     "ta_rake"        -> rakeSql,
     "ta_lm_xent"     -> lmPerplexitySql,
