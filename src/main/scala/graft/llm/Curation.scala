@@ -974,6 +974,71 @@ object Curation {
       |GROUP BY t.doc_id, t.lang, t.source
       |ORDER BY score DESC, t.doc_id ASC LIMIT 25""".stripMargin
 
+
+  // ---------------------------------------------------------------------
+  // C20 token-budget selection: keep the highest-quality documents whose
+  // token counts fit a total budget (half the corpus here) — the "we can
+  // afford N tokens, which documents?" cut every data recipe ends with.
+  // Computed WITHOUT a corpus-wide sort/window, the T18 trick applied to
+  // selection: quality is 6dp-rounded, so per-QUALITY-LEVEL token sums
+  // aggregate first (bounded <= 10^6 rows); a cumulative pass over those
+  // level rows finds which levels fit wholly and how many tokens remain
+  // for the single BOUNDARY level, whose docs are then admitted in
+  // doc_id order until the remainder is spent. Only the boundary level
+  // ever needs a per-doc window, partitioned by its quality value — at
+  // 100 TB that group can be salted/re-bucketed if one quality value is
+  // hot; every other document is admitted or rejected map-side against
+  // the broadcast level table. All token arithmetic is exact int64.
+  def budgetCut(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.ensure(spark)
+    import spark.implicits._
+    val per = qualityFrame(spark, dir)
+      .select($"doc_id", $"source", $"n_tok".cast("long").as("n_tok"), $"quality")
+    val byq = per.groupBy($"quality").agg(sum($"n_tok").as("qt"))
+    val wAbove = Window.orderBy($"quality".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val levels = byq
+      .withColumn("above", coalesce(sum($"qt").over(wAbove), lit(0L)))
+      .crossJoin(broadcast(per.agg(expr("sum(n_tok) div 2").as("budget"))))
+      .select($"quality", $"qt", $"above", $"budget")
+    val wDoc = Window.partitionBy($"quality").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val kept = per.join(broadcast(levels), Seq("quality"))
+      .withColumn("cum_doc", sum($"n_tok").over(wDoc))
+      .filter(($"above" + $"qt" <= $"budget") ||
+        ($"above" < $"budget" && $"above" + $"cum_doc" <= $"budget"))
+    kept.groupBy($"source")
+      .agg(count(lit(1)).as("n_kept"), sum($"n_tok").as("kept_tokens"))
+      .orderBy($"source")
+  }
+
+  val budgetCutSql: String =
+    """WITH per AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    round(0.4 * (1.0 - len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a'))::DOUBLE
+      |                        / len(string_split(text, ' ')))
+      |        + 0.3 * (len(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / n_chars)
+      |        + 0.3 * least(len(string_split(text, ' '))::DOUBLE / 100.0, 1.0), 6) AS quality
+      |  FROM documents),
+      |levels AS (
+      |  SELECT quality, SUM(n_tok) AS qt,
+      |    COALESCE(SUM(SUM(n_tok)) OVER (ORDER BY quality DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above,
+      |    (SELECT SUM(n_tok) // 2 FROM per) AS budget
+      |  FROM per GROUP BY quality),
+      |kcand AS (
+      |  SELECT p.doc_id, p.source, p.n_tok, l.qt, l.above, l.budget,
+      |    SUM(p.n_tok) OVER (PARTITION BY p.quality ORDER BY p.doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_doc
+      |  FROM per p JOIN levels l ON l.quality = p.quality),
+      |kept AS (
+      |  SELECT doc_id, source, n_tok FROM kcand
+      |  WHERE (above + qt <= budget)
+      |     OR (above < budget AND above + cum_doc <= budget))
+      |SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_tok) AS BIGINT) AS kept_tokens
+      |FROM kept GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cur_gopher"       -> (gopherRules _),
     "cur_dsir"         -> (dsirWeights _),
@@ -992,6 +1057,7 @@ object Curation {
     "cur_pack"         -> (pack _),
     "cur_sample"       -> (sampleCorpus _),
     "cur_pipeline"     -> (curationPipeline _),
+    "cur_budget_cut"   -> (budgetCut _),
     "cur_decontam"     -> (decontaminate _))
 
   val oracles: Map[String, String] = Map(
@@ -1012,5 +1078,6 @@ object Curation {
     "cur_pack"         -> packSql,
     "cur_sample"       -> sampleSql,
     "cur_pipeline"     -> curationPipelineSql,
+    "cur_budget_cut"   -> budgetCutSql,
     "cur_decontam"     -> decontaminateSql)
 }

@@ -212,4 +212,31 @@ class Round11Spec extends SparkSpec {
     // rank keepers above droppers far better than chance
     assert(a > 0.7 && a <= 1.0, s"auc=$a")
   }
+
+  test("C20 budget cut equals the brute-force quality-greedy prefix") {
+    import spark.implicits._
+    graft.GraftExtensions.ensure(spark)
+    // independent oracle: global sort by (quality desc, doc_id asc),
+    // admit while the running token sum fits half the corpus
+    val per = graft.Tables.documents(spark, sfDir)
+      .withColumn("toks", split($"text", " "))
+      .withColumn("n_tok", size($"toks").cast("long"))
+      .withColumn("n_stop", size(filter($"toks", t => t === "the" || t === "a")))
+      .withColumn("n_alpha", length(regexp_replace($"text", "[^a-z]", "")))
+      .withColumn("quality", graft.llm.TextAnalysis.qualityFormula(
+        $"n_stop", $"n_tok", $"n_alpha", $"n_chars"))
+      .select($"doc_id", $"source", $"n_tok", $"quality")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val budget = per.map(_._3).sum / 2
+    var cum = 0L
+    val kept = per.sortBy(t => (-t._4, t._1)).takeWhile { t =>
+      cum += t._3; cum <= budget
+    }
+    val expect = kept.groupBy(_._2).map { case (src, ds) =>
+      (src, ds.length.toLong, ds.map(_._3).sum) }.toSeq.sortBy(_._1)
+    val got = graft.llm.Curation.budgetCut(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expect)
+    assert(got.map(_._3).sum <= budget)
+  }
 }
