@@ -25,9 +25,13 @@ import graft.Tables
   *    exact cosine verifies. Same band-join shape as TextDedup.minhashLsh.
   *  - emb_semdedup: SemDeDup semantic dedup inside learned IVF cells.
   *  - emb_quantize: int8 scalar quantization with fidelity report.
-  *  Graph-ANN (HNSW) is deliberately out of scope: its greedy sequential
-  *  search doesn't map to set-oriented plans; the distributed norm is
-  *  exactly this IVF/PQ/LSH family.
+  *  Graph-ANN: the greedy SEQUENTIAL search of HNSW (variable-depth,
+  *  one hop at a time per query) doesn't map to set-oriented plans and
+  *  stays out of scope — but its BATCHED fixed-round form does, and
+  *  emb_nsw_topk implements it: beam search over the directed k-NN
+  *  graph where every query's frontier advances together, one
+  *  adjacency equi-join per round (the NSW base-layer search, Malkov
+  *  et al. 2014, as relational algebra).
   *
   * Determinism contract with the DuckDB oracle: all float math is element-
   * wise double products followed by a sequential sum, and every emitted or
@@ -923,6 +927,170 @@ object Embeddings {
       |ORDER BY va, vb""".stripMargin
 
   // ---------------------------------------------------------------------
+  // E18 batched NSW beam search — the graph-ANN family (NSW / HNSW base
+  // layer, Malkov et al. 2014) in its set-oriented form. The index is the
+  // DIRECTED 5-NN out-edge list (E8's SRP-candidate scoring WITHOUT the
+  // mutual filter — search wants every node to keep out-edges; mutuality
+  // would strand low-degree nodes), the search is fixed-round batched
+  // beam search: seed every query's beam with the same 4 fixed entry
+  // points (HNSW's entry-node analogue, smallest corpus ids), then for
+  // R=4 rounds expand ALL queries' beams together — ONE equi-join of the
+  // (qid, member) frontier against the adjacency list per round, score
+  // candidates, keep each query's best B=8 — and emit the final top-3.
+  // The per-query sequential walk becomes per-round set algebra: at
+  // 100 TB the adjacency is the bucketed artifact (build it once, the
+  // E16 MV pattern; refresh = NN-descent), a million-query batch is
+  // still three equi-joins, and beam state is (n_queries × B)-bounded —
+  // each round's beam frame is localCheckpointed so the loop's plan
+  // stays linear (the G8 discipline). Recall is bounded by the LSH
+  // candidate graph (the E8 caveat) plus beam width; Round11Spec
+  // measures recall@3 against the exact E1 answer and pins beam-subset
+  // structure. Determinism: sims round(·, 6) before every comparison,
+  // ties by vec_id asc, beam membership therefore total-ordered; the
+  // oracle unrolls the 3 rounds as CTEs over the same adjacency.
+  def nswTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.ensure(spark)
+    import spark.implicits._
+    val topk = udaf(new graft.functions.TopKAggregator(5),
+      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+    val e0 = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".as("v"))
+      .withColumn("nrm", norm($"v"))
+    // corpus materialized once; feeds the index build AND every round's
+    // candidate scoring (localCheckpoint, not ScopedCache: the loop runs
+    // several consuming actions before the final query)
+    val e = e0.filter($"vec_id" >= 5).localCheckpoint()
+    val q = broadcast(e0.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn")))
+    def scorePairs(cand: DataFrame): DataFrame = cand
+      .join(e.select($"vec_id".as("va"), $"v".as("av"), $"nrm".as("an")), Seq("va"))
+      .join(e.select($"vec_id".as("vb"), $"v".as("bv"), $"nrm".as("bn")), Seq("vb"))
+      .withColumn("sim", round(dot($"av", $"bv") / ($"an" * $"bn"), 6))
+      .select($"va", $"vb", $"sim")
+    def topOut(scored: DataFrame): DataFrame = scored
+      .select($"va".as("src"), $"vb".as("dst"), $"sim")
+      .unionByName(scored.select($"vb".as("src"), $"va".as("dst"), $"sim"))
+      .groupBy($"src").agg(topk($"dst", $"sim").as("top"))
+      .select($"src", explode($"top").as("s"))
+      .select($"src", $"s.cid".as("dst"))
+    // graph build: SRP-banded seed graph, then ONE NN-descent round
+    // (Dong et al. 2011): a neighbor's neighbor is a candidate neighbor —
+    // adj0 ⋈ adj0 adds ≤ deg² pairs per node (linear in n), exactly how
+    // production graph-ANN indexes densify past the LSH recall ceiling
+    val cand0 = srpCandidates(e)
+    val adj0 = topOut(scorePairs(cand0))
+    val non = adj0.as("a").join(adj0.as("b"),
+        $"a.dst" === $"b.src" && $"a.src" =!= $"b.dst")
+      .select(least($"a.src", $"b.dst").as("va"),
+        greatest($"a.src", $"b.dst").as("vb"))
+      .distinct()
+    // final adjacency = LSH seed edges ∪ refined close edges (degree ≤ 10):
+    // refinement alone LOWERS navigability (measured 6/15 → 4/15 recall@3
+    // here) — a purely-refined graph clusters and the beam stalls locally,
+    // the reason HNSW keeps long-range links; the union keeps the seed
+    // graph's diversity AND the densified near edges
+    val adj = topOut(scorePairs(cand0.unionByName(non).distinct()))
+      .unionByName(adj0).distinct()
+      .localCheckpoint()
+    val seeds = e.orderBy($"vec_id".asc).limit(4)
+      .select($"vec_id".as("cid"), $"v".as("cv"), $"nrm".as("cn"))
+    val wBeam = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid".asc)
+    // 4 seeds × n_queries constant nested-loop broadcast (PlanAudit allowlisted)
+    var beam = seeds.join(q)
+      .withColumn("sim", round(dot($"qv", $"cv") / ($"qn" * $"cn"), 6))
+      .select($"qid", $"cid", $"sim")
+      .localCheckpoint()
+    for (_ <- 1 to 4) {
+      val cand = beam.select($"qid", $"cid".as("src"))
+        .join(adj, Seq("src"))
+        .select($"qid", $"dst".as("cid")).distinct()
+      val scored = cand
+        .join(e.select($"vec_id".as("cid"), $"v".as("cv"), $"nrm".as("cn")), Seq("cid"))
+        .join(q, Seq("qid"))
+        .withColumn("sim", round(dot($"qv", $"cv") / ($"qn" * $"cn"), 6))
+        .select($"qid", $"cid", $"sim")
+      beam = beam.unionByName(scored).distinct()
+        .withColumn("rk", row_number().over(wBeam))
+        .filter($"rk" <= 8)
+        .select($"qid", $"cid", $"sim")
+        .localCheckpoint()
+    }
+    beam
+      .withColumn("rnk", row_number().over(wBeam))
+      .filter($"rnk" <= 3)
+      .select($"qid", $"rnk", $"cid", $"sim")
+      .orderBy($"qid", $"rnk")
+  }
+
+  private def nswRoundSql(r: Int): String = {
+    val prev = if (r == 1) "beam0" else s"beam${r - 1}"
+    s"""cand$r AS (
+       |  SELECT DISTINCT b.qid, a.dst AS cid FROM $prev b JOIN adj a ON a.src = b.cid),
+       |s$r AS (
+       |  SELECT c.qid, c.cid,
+       |    round(list_sum(list_transform(list_zip(q.qv, x.v), t -> t[1] * t[2])) / (q.qn * x.nrm), 6) AS sim
+       |  FROM cand$r c JOIN ev x ON x.vec_id = c.cid JOIN q ON q.qid = c.qid),
+       |beam$r AS (
+       |  SELECT qid, cid, sim FROM (
+       |    SELECT qid, cid, sim,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rk
+       |    FROM (SELECT * FROM $prev UNION SELECT * FROM s$r))
+       |  WHERE rk <= 8)""".stripMargin
+  }
+
+  val nswTopKSql: String =
+    """WITH evall AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v,
+      |         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x))) AS nrm
+      |  FROM embeddings),
+      |ev AS (SELECT * FROM evall WHERE vec_id >= 5),
+      |""".stripMargin + srpCandSql + """,
+      |spairs0 AS (
+      |  SELECT va, vb,
+      |    round(list_sum(list_transform(list_zip(x.v, y.v), t -> t[1] * t[2])) / (x.nrm * y.nrm), 6) AS sim
+      |  FROM cand JOIN ev x ON x.vec_id = va JOIN ev y ON y.vec_id = vb),
+      |directed0 AS (
+      |  SELECT va AS src, vb AS dst, sim FROM spairs0
+      |  UNION ALL
+      |  SELECT vb AS src, va AS dst, sim FROM spairs0),
+      |adj0 AS (
+      |  SELECT src, dst FROM (
+      |    SELECT src, dst,
+      |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rk
+      |    FROM directed0) WHERE rk <= 5),
+      |nondesc AS (
+      |  SELECT DISTINCT least(a.src, b.dst) AS va, greatest(a.src, b.dst) AS vb
+      |  FROM adj0 a JOIN adj0 b ON a.dst = b.src AND a.src <> b.dst),
+      |candall AS (SELECT va, vb FROM cand UNION SELECT va, vb FROM nondesc),
+      |spairs AS (
+      |  SELECT va, vb,
+      |    round(list_sum(list_transform(list_zip(x.v, y.v), t -> t[1] * t[2])) / (x.nrm * y.nrm), 6) AS sim
+      |  FROM candall JOIN ev x ON x.vec_id = va JOIN ev y ON y.vec_id = vb),
+      |directed AS (
+      |  SELECT va AS src, vb AS dst, sim FROM spairs
+      |  UNION ALL
+      |  SELECT vb AS src, va AS dst, sim FROM spairs),
+      |adjref AS (
+      |  SELECT src, dst FROM (
+      |    SELECT src, dst,
+      |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rk
+      |    FROM directed) WHERE rk <= 5),
+      |adj AS (SELECT src, dst FROM adjref UNION SELECT src, dst FROM adj0),
+      |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM evall WHERE vec_id < 5),
+      |seeds AS (SELECT vec_id, v, nrm FROM ev ORDER BY vec_id ASC LIMIT 4),
+      |beam0 AS (
+      |  SELECT q.qid, s.vec_id AS cid,
+      |    round(list_sum(list_transform(list_zip(q.qv, s.v), t -> t[1] * t[2])) / (q.qn * s.nrm), 6) AS sim
+      |  FROM seeds s CROSS JOIN q),
+      |""".stripMargin +
+      (1 to 4).map(nswRoundSql).mkString(",\n") + """
+      |SELECT qid, rnk, cid, sim FROM (
+      |  SELECT qid, cid, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+      |  FROM beam4) WHERE rnk <= 3
+      |ORDER BY qid, rnk""".stripMargin
+
+  // ---------------------------------------------------------------------
   // E4 int8 scalar quantization: per-vector scale = max|v|/127, q_i =
   // floor(v_i/scale + 0.5) — 4× memory cut for the ANN corpus (the
   // standard int8 embedding-storage trick; FAISS SQ8 shape). The explicit
@@ -1760,6 +1928,7 @@ object Embeddings {
     "emb_multiprobe_neardup" -> (multiProbeNearDup _),
     "emb_ivfadc_topk" -> (ivfadcTopK _),
     "emb_knn_graph"   -> (knnGraph _),
+    "emb_nsw_topk"    -> (nswTopK _),
     "emb_semdedup"    -> (semDedup _),
     "emb_quantize"    -> (quantize _),
     "emb_recall_eval" -> (recallEval _),
@@ -1779,6 +1948,7 @@ object Embeddings {
     "emb_multiprobe_neardup" -> multiProbeNearDupSql,
     "emb_ivfadc_topk" -> ivfadcTopKSql,
     "emb_knn_graph"   -> knnGraphSql,
+    "emb_nsw_topk"    -> nswTopKSql,
     "emb_semdedup"    -> semDedupSql,
     "emb_quantize"    -> quantizeSql,
     "emb_recall_eval" -> recallEvalSql,
