@@ -645,6 +645,81 @@ object Curation {
       |FROM c GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // C21 temperature-smoothed corpus mix (the mT5/XLM-R multinomial move):
+  // source s with share p_s is resampled toward p_s^alpha / sum(p^alpha),
+  // boosting rare sources and shrinking dominant ones. alpha = 0.5 here —
+  // deliberately, because p^0.5 is ONE IEEE-correctly-rounded sqrt in both
+  // engines (DuckDB libm and JVM Math.sqrt agree bit-for-bit, which
+  // pow(x, 0.3) does not guarantee), so the whole weight pipeline stays
+  // engine-exact: w_s = floor(sqrt(n_s)*1e6), weight_ppm = w_s*1e6 div W,
+  // target t_s = weight_ppm * N div 1e6 — all int64 after the one sqrt.
+  // (Rescaling through ppm first also keeps every product under 2^63 at
+  // trillion-doc scale; w_s * N directly would overflow.) Materialization
+  // is C10's deterministic scheme: t_s div n_s whole epochs, plus one more
+  // iff the doc's seeded md5 residue mod n_s falls under the remainder —
+  // no RNG, no per-source window sort (a row_number would be exact-count
+  // but costs a per-source sort of up to the whole corpus; the residue
+  // form is shuffle-free and lands within rounding of t_s).
+  // 100 TB: the source table is a ~20-row broadcast; everything else is
+  // one map-side pass + a 20-group partial aggregate.
+  def tempMix(spark: SparkSession, dir: String): DataFrame =
+    tempMixOf(Tables.documents(spark, dir))
+
+  private[graft] def tempMixOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = docs.groupBy($"source").agg(count(lit(1)).as("n_s"))
+      .withColumn("w_s", floor(sqrt($"n_s".cast("double")) * 1e6).cast("long"))
+    val tot = w.agg(sum($"n_s").as("n_total"), sum($"w_s").as("w_total"))
+    val t = w.crossJoin(broadcast(tot))
+      .withColumn("weight_ppm", expr("w_s * 1000000 DIV w_total"))
+      .withColumn("t_s", expr("weight_ppm * n_total DIV 1000000"))
+      .select($"source", $"n_s", $"weight_ppm", $"t_s")
+    docs
+      .withColumn("h", expr(
+        "CAST(conv(substr(md5('t42:' || CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+      .join(broadcast(t), "source")
+      .withColumn("copies",
+        expr("t_s DIV n_s") + when($"h" % $"n_s" < $"t_s" % $"n_s", 1L).otherwise(0L))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs_in"),
+        min($"weight_ppm").as("weight_ppm"),
+        sum($"copies").as("n_docs_out"),
+        sum($"n_chars" * $"copies").as("sum_chars_out"))
+      .orderBy($"source")
+  }
+
+  val tempMixSql: String =
+    """WITH src AS (
+      |  SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+      |w AS (
+      |  SELECT source, n_s,
+      |    CAST(floor(sqrt(CAST(n_s AS DOUBLE)) * 1e6) AS BIGINT) AS w_s
+      |  FROM src),
+      |tot AS (SELECT SUM(n_s) AS n_total, SUM(w_s) AS w_total FROM w),
+      |t AS (
+      |  SELECT source, n_s,
+      |    CAST(w_s * 1000000 // w_total AS BIGINT) AS weight_ppm,
+      |    CAST((w_s * 1000000 // w_total) * n_total // 1000000 AS BIGINT) AS t_s
+      |  FROM w CROSS JOIN tot),
+      |d AS (
+      |  SELECT doc_id, source, n_chars,
+      |    CAST(list_sum(list_transform([1,2,3,4,5,6,7,8], i ->
+      |      CAST(strpos('0123456789abcdef',
+      |             substr(md5('t42:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+      |        * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT) AS h
+      |  FROM documents),
+      |c AS (
+      |  SELECT d.source, n_chars, weight_ppm,
+      |    (t_s // n_s) + CASE WHEN (h % n_s) < (t_s % n_s) THEN 1 ELSE 0 END AS copies
+      |  FROM d JOIN t ON d.source = t.source)
+      |SELECT source, COUNT(*) AS n_docs_in, MIN(weight_ppm) AS weight_ppm,
+      |  CAST(SUM(copies) AS BIGINT) AS n_docs_out,
+      |  CAST(SUM(n_chars * copies) AS BIGINT) AS sum_chars_out
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
   // C11 deterministic training-order shuffle + sharding: order key =
   // md5("s42:" || doc_id) (seeded, content-independent, unique), shard =
   // key's leading 32 bits mod 8, position = row_number within the shard
@@ -1047,6 +1122,7 @@ object Curation {
     "cur_snapshot_diff" -> (snapshotDiffReport _),
     "cur_chunk"        -> (chunk _),
     "cur_mix"          -> (mix _),
+    "cur_temp_mix"     -> (tempMix _),
     "cur_shuffle"      -> (shuffleShards _),
     "cur_redact"       -> (redact _),
     "cur_filter"       -> (filterCorpus _),
@@ -1068,6 +1144,7 @@ object Curation {
     "cur_snapshot_diff" -> snapshotDiffSql,
     "cur_chunk"        -> chunkSql,
     "cur_mix"          -> mixSql,
+    "cur_temp_mix"     -> tempMixSql,
     "cur_shuffle"      -> shuffleShardsSql,
     "cur_redact"       -> redactSql,
     "cur_filter"       -> filterSql,

@@ -192,6 +192,86 @@ object TextAnalysis {
       |FROM h ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // T20 winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
+  // the MOSS algorithm): hash every token 4-gram, slide a window of w=4
+  // consecutive hashes, and in each window SELECT the minimum (rightmost
+  // on ties — "robust winnowing", so runs of equal minima reuse one
+  // selection). The selected ~2/(w+1) of hashes are the document's
+  // fingerprint set, with the paper's guarantee: any shared token run of
+  // length >= k+w-1 = 7 contributes at least one SHARED selected hash —
+  // unlike T4's whole-doc rolling hash (exact-match only) or L3's MinHash
+  // (set-similarity, order-blind), winnowing localizes shared PASSAGES.
+  // Output: doc pairs sharing >= 2 selected fingerprints, the
+  // plagiarism/code-clone report. The pair stage follows the L2 inverted-
+  // index discipline: fingerprints seen in > 64 docs are boilerplate and
+  // excluded (df-cap, hot-key immunity), df=1 fingerprints can't pair and
+  // are dropped before the join.
+  // 100 TB: selection is pure per-doc map work (one projection, arrays
+  // never leave the row); the only shuffles are the fp groupBy (linear in
+  // selected hashes, ~0.4/token) and the capped pair join (linear in
+  // index + output size, never df-quadratic).
+  def winnow(spark: SparkSession, dir: String): DataFrame =
+    winnowPairs(Tables.documents(spark, dir))
+
+  private[graft] def winnowPairs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sel = docs
+      .withColumn("toks", split($"text", " "))
+      .filter(size($"toks") >= 7) // need >= 1 window of w=4 over 4-grams
+      .withColumn("hs", expr(
+        """transform(sequence(1, size(toks) - 3), i ->
+          |  CAST(conv(substr(md5(array_join(slice(toks, i, 4), ' ')), 1, 8), 16, 10) AS BIGINT))""".stripMargin))
+      // rightmost-min per window: first position in the REVERSED window is
+      // the rightmost in the original; global pos = s + w - pos_in_rev.
+      .withColumn("selpos", expr(
+        """array_distinct(transform(sequence(1, size(hs) - 3), s ->
+          |  s + 4 - CAST(array_position(reverse(slice(hs, s, 4)), array_min(slice(hs, s, 4))) AS INT)))""".stripMargin))
+      .withColumn("fps", expr(
+        "array_distinct(transform(selpos, p -> element_at(hs, p)))"))
+      .select($"doc_id", $"fps")
+    val idx = sel.select($"doc_id", explode($"fps").as("fp"))
+    val keep = idx.groupBy($"fp").agg(count(lit(1)).as("df"))
+      .filter($"df".between(2, 64)).select($"fp")
+    val capped = idx.join(keep, "fp")
+    capped.as("a").join(capped.as("b"),
+        $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_fp"))
+      .filter($"n_shared_fp" >= 2)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val winnowSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 7),
+      |h AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, len(toks) - 2), i ->
+      |      CAST(list_sum(list_transform([1,2,3,4,5,6,7,8], j ->
+      |        CAST(strpos('0123456789abcdef',
+      |               substr(md5(array_to_string(toks[i : i + 3], ' ')), j, 1)) - 1 AS BIGINT)
+      |          * CAST(power(16, 8 - j) AS BIGINT))) AS BIGINT)) AS hs
+      |  FROM t),
+      |s AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      list_distinct(list_transform(range(1, len(hs) - 2), s ->
+      |        s + 4 - list_position(list_reverse(hs[s : s + 3]), list_min(hs[s : s + 3])))),
+      |      p -> hs[p])) AS fps
+      |  FROM h),
+      |idx AS (SELECT doc_id, unnest(fps) AS fp FROM s),
+      |keep AS (
+      |  SELECT fp FROM idx GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 64),
+      |capped AS (SELECT doc_id, fp FROM idx JOIN keep USING (fp))
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  COUNT(*) AS n_shared_fp
+      |FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |GROUP BY doc_a, doc_b HAVING COUNT(*) >= 2
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------------
   // T5 TF-IDF: term scoring against corpus document frequencies — the
   // classic retrieval/featurization primitive (tf = term count / doc
   // tokens; idf = ln(N/df); top-3 terms per doc by rounded score).
@@ -1306,7 +1386,8 @@ object TextAnalysis {
     "ta_bm25"        -> (bm25 _),
     "ta_heavy_hitters" -> (heavyHitters _),
     "ta_bpe_pairs"   -> (bpePairs _),
-    "ta_pmi"         -> (pmi _))
+    "ta_pmi"         -> (pmi _),
+    "ta_winnow"      -> (winnow _))
 
   val oracles: Map[String, String] = Map(
     "ta_nb_classify" -> nbClassifySql,
@@ -1327,5 +1408,6 @@ object TextAnalysis {
     "ta_bm25"        -> bm25Sql,
     "ta_heavy_hitters" -> heavyHittersSql,
     "ta_bpe_pairs"   -> bpePairsSql,
-    "ta_pmi"         -> pmiSql)
+    "ta_pmi"         -> pmiSql,
+    "ta_winnow"      -> winnowSql)
 }

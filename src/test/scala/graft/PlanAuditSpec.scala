@@ -29,6 +29,7 @@ class PlanAuditSpec extends SparkSpec {
     "ta_nb_classify", // ONE-row broadcasts of train totals/vocab size + the
                       // C-row class dim (bounded by the class count)
     "cur_budget_cut", // ONE-row broadcast of the token budget
+    "cur_temp_mix",   // ONE-row broadcast of (n_total, w_total)
     "emb_nsw_topk", // 4-seed × n_queries constant entry-point broadcast (beam seeding)
     "j10_bloom_join", // ONE-row broadcast of the Bloom bitmap map
     "a17_welch", // pairwise < join of the GROUP-COUNT-sized stats table (5 rows)

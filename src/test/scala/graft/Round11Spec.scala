@@ -270,4 +270,60 @@ class Round11Spec extends SparkSpec {
     assert(got === expect)
     assert(got.map(_._3).sum <= budget)
   }
+
+  test("T20 winnowing: shared passages pair, disjoint docs never do") {
+    import spark.implicits._
+    // a 20-token passage shared verbatim between docs 1 and 2, embedded in
+    // unrelated contexts; docs 3/4 share nothing with anyone (disjoint
+    // vocabularies, so no accidental shared 4-gram)
+    val run = (1 to 20).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta $run eta theta iota"),
+      (2L, s"uno dos tres cuatro cinco seis $run siete ocho nueve"),
+      (3L, "red orange yellow green blue indigo violet umber ochre teal"),
+      (4L, "lion tiger bear wolf fox otter lynx seal hare mole")
+    ).toDF("doc_id", "text")
+    val pairs = graft.llm.TextAnalysis.winnowPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the winnowing guarantee (k=4, w=4): a shared run of >= 7 tokens
+    // shares >= 1 selected fingerprint; 20 tokens span 13 windows so the
+    // >= 2 reporting threshold is comfortably met — and ONLY for (1,2)
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)), pairs.toSeq)
+    assert(pairs.head._3 >= 2)
+    // no self-pairs, canonical orientation
+    assert(pairs.forall(p => p._1 < p._2))
+  }
+
+  test("C21 temperature mix: sqrt-boost on a skewed corpus, identity on the uniform one") {
+    import spark.implicits._
+    // skewed hand corpus: 64-doc "big" vs 4-doc "small" source
+    val docs = ((1 to 64).map(i => (i.toLong, "big", 10L)) ++
+      (65 to 68).map(i => (i.toLong, "small", 10L)))
+      .toDF("doc_id", "source", "n_chars")
+    val got = graft.llm.Curation.tempMixOf(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val bysrc = got.map(t => t._1 -> t).toMap
+    // exact weight math: w = floor(sqrt(n)*1e6), W = 1e7, N = 68
+    assert(bysrc("big")._3 === 800000L && bysrc("small")._3 === 200000L)
+    // independent replay of the residue materialization with JDK md5:
+    // t_big = 54 (downsample), t_small = 13 (3 whole epochs + remainder 1)
+    def h(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"t42:$id".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expBig = (1 to 64).map(i => 0L + (if (h(i) % 64 < 54 % 64) 1L else 0L)).sum
+    val expSmall = (65 to 68).map(i => 3L + (if (h(i) % 4 < 13 % 4) 1L else 0L)).sum
+    assert(bysrc("big")._4 === expBig, got.toSeq)
+    assert(bysrc("small")._4 === expSmall, got.toSeq)
+    // alpha < 1 boosts the rare source and shrinks the dominant one
+    assert(bysrc("small")._4.toDouble / 4 > 1.0)
+    assert(bysrc("big")._4.toDouble / 64 < 1.0)
+    // the driver corpus is source-uniform: temperature mix must be the
+    // identity there (equal weights, out == in per source)
+    val real = graft.llm.Curation.tempMix(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach(r => assert(r.getLong(1) === r.getLong(3), r.toString))
+  }
 }
