@@ -603,6 +603,91 @@ object Embeddings {
       |GROUP BY bf.qid ORDER BY bf.qid""".stripMargin
 
   // ---------------------------------------------------------------------
+  // E19 graded ranking eval: nDCG@3 + MRR of the IVF probe (E2) against
+  // brute-force graded relevance — the metric pair that distinguishes
+  // "found the right items" (E7's recall) from "found them in the right
+  // ORDER", which is what a retrieval stack feeding a reranker or a RAG
+  // context window actually needs. Relevance is graded by the exact
+  // ranking itself: the brute-force top-3 carry gains 3/2/1, everything
+  // else 0 — the standard pooled-qrels construction when no human labels
+  // exist.
+  // Determinism (the T18/a21 discipline): DCG's 1/log2(r+1) discounts are
+  // irrational, so both engines use the SAME precomputed int64 table
+  // w(r) = floor(1e9/log2(r+1)) = [1000000000, 630929753, 500000000] and
+  // DCG is an exact int64 dot product; the ideal DCG for gains 3/2/1 is
+  // the constant 4761859506, so nDCG is ONE double division of exact
+  // int64s, and MRR is integer-division micro-units (1e6 div first-hit
+  // rank). The ALL summary row derives from Σdcg (exact) — never a float
+  // sum across queries.
+  // 100 TB: ground truth only exists for the EVAL SAMPLE (the E7
+  // argument); everything after the two top-3 lists is sample-sized.
+  def ndcgEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wDisc = expr(
+      "CASE rnk WHEN 1 THEN 1000000000L WHEN 2 THEN 630929753L ELSE 500000000L END")
+    val idealDcg = 4761859506L // 3*w(1) + 2*w(2) + 1*w(3)
+    val bfg = cosineTopK(spark, dir).filter($"rnk" <= 3)
+      .select($"qid", $"cid", (lit(4L) - $"rnk").cast("long").as("gain"))
+    val ann = ivfTopK(spark, dir).select($"qid", $"rnk", $"cid")
+    val per = ann.join(bfg, Seq("qid", "cid"), "left")
+      .withColumn("gain", coalesce($"gain", lit(0L)))
+      .groupBy($"qid")
+      .agg(
+        sum($"gain" * wDisc).as("dcg"),
+        sum(when($"gain" > 0, 1L).otherwise(0L)).as("n_rel"),
+        min(when($"gain" > 0, $"rnk")).as("fr"))
+    val rows = per.select($"qid", $"n_rel", $"dcg",
+      round($"dcg".cast("double") / lit(idealDcg.toDouble), 6).as("ndcg"),
+      coalesce(expr("1000000L div fr"), lit(0L)).as("mrr_micro"))
+    val all = per.agg(
+        sum($"n_rel").as("n_rel"), sum($"dcg").as("dcg"),
+        count(lit(1)).as("nq"), sum(coalesce(expr("1000000L div fr"), lit(0L))).as("smrr"))
+      .select(lit(-1L).as("qid"), $"n_rel", $"dcg",
+        round($"dcg".cast("double") / ($"nq" * lit(idealDcg.toDouble)), 6).as("ndcg"),
+        expr("smrr div nq").as("mrr_micro"))
+    rows.unionByName(all).orderBy($"qid")
+  }
+
+  val ndcgEvalSql: String =
+    embCte + ",\n" + lloydCtes(10, 5) + ",\n" + ivfSearchCtes + """,
+      |ann AS (
+      |  SELECT qid, cid, rnk FROM (
+      |    SELECT qid, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+      |    FROM hits) r
+      |  WHERE rnk <= 3),
+      |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM ev WHERE vec_id < 5),
+      |cand AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM ev WHERE vec_id >= 5),
+      |bfsims AS (
+      |  SELECT qid, cid,
+      |    round(list_sum(list_transform(list_zip(qv, cv), t -> t[1] * t[2])) / (qn * cn), 6) AS sim
+      |  FROM cand CROSS JOIN q),
+      |bfg AS (
+      |  SELECT qid, cid, CAST(4 - rnk AS BIGINT) AS gain FROM (
+      |    SELECT qid, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+      |    FROM bfsims) r
+      |  WHERE rnk <= 3),
+      |per AS (
+      |  SELECT a.qid,
+      |    SUM(COALESCE(g.gain, 0) *
+      |      CASE a.rnk WHEN 1 THEN 1000000000 WHEN 2 THEN 630929753 ELSE 500000000 END) AS dcg,
+      |    SUM(CASE WHEN COALESCE(g.gain, 0) > 0 THEN 1 ELSE 0 END) AS n_rel,
+      |    MIN(CASE WHEN COALESCE(g.gain, 0) > 0 THEN a.rnk END) AS fr
+      |  FROM ann a LEFT JOIN bfg g ON g.qid = a.qid AND g.cid = a.cid
+      |  GROUP BY a.qid)
+      |SELECT qid, CAST(n_rel AS BIGINT) AS n_rel, CAST(dcg AS BIGINT) AS dcg,
+      |  round(dcg / 4761859506.0, 6) AS ndcg,
+      |  CAST(COALESCE(1000000 // fr, 0) AS BIGINT) AS mrr_micro
+      |FROM per
+      |UNION ALL
+      |SELECT -1, CAST(SUM(n_rel) AS BIGINT), CAST(SUM(dcg) AS BIGINT),
+      |  round(SUM(dcg) / (COUNT(*) * 4761859506.0), 6),
+      |  CAST(SUM(COALESCE(1000000 // fr, 0)) // COUNT(*) AS BIGINT)
+      |FROM per
+      |ORDER BY qid""".stripMargin
+
+  // ---------------------------------------------------------------------
   // E5 SemDeDup-style semantic dedup: the learned IVF cells (same Lloyd
   // training as E2) bound the candidate space — only CELL-MATES are ever
   // compared, the SemDeDup design (Abbas et al. 2023): k-means first, then
@@ -1932,6 +2017,7 @@ object Embeddings {
     "emb_semdedup"    -> (semDedup _),
     "emb_quantize"    -> (quantize _),
     "emb_recall_eval" -> (recallEval _),
+    "emb_ndcg_eval" -> (ndcgEval _),
     "emb_hard_negatives" -> (hardNegatives _))
 
   val oracles: Map[String, String] = Map(
@@ -1952,5 +2038,6 @@ object Embeddings {
     "emb_semdedup"    -> semDedupSql,
     "emb_quantize"    -> quantizeSql,
     "emb_recall_eval" -> recallEvalSql,
+    "emb_ndcg_eval" -> ndcgEvalSql,
     "emb_hard_negatives" -> hardNegativesSql)
 }

@@ -216,19 +216,29 @@ object TextAnalysis {
   private[graft] def winnowPairs(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // The whole per-doc selection is ONE expression with `hs` bound as a
+    // lambda variable (transform over a 1-element array). Binding matters:
+    // as three chained withColumns, CollapseProject inlines the full hs
+    // computation (~n_tok md5+conv calls) into EVERY per-window reference
+    // inside the selpos lambda — 2 references × ~n_tok windows re-derived
+    // the entire hash array per window, turning a linear scan O(n_tok·w)
+    // into O(n_tok²·w) interpreted work (measured: 427 s at sf0.1 for a
+    // 270k-token corpus; bound form below: ~1 s). Lambda variables are
+    // evaluated once by construction — the optimizer cannot inline
+    // through them. Rightmost-min per window: first position in the
+    // REVERSED window is the rightmost in the original;
+    // global pos = s + w - pos_in_rev.
     val sel = docs
       .withColumn("toks", split($"text", " "))
       .filter(size($"toks") >= 7) // need >= 1 window of w=4 over 4-grams
-      .withColumn("hs", expr(
-        """transform(sequence(1, size(toks) - 3), i ->
-          |  CAST(conv(substr(md5(array_join(slice(toks, i, 4), ' ')), 1, 8), 16, 10) AS BIGINT))""".stripMargin))
-      // rightmost-min per window: first position in the REVERSED window is
-      // the rightmost in the original; global pos = s + w - pos_in_rev.
-      .withColumn("selpos", expr(
-        """array_distinct(transform(sequence(1, size(hs) - 3), s ->
-          |  s + 4 - CAST(array_position(reverse(slice(hs, s, 4)), array_min(slice(hs, s, 4))) AS INT)))""".stripMargin))
       .withColumn("fps", expr(
-        "array_distinct(transform(selpos, p -> element_at(hs, p)))"))
+        """element_at(transform(array(
+          |  transform(sequence(1, size(toks) - 3), i ->
+          |    CAST(conv(substr(md5(array_join(slice(toks, i, 4), ' ')), 1, 8), 16, 10) AS BIGINT))),
+          |  hs -> array_distinct(transform(
+          |    array_distinct(transform(sequence(1, size(hs) - 3), s ->
+          |      s + 4 - CAST(array_position(reverse(slice(hs, s, 4)), array_min(slice(hs, s, 4))) AS INT))),
+          |    p -> element_at(hs, p)))), 1)""".stripMargin))
       .select($"doc_id", $"fps")
     val idx = sel.select($"doc_id", explode($"fps").as("fp"))
     val keep = idx.groupBy($"fp").agg(count(lit(1)).as("df"))

@@ -140,11 +140,139 @@ object Incremental {
       |GROUP BY c_mktsegment, o_orderstatus
       |ORDER BY c_mktsegment, o_orderstatus""".stripMargin
 
+  /** A22 CDC MERGE apply: fold an insert/update/delete changefeed into a
+    * base snapshot with last-writer-wins semantics — the relational core
+    * of Snowflake `MERGE` (the reference's whole incremental model,
+    * `dags/dbt/meteomatics/models/staging/stg_weather_raw.sql:3-7`, is
+    * this operation delegated to the warehouse) and of every Debezium/
+    * Delta-CDF "apply changes" step. A13/A15 maintain AGGREGATE and JOIN
+    * views; this maintains the base TABLE itself.
+    *
+    * Semantics certified (every branch is exercised by the Round13Spec
+    * hand corpus; the derived feed below exercises all but I-on-present,
+    * which its key scheme cannot produce):
+    *   - per key, only the LATEST change (max seq) applies — earlier
+    *     changes in the same apply window are superseded, never stacked;
+    *   - D removes the key (including keys updated earlier in the window);
+    *   - U carries the full new row image and UPSERTS: present key →
+    *     new image, absent key → insert (a later U resurrects a key the
+    *     same window deleted — the last-writer rule, not an error);
+    *   - I inserts; on a present key it degrades to the same upsert rule
+    *     (CDC feeds routinely replay I on existing keys after snapshots);
+    *   - keys the feed never mentions pass through untouched;
+    *   - D on an absent key is a no-op, not an error.
+    * `action` labels each surviving row (keep/update/insert) so the
+    * oracle checks the decision, not just the final image.
+    *
+    * The changefeed here is DERIVED deterministically from `orders` (base
+    * = keys not divisible by 3; two change batches with overlapping key
+    * sets — see the CASE tables, identical in both engines), so the query
+    * is self-contained and scale-free.
+    *
+    * 100 TB: the latest-change reduction is ONE partial aggregation over
+    * the changefeed (feed-sized, max_by merges associatively — never a
+    * window over the base); the apply is ONE full-outer join on the key —
+    * with the base in the S7b bucketed layout the base side shuffles
+    * nothing, and under the S6v snapshot-pointer publish the merged
+    * result becomes the next snapshot version (writers swap the pointer,
+    * readers never see a half-applied feed). The base is never scanned
+    * twice and no driver state exists.
+    */
+  def cdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+      .select($"o_orderkey".as("k"), $"o_orderstatus".as("status"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val base = ord.filter($"k" % 3 =!= 0)
+    // batch 1: deletes on k%5=0, full-image updates on k%5=1
+    val ch1 = ord.select($"k", lit(1L).as("seq"),
+        when($"k" % 5 === 0, lit("D")).when($"k" % 5 === 1, lit("U")).as("op"),
+        $"status".as("c_status"), ($"cents" + 1000L).as("c_cents"))
+      .filter($"op".isNotNull)
+    // batch 2 (later, same apply window): deletes that supersede batch-1
+    // updates (k%10=1 ⊂ k%5=1), updates that resurrect batch-1 deletes
+    // (k%15=0 ⊂ k%5=0) and upsert-insert absent keys (k%15=0 → k%3=0),
+    // and inserts of keys outside the base (k%15=3 → k%3=0)
+    val ch2 = ord.select($"k", lit(2L).as("seq"),
+        when($"k" % 10 === 1, lit("D"))
+          .when($"k" % 15 === 0, lit("U"))
+          .when($"k" % 15 === 3, lit("I")).as("op"),
+        when($"k" % 15 === 0, lit("R")).otherwise(lit("N")).as("c_status"),
+        when($"k" % 15 === 0, $"cents" + 5000L).otherwise(lit(7777L)).as("c_cents"))
+      .filter($"op".isNotNull)
+    applyChanges(base, ch1.unionByName(ch2))
+      .select($"k", $"status", ($"cents" / 100.0).as("price"), $"action")
+      .orderBy($"k")
+  }
+
+  /** The MERGE kernel: base(k, status, cents) + feed(k, seq, op,
+    * c_status, c_cents) → merged(k, status, cents, action). Exposed so
+    * Round13Spec can drive EVERY semantic branch (including I-on-present,
+    * which [[cdcMerge]]'s derived feed cannot produce) with hand-built
+    * frames. seq must be unique per key (CDC log position).
+    */
+  private[graft] def applyChanges(base: DataFrame, ch: DataFrame): DataFrame = {
+    import base.sparkSession.implicits._
+    // latest change per key: seq is unique per key by contract, so
+    // max(struct(seq, …)) is a deterministic argmax and partially
+    // aggregates map-side — the feed never meets a ranking window
+    val latest = ch
+      .groupBy($"k")
+      .agg(max(struct($"seq", $"op", $"c_status", $"c_cents")).as("c"))
+      .select($"k", $"c.op".as("op"), $"c.c_status".as("c_status"),
+        $"c.c_cents".as("c_cents"))
+    base.join(latest, Seq("k"), "full_outer")
+      .filter($"op".isNull || $"op" =!= "D")
+      .select($"k",
+        coalesce($"c_status", $"status").as("status"),
+        coalesce($"c_cents", $"cents").as("cents"),
+        when($"op".isNull, lit("keep"))
+          .when($"status".isNull, lit("insert"))
+          .otherwise(lit("update")).as("action"))
+  }
+
+  val cdcMergeSql: String =
+    """WITH ord AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS status,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |base AS (SELECT * FROM ord WHERE k % 3 <> 0),
+      |ch AS (
+      |  SELECT k, 1 AS seq,
+      |    CASE WHEN k % 5 = 0 THEN 'D' WHEN k % 5 = 1 THEN 'U' END AS op,
+      |    status AS c_status, cents + 1000 AS c_cents
+      |  FROM ord WHERE k % 5 IN (0, 1)
+      |  UNION ALL
+      |  SELECT k, 2 AS seq,
+      |    CASE WHEN k % 10 = 1 THEN 'D'
+      |         WHEN k % 15 = 0 THEN 'U'
+      |         WHEN k % 15 = 3 THEN 'I' END AS op,
+      |    CASE WHEN k % 15 = 0 THEN 'R' ELSE 'N' END AS c_status,
+      |    CASE WHEN k % 15 = 0 THEN cents + 5000 ELSE 7777 END AS c_cents
+      |  FROM ord WHERE k % 10 = 1 OR k % 15 IN (0, 3)),
+      |latest AS (
+      |  SELECT k, op, c_status, c_cents FROM (
+      |    SELECT k, op, c_status, c_cents,
+      |      ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      |    FROM ch) r
+      |  WHERE rn = 1)
+      |SELECT COALESCE(b.k, l.k) AS k,
+      |  COALESCE(l.c_status, b.status) AS status,
+      |  COALESCE(l.c_cents, b.cents) / 100.0 AS price,
+      |  CASE WHEN l.op IS NULL THEN 'keep'
+      |       WHEN b.k IS NULL THEN 'insert'
+      |       ELSE 'update' END AS action
+      |FROM base b FULL OUTER JOIN latest l ON l.k = b.k
+      |WHERE l.op IS NULL OR l.op <> 'D'
+      |ORDER BY k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a13_inc_agg"  -> (incAgg _),
-    "a15_inc_join" -> (incJoin _))
+    "a15_inc_join" -> (incJoin _),
+    "a22_cdc_merge" -> (cdcMerge _))
 
   val oracles: Map[String, String] = Map(
     "a13_inc_agg"  -> incAggSql,
-    "a15_inc_join" -> incJoinSql)
+    "a15_inc_join" -> incJoinSql,
+    "a22_cdc_merge" -> cdcMergeSql)
 }

@@ -342,7 +342,62 @@ object Formats {
       |  MAX(event_id) AS max_id
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  val evoRoot = "/tmp/graft_schema_evo"
+
+  /** S15 schema evolution: a long-lived 100 TB table is written by MANY
+    * producer versions — columns get added and retired mid-stream, and
+    * the reader must see ONE coherent schema without rewriting history
+    * (the reason Delta/Iceberg carry schema-evolution rules; plain
+    * parquet gets the additive subset via mergeSchema). Demonstrated the
+    * way it actually happens: batch 1 is the v1 producer (o_orderkey,
+    * status, cents), batch 2 the v2 producer that ADDED `priority` and
+    * RETIRED `status` — written to the same root, read back with
+    * mergeSchema=true, so each side's missing column surfaces as NULL in
+    * the unified schema. The query then does what every consumer of an
+    * evolved table must: normalize the nulls explicitly (absent status →
+    * 'NA', absent priority → 'NONE') and aggregate — the COALESCE
+    * boundary is the operator, not an accident. The oracle reads the
+    * same files with union_by_name, certifying both engines agree on the
+    * unified schema AND the null semantics of absent columns.
+    * 100 TB: mergeSchema costs one footer read per FILE GROUP at plan
+    * time (Spark samples footers; a production table pins the merged
+    * schema in a catalog instead — this operator is the no-catalog
+    * fallback and the semantics are identical); the scan itself stays
+    * one pass, pushdown still reaches both file generations (columns
+    * absent from a file prune trivially — parquet returns nulls without
+    * IO). Round13Spec pins the null-fill matrix per generation.
+    */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+      .select($"o_orderkey".as("k"), $"o_orderstatus".as("status"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+        $"o_orderpriority".as("priority"))
+    // two producer generations, one table root
+    ord.filter($"k" % 2 === 0).select($"k", $"status", $"cents")
+      .write.mode("overwrite").parquet(s"$evoRoot/gen=1")
+    ord.filter($"k" % 2 === 1).select($"k", $"cents", $"priority")
+      .write.mode("overwrite").parquet(s"$evoRoot/gen=2")
+    spark.read.option("mergeSchema", "true").parquet(evoRoot)
+      .select($"gen".cast("long").as("gen"),
+        coalesce($"status", lit("NA")).as("status"),
+        coalesce($"priority", lit("NONE")).as("priority"),
+        $"cents")
+      .groupBy($"gen", $"status", $"priority")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))
+      .orderBy($"gen", $"status", $"priority")
+  }
+
+  val schemaEvolutionSql: String =
+    s"""SELECT CAST(CASE WHEN filename LIKE '%gen=1%' THEN 1 ELSE 2 END AS BIGINT) AS gen,
+      |  COALESCE(status, 'NA') AS status,
+      |  COALESCE(priority, 'NONE') AS priority,
+      |  COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM read_parquet('$evoRoot/*/*.parquet', union_by_name=true, filename=true)
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s15_schema_evolution" -> (schemaEvolution _),
     "s12_compaction"   -> (compaction _),
     "s11_merge_scan"   -> (mergeScan _),
     "csv_roundtrip"    -> (csvRoundtrip _),
@@ -353,6 +408,7 @@ object Formats {
     "s7_bucketed_join" -> (bucketedJoin _))
 
   val oracles: Map[String, String] = Map(
+    "s15_schema_evolution" -> schemaEvolutionSql,
     "s12_compaction"   -> compactionSql,
     "s11_merge_scan"   -> mergeScanSql,
     "csv_roundtrip"    -> csvRoundtripSql,

@@ -39,6 +39,7 @@ class PlanAuditSpec extends SparkSpec {
     "emb_multiprobe_neardup", // same 16×64 CONSTANT hyperplane crossJoin as emb_lsh_neardup
     "emb_ivfadc_topk", // same ONE-row codebook/centroid broadcasts as emb_pq_topk/emb_ivf_topk
     "emb_recall_eval", // composes E1+E2 — same broadcast query set / centroids
+    "emb_ndcg_eval",   // composes E1+E2 the same way (graded twin of recall_eval)
     "emb_hard_negatives", // same broadcast anchor set as emb_cosine_topk
     "emb_knn_graph", // same fixed-size hyperplane broadcast as emb_lsh_neardup
     "emb_rproj_topk", // same broadcast query set as emb_cosine_topk

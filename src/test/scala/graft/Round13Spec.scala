@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Incremental
+import graft.llm.Embeddings
+
+/** Round-13 operators: A22 CDC MERGE apply and E19 graded ranking eval.
+  * The DuckDB oracle pins cross-engine parity on the derived feeds; these
+  * tests pin the semantic branches the derived feed cannot produce
+  * (I-on-present, D-on-absent at a chosen key) and recompute the nDCG
+  * arithmetic independently from the two underlying rankings.
+  */
+class Round13Spec extends SparkSpec {
+
+  test("A22 applyChanges: every MERGE branch on a hand-built base + feed") {
+    import spark.implicits._
+    // base keys: 1 (keep), 2 (update), 3 (delete), 4 (D superseded by U —
+    // resurrect), 5 (U superseded by D), 6 (I on PRESENT key — upsert)
+    val base = Seq(
+      (1L, "A", 100L), (2L, "B", 200L), (3L, "C", 300L),
+      (4L, "D", 400L), (5L, "E", 500L), (6L, "F", 600L)
+    ).toDF("k", "status", "cents")
+    val feed = Seq(
+      // k=2: two updates — only the later (seq 2) image may survive
+      (2L, 1L, "U", "X", 201L), (2L, 2L, "U", "Y", 202L),
+      // k=3: plain delete
+      (3L, 1L, "D", "-", 0L),
+      // k=4: delete then update — last writer resurrects with new image
+      (4L, 1L, "D", "-", 0L), (4L, 2L, "U", "R", 404L),
+      // k=5: update then delete — delete wins
+      (5L, 1L, "U", "Z", 505L), (5L, 2L, "D", "-", 0L),
+      // k=6: INSERT op on a present key — degrades to upsert
+      (6L, 1L, "I", "G", 606L),
+      // k=7: insert of an absent key
+      (7L, 1L, "I", "H", 700L),
+      // k=8: UPDATE op on an absent key — upsert-inserts
+      (8L, 1L, "U", "J", 800L),
+      // k=9: delete of an absent key — a no-op, never an error
+      (9L, 1L, "D", "-", 0L)
+    ).toDF("k", "seq", "op", "c_status", "c_cents")
+    val got = Incremental.applyChanges(base, feed)
+      .orderBy($"k")
+      .collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("status"),
+        r.getAs[Long]("cents"), r.getAs[String]("action")))
+      .toSeq
+    assert(got === Seq(
+      (1L, "A", 100L, "keep"),
+      (2L, "Y", 202L, "update"),   // later seq wins, earlier image gone
+      (4L, "R", 404L, "update"),   // D then U: last writer resurrects
+      (6L, "G", 606L, "update"),   // I on present = upsert
+      (7L, "H", 700L, "insert"),
+      (8L, "J", 800L, "insert")    // U on absent = upsert
+    ))
+  }
+
+  test("A22 cdc_merge: derived-feed query is internally consistent at sf0.001") {
+    import spark.implicits._
+    val out = Incremental.cdcMerge(spark, sfDir).collect()
+    val keys = out.map(_.getAs[Long]("k")).toSet
+    // seq-1 D victims (k%5=0, base members, not resurrected) are gone
+    assert(keys.forall(k => !(k % 5 == 0 && k % 3 != 0 && k % 15 != 0)))
+    // seq-2 D victims (k%10=1) are gone even though seq-1 updated them
+    assert(keys.forall(k => k % 10 != 1))
+    // inserts (k%15=3) are present with the literal image
+    val ins = out.filter(r => r.getAs[Long]("k") % 15 == 3)
+    assert(ins.nonEmpty)
+    assert(ins.forall(r => r.getAs[String]("action") == "insert" &&
+      r.getAs[String]("status") == "N" &&
+      math.abs(r.getAs[Double]("price") - 77.77) < 1e-9))
+    // untouched keys keep their base action
+    assert(out.filter(_.getAs[String]("action") == "keep").nonEmpty)
+  }
+
+  test("S15 schema evolution: null-fill matrix per producer generation") {
+    import spark.implicits._
+    val out = graft.sources.Formats.schemaEvolution(spark, sfDir).collect()
+    val g1 = out.filter(_.getAs[Long]("gen") == 1L)
+    val g2 = out.filter(_.getAs[Long]("gen") == 2L)
+    assert(g1.nonEmpty && g2.nonEmpty)
+    // v1 files never had `priority`; v2 files retired `status` — each
+    // absent column must surface as the normalized fill, never leak a
+    // value from the other generation
+    assert(g1.forall(r => r.getAs[String]("priority") == "NONE" &&
+      r.getAs[String]("status") != "NA"))
+    assert(g2.forall(r => r.getAs[String]("status") == "NA" &&
+      r.getAs[String]("priority") != "NONE"))
+    // nothing dropped: group counts cover every order exactly once
+    val total = out.map(_.getAs[Long]("n")).sum
+    assert(total === graft.Tables.orders(spark, sfDir).count())
+  }
+
+  test("E19 ndcg_eval: recomputed from the two rankings; ALL row is the exact rollup") {
+    import spark.implicits._
+    val w = Map(1 -> 1000000000L, 2 -> 630929753L, 3 -> 500000000L)
+    val ideal = 4761859506L
+    val bf = Embeddings.cosineTopK(spark, sfDir).filter($"rnk" <= 3)
+      .select($"qid", $"cid", $"rnk").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid")) -> (4L - r.getAs[Int]("rnk")))
+      .toMap
+    val ann = Embeddings.ivfTopK(spark, sfDir)
+      .select($"qid", $"rnk", $"cid").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"), r.getAs[Long]("cid")))
+    val expected = ann.groupBy(_._1).map { case (qid, hits) =>
+      val dcg = hits.map { case (_, rnk, cid) =>
+        bf.getOrElse((qid, cid), 0L) * w(rnk)
+      }.sum
+      val fr = hits.filter { case (_, _, cid) => bf.contains((qid, cid)) }
+        .map(_._2).sorted.headOption
+      qid -> (dcg, fr.map(1000000L / _).getOrElse(0L))
+    }
+    val got = Embeddings.ndcgEval(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("qid") ->
+        (r.getAs[Long]("dcg"), r.getAs[Double]("ndcg"), r.getAs[Long]("mrr_micro")))
+      .toMap
+    expected.foreach { case (qid, (dcg, mrr)) =>
+      val (gdcg, gndcg, gmrr) = got(qid)
+      assert(gdcg === dcg, s"dcg mismatch for qid=$qid")
+      assert(gmrr === mrr, s"mrr mismatch for qid=$qid")
+      val want = BigDecimal(dcg.toDouble / ideal)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(gndcg - want) < 1e-9)
+      assert(gndcg >= 0.0 && gndcg <= 1.0)
+    }
+    // the ALL row rolls up in exact int64, never a float sum
+    val (alldcg, allndcg, allmrr) = got(-1L)
+    assert(alldcg === expected.values.map(_._1).sum)
+    assert(allmrr === expected.values.map(_._2).sum / expected.size)
+    val wantAll = BigDecimal(alldcg.toDouble / (expected.size * ideal.toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(allndcg - wantAll) < 1e-9)
+  }
+}
