@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharBigrams, DotProduct, TokenCounts, WordShingles}
+import graft.functions.{CharBigrams, DotProduct, TokenCounts, WinnowFps, WordShingles}
 
 /** Engine extensions: registers the native expressions with Catalyst.
   * Production path: `.config("spark.sql.extensions", "graft.GraftExtensions")`
@@ -30,6 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
       (children: Seq[Expression]) => WordShingles(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFps].getName, "graft_winnow_fps"),
+      (children: Seq[Expression]) => WinnowFps(children.head)))
     // whole-operator extension tier: the native as-of join, plus the
     // optimizer rule that narrows its children before their exchanges
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
@@ -55,6 +59,10 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingles",
       (children: Seq[Expression]) => WordShingles(children.head, children(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_winnow_fps",
+      (children: Seq[Expression]) => WinnowFps(children.head),
       "built-in")
   }
 }

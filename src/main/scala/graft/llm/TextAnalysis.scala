@@ -213,33 +213,38 @@ object TextAnalysis {
   def winnow(spark: SparkSession, dir: String): DataFrame =
     winnowPairs(Tables.documents(spark, dir))
 
+  /** The T20 per-doc selection as the original SQL-lambda pipeline — kept
+    * as the EXECUTABLE SPEC of [[graft.functions.WinnowFps]] (the PqCodes
+    * discipline): Round13Spec proves native == this form on every corpus
+    * document. Two hard-won shapes inside it: the whole selection is ONE
+    * expression with `hs` bound as a lambda variable (as three chained
+    * withColumns, CollapseProject inlined the full ~n_tok-md5 hs
+    * computation into BOTH per-window references inside the selpos lambda
+    * — O(n_tok²·w) interpreted work, measured 427 s at sf0.1; lambda
+    * bindings are evaluated once by construction, the optimizer cannot
+    * inline through them), and rightmost-min per window = first position
+    * in the REVERSED window (global pos = s + w − pos_in_rev).
+    */
+  private[graft] def winnowFpsLambda: org.apache.spark.sql.Column = expr(
+    """element_at(transform(array(
+      |  transform(sequence(1, size(toks) - 3), i ->
+      |    CAST(conv(substr(md5(array_join(slice(toks, i, 4), ' ')), 1, 8), 16, 10) AS BIGINT))),
+      |  hs -> array_distinct(transform(
+      |    array_distinct(transform(sequence(1, size(hs) - 3), s ->
+      |      s + 4 - CAST(array_position(reverse(slice(hs, s, 4)), array_min(slice(hs, s, 4))) AS INT))),
+      |    p -> element_at(hs, p)))), 1)""".stripMargin)
+
   private[graft] def winnowPairs(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
+    graft.GraftExtensions.ensure(spark)
     import spark.implicits._
-    // The whole per-doc selection is ONE expression with `hs` bound as a
-    // lambda variable (transform over a 1-element array). Binding matters:
-    // as three chained withColumns, CollapseProject inlines the full hs
-    // computation (~n_tok md5+conv calls) into EVERY per-window reference
-    // inside the selpos lambda — 2 references × ~n_tok windows re-derived
-    // the entire hash array per window, turning a linear scan O(n_tok·w)
-    // into O(n_tok²·w) interpreted work (measured: 427 s at sf0.1 for a
-    // 270k-token corpus; bound form below: ~1 s). Lambda variables are
-    // evaluated once by construction — the optimizer cannot inline
-    // through them. Rightmost-min per window: first position in the
-    // REVERSED window is the rightmost in the original;
-    // global pos = s + w - pos_in_rev.
+    // per-doc selection via the native expression (one JVM pass per doc,
+    // codegen-friendly); [[winnowFpsLambda]] documents the semantics and
+    // the isolated A/B (6.6 -> 1.1 s at sf0.1, hashes unchanged)
     val sel = docs
-      .withColumn("toks", split($"text", " "))
-      .filter(size($"toks") >= 7) // need >= 1 window of w=4 over 4-grams
-      .withColumn("fps", expr(
-        """element_at(transform(array(
-          |  transform(sequence(1, size(toks) - 3), i ->
-          |    CAST(conv(substr(md5(array_join(slice(toks, i, 4), ' ')), 1, 8), 16, 10) AS BIGINT))),
-          |  hs -> array_distinct(transform(
-          |    array_distinct(transform(sequence(1, size(hs) - 3), s ->
-          |      s + 4 - CAST(array_position(reverse(slice(hs, s, 4)), array_min(slice(hs, s, 4))) AS INT))),
-          |    p -> element_at(hs, p)))), 1)""".stripMargin))
-      .select($"doc_id", $"fps")
+      .filter(size(split($"text", " ")) >= 7) // need >= 1 window of w=4 over 4-grams
+      .select($"doc_id",
+        call_function("graft_winnow_fps", $"text").as("fps"))
     val idx = sel.select($"doc_id", explode($"fps").as("fp"))
     val keep = idx.groupBy($"fp").agg(count(lit(1)).as("df"))
       .filter($"df".between(2, 64)).select($"fp")

@@ -73,6 +73,27 @@ class Round13Spec extends SparkSpec {
     assert(out.filter(_.getAs[String]("action") == "keep").nonEmpty)
   }
 
+  test("X25 graft_winnow_fps: native == the SQL-lambda spec on every corpus doc") {
+    import spark.implicits._
+    graft.GraftExtensions.ensure(spark)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .withColumn("toks", split($"text", " "))
+      .filter(size($"toks") >= 7)
+    val mismatches = docs.select($"doc_id",
+        graft.llm.TextAnalysis.winnowFpsLambda.as("want"),
+        call_function("graft_winnow_fps", $"text").as("got"))
+      .filter(!($"want" <=> $"got"))
+      .count()
+    assert(mismatches === 0L)
+    // boundary contract: < 7 tokens (no full window) -> empty; null -> null
+    val edge = Seq((1L, "a b c d e f"), (2L, null: String))
+      .toDF("doc_id", "text")
+      .select($"doc_id", call_function("graft_winnow_fps", $"text").as("fps"))
+      .orderBy($"doc_id").collect()
+    assert(edge(0).getAs[Seq[Long]]("fps") === Seq.empty)
+    assert(edge(1).isNullAt(1))
+  }
+
   test("S15 schema evolution: null-fill matrix per producer generation") {
     import spark.implicits._
     val out = graft.sources.Formats.schemaEvolution(spark, sfDir).collect()

@@ -11,7 +11,8 @@ sorted multisets so we know whether only ordering differs).
 Usage: python3 tools/oracle_check.py <sfDir> <outDir>
 
 NB: the side-file queries (csv/orc/xml round trips, s12 compaction,
-wx_file_ingest, a13/a15 incremental state) read /tmp artifacts written by
+s15 schema evolution, wx_file_ingest, a13/a15 incremental state) read
+/tmp artifacts written by
 the most recent Spark run; re-running this check after a Verify/Bench at a
 DIFFERENT scale factor compares fresh oracle reads against stale dumps.
 Always re-run Verify at the same sfDir immediately before this check.
