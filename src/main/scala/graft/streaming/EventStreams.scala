@@ -243,6 +243,57 @@ object EventStreams {
       }
   }
 
+  /** X26 streaming CDC apply: the A22 MERGE kernel run per micro-batch,
+    * each result published as the NEXT committed snapshot version — the
+    * "streaming MERGE / apply-changes-into" composition (Delta CDF's
+    * apply shape) built from two parts this engine already certifies
+    * separately: `Incremental.applyChanges` (last-writer-wins I/U/D
+    * semantics, oracle-checked by a22_cdc_merge) and the S6v
+    * snapshot-pointer publish (readers concurrent to the writer keep
+    * their version; the marker create is the commit point).
+    *
+    * Contract: the changefeed is seq-ordered ACROSS batches per key (a
+    * CDC log position); within a batch, max seq wins (applyChanges).
+    * Each batch reads the CURRENT snapshot (immutable snap_N) and
+    * publishes snap_N+1 — reader isolation during the write is the S6v
+    * guarantee, exactly-once per batch comes from the streaming
+    * checkpoint replaying a failed batch onto the same base version.
+    *
+    * 100 TB: per-batch cost is the A22 shape — feed-sized latest-change
+    * aggregation + one key join against the snapshot; the publish
+    * rewrites only what the merge rewrites. A deployment partitions the
+    * snapshot on the key so an incremental batch rewrites only touched
+    * partitions (the S7b layout argument); the periodic compaction story
+    * is S12's.
+    */
+  def cdcApplySink(changes: DataFrame, root: String, checkpoint: String): DataStreamWriter[Row] = {
+    import org.apache.spark.sql.functions.col
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val s = batch.sparkSession
+        val cols = Seq("k", "status", "cents").map(col)
+        val base = graft.weather.Staging.currentSnapshotVersion(s, root) match {
+          case Some(_) => graft.weather.Staging.readSnapshot(s, root).select(cols: _*)
+          case None =>
+            s.createDataFrame(s.sparkContext.emptyRDD[Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("status", org.apache.spark.sql.types.StringType),
+                org.apache.spark.sql.types.StructField("cents", org.apache.spark.sql.types.LongType))))
+        }
+        // materialize BEFORE publishing: the merge plan reads snap_N, and
+        // a lazy write inside publishSnapshot would interleave that read
+        // with the lock window longer than necessary (snap_N itself is
+        // immutable, so this is latency hygiene, not correctness)
+        val merged = graft.ops.Incremental.applyChanges(base, batch.toDF())
+          .select(cols: _*).localCheckpoint(true)
+        graft.weather.Staging.publishSnapshot(s, root)(p =>
+          merged.write.parquet(p))
+        ()
+      }
+  }
+
   /** Custom streaming state via mapGroupsWithState (the escape hatch the
     * built-in windows can't express): per-user running count + max value,
     * carried across micro-batches in GroupState. The reference needs no

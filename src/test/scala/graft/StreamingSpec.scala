@@ -371,6 +371,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDC apply: batches publish snapshot versions, time travel intact") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_cdc_").toString
+    val root = s"$base/tbl"; val ckpt = s"$base/ckpt"
+    // (k, seq, op, c_status, c_cents)
+    val input = MemoryStream[(Long, Long, String, String, Long)]
+    val q = EventStreams.cdcApplySink(
+      input.toDF.toDF("k", "seq", "op", "c_status", "c_cents"), root, ckpt).start()
+    def snapshot(): Map[Long, (String, Long)] =
+      graft.weather.Staging.readSnapshot(spark, root).collect()
+        .map(r => r.getAs[Long]("k") ->
+          (r.getAs[String]("status"), r.getAs[Long]("cents"))).toMap
+    try {
+      // batch 1: three inserts + an upsert-on-absent
+      input.addData((1L, 1L, "I", "A", 100L), (2L, 1L, "I", "B", 200L),
+        (3L, 1L, "I", "C", 300L), (4L, 1L, "U", "D", 400L))
+      q.processAllAvailable()
+      val v0 = graft.weather.Staging.currentSnapshotVersion(spark, root).get
+      val snap0 = snapshot()
+      assert(snap0 === Map(1L -> ("A", 100L), 2L -> ("B", 200L),
+        3L -> ("C", 300L), 4L -> ("D", 400L)))
+      // batch 2: delete k=2; update k=1; within-batch supersede on k=3
+      // (U seq 10 then D seq 11 — delete wins); insert k=5
+      input.addData((2L, 10L, "D", "-", 0L), (1L, 10L, "U", "A2", 101L),
+        (3L, 10L, "U", "C2", 301L), (3L, 11L, "D", "-", 0L),
+        (5L, 10L, "I", "E", 500L))
+      q.processAllAvailable()
+      assert(snapshot() === Map(1L -> ("A2", 101L), 4L -> ("D", 400L),
+        5L -> ("E", 500L)))
+      // the prior version is immutable: a reader holding v0 still sees it
+      val travel = graft.weather.Staging.readSnapshotAt(spark, root, v0)
+        .collect().map(r => r.getAs[Long]("k")).toSet
+      assert(travel === Set(1L, 2L, 3L, 4L))
+      assert(graft.weather.Staging.currentSnapshotVersion(spark, root).get === v0 + 1)
+    } finally q.stop()
+  }
+
   test("session aggregation: streaming equals batch, gap closes sessions") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
