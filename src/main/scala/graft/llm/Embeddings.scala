@@ -629,13 +629,17 @@ object Embeddings {
     val bfg = cosineTopK(spark, dir).filter($"rnk" <= 3)
       .select($"qid", $"cid", (lit(4L) - $"rnk").cast("long").as("gain"))
     val ann = ivfTopK(spark, dir).select($"qid", $"rnk", $"cid")
-    val per = ann.join(bfg, Seq("qid", "cid"), "left")
-      .withColumn("gain", coalesce($"gain", lit(0L)))
-      .groupBy($"qid")
-      .agg(
-        sum($"gain" * wDisc).as("dcg"),
-        sum(when($"gain" > 0, 1L).otherwise(0L)).as("n_rel"),
-        min(when($"gain" > 0, $"rnk")).as("fr"))
+    // per feeds BOTH the per-query rows and the ALL rollup of one union —
+    // action-scoped cache so the E1 brute-force scan and the E2 training
+    // pipeline behind it run once, not once per union branch
+    val per = graft.ops.ScopedCache.untilConsumed(
+      ann.join(bfg, Seq("qid", "cid"), "left")
+        .withColumn("gain", coalesce($"gain", lit(0L)))
+        .groupBy($"qid")
+        .agg(
+          sum($"gain" * wDisc).as("dcg"),
+          sum(when($"gain" > 0, 1L).otherwise(0L)).as("n_rel"),
+          min(when($"gain" > 0, $"rnk")).as("fr")))
     val rows = per.select($"qid", $"n_rel", $"dcg",
       round($"dcg".cast("double") / lit(idealDcg.toDouble), 6).as("ndcg"),
       coalesce(expr("1000000L div fr"), lit(0L)).as("mrr_micro"))

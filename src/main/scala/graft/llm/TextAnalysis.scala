@@ -240,9 +240,12 @@ object TextAnalysis {
     import spark.implicits._
     // per-doc selection via the native expression (one JVM pass per doc,
     // codegen-friendly); [[winnowFpsLambda]] documents the semantics and
-    // the isolated A/B (6.6 -> 1.1 s at sf0.1, hashes unchanged)
+    // the isolated A/B (6.6 -> 1.1 s at sf0.1, hashes unchanged). No
+    // token-count pre-filter: the expression returns an empty array for
+    // short docs (< 7 tokens) and null for null text, and the explode
+    // below drops both — a size(split(...)) filter would re-tokenize
+    // every doc a second time for nothing
     val sel = docs
-      .filter(size(split($"text", " ")) >= 7) // need >= 1 window of w=4 over 4-grams
       .select($"doc_id",
         call_function("graft_winnow_fps", $"text").as("fps"))
     val idx = sel.select($"doc_id", explode($"fps").as("fp"))

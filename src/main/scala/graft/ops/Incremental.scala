@@ -155,8 +155,10 @@ object Incremental {
     *     changes in the same apply window are superseded, never stacked;
     *   - D removes the key (including keys updated earlier in the window);
     *   - U carries the full new row image and UPSERTS: present key →
-    *     new image, absent key → insert (a later U resurrects a key the
-    *     same window deleted — the last-writer rule, not an error);
+    *     new image TAKEN VERBATIM (a NULL image field nulls the base
+    *     field out — never coalesced against stale base values), absent
+    *     key → insert (a later U resurrects a key the same window
+    *     deleted — the last-writer rule, not an error);
     *   - I inserts; on a present key it degrades to the same upsert rule
     *     (CDC feeds routinely replay I on existing keys after snapshots);
     *   - keys the feed never mentions pass through untouched;
@@ -221,13 +223,19 @@ object Incremental {
       .agg(max(struct($"seq", $"op", $"c_status", $"c_cents")).as("c"))
       .select($"k", $"c.op".as("op"), $"c.c_status".as("c_status"),
         $"c.c_cents".as("c_cents"))
-    base.join(latest, Seq("k"), "full_outer")
+    // presence markers, NOT value nullability: a base row may carry a
+    // legitimately NULL field, and a change image may carry NULL to null
+    // a field OUT — "full new row image" means the image is taken
+    // verbatim when a change applies, never coalesced field-by-field
+    // against the stale base values
+    base.withColumn("__base", lit(1))
+      .join(latest, Seq("k"), "full_outer")
       .filter($"op".isNull || $"op" =!= "D")
       .select($"k",
-        coalesce($"c_status", $"status").as("status"),
-        coalesce($"c_cents", $"cents").as("cents"),
+        when($"op".isNotNull, $"c_status").otherwise($"status").as("status"),
+        when($"op".isNotNull, $"c_cents").otherwise($"cents").as("cents"),
         when($"op".isNull, lit("keep"))
-          .when($"status".isNull, lit("insert"))
+          .when($"__base".isNull, lit("insert"))
           .otherwise(lit("update")).as("action"))
   }
 
@@ -257,8 +265,8 @@ object Incremental {
       |    FROM ch) r
       |  WHERE rn = 1)
       |SELECT COALESCE(b.k, l.k) AS k,
-      |  COALESCE(l.c_status, b.status) AS status,
-      |  COALESCE(l.c_cents, b.cents) / 100.0 AS price,
+      |  CASE WHEN l.op IS NULL THEN b.status ELSE l.c_status END AS status,
+      |  CASE WHEN l.op IS NULL THEN b.cents ELSE l.c_cents END / 100.0 AS price,
       |  CASE WHEN l.op IS NULL THEN 'keep'
       |       WHEN b.k IS NULL THEN 'insert'
       |       ELSE 'update' END AS action

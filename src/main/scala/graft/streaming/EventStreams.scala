@@ -256,8 +256,14 @@ object EventStreams {
     * CDC log position); within a batch, max seq wins (applyChanges).
     * Each batch reads the CURRENT snapshot (immutable snap_N) and
     * publishes snap_N+1 — reader isolation during the write is the S6v
-    * guarantee, exactly-once per batch comes from the streaming
-    * checkpoint replaying a failed batch onto the same base version.
+    * guarantee. Failure semantics are honest at-least-once on VERSIONS,
+    * exactly-once on STATE: a crash in the publish-succeeded/checkpoint-
+    * uncommitted window replays the batch onto the already-merged
+    * snapshot and commits one extra version — byte-identical state,
+    * because last-writer-wins re-application is idempotent (replaying a
+    * key's max-seq change onto its own result is a fixpoint). Version
+    * NUMBERS are therefore not a stable batch count; state and reads
+    * are unaffected.
     *
     * 100 TB: per-batch cost is the A22 shape — feed-sized latest-change
     * aggregation + one key join against the snapshot; the publish
@@ -272,6 +278,10 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
         val s = batch.sparkSession
+        // an empty batch (no-data trigger, restart recovery) must not
+        // rewrite the base-sized snapshot into a byte-identical new
+        // version — per-batch cost stays FEED-sized
+        if (!batch.isEmpty) {
         val cols = Seq("k", "status", "cents").map(col)
         val base = graft.weather.Staging.currentSnapshotVersion(s, root) match {
           case Some(_) => graft.weather.Staging.readSnapshot(s, root).select(cols: _*)
@@ -290,6 +300,7 @@ object EventStreams {
           .select(cols: _*).localCheckpoint(true)
         graft.weather.Staging.publishSnapshot(s, root)(p =>
           merged.write.parquet(p))
+        }
         ()
       }
   }

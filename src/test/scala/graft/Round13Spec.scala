@@ -19,7 +19,10 @@ class Round13Spec extends SparkSpec {
     // resurrect), 5 (U superseded by D), 6 (I on PRESENT key — upsert)
     val base = Seq(
       (1L, "A", 100L), (2L, "B", 200L), (3L, "C", 300L),
-      (4L, "D", 400L), (5L, "E", 500L), (6L, "F", 600L)
+      (4L, "D", 400L), (5L, "E", 500L), (6L, "F", 600L),
+      // k=10/k=11 have a legitimately NULL base status: classification
+      // must key on base-row PRESENCE, not on a value being null
+      (10L, null, 1000L), (11L, null, 1100L)
     ).toDF("k", "status", "cents")
     val feed = Seq(
       // k=2: two updates — only the later (seq 2) image may survive
@@ -37,7 +40,10 @@ class Round13Spec extends SparkSpec {
       // k=8: UPDATE op on an absent key — upsert-inserts
       (8L, 1L, "U", "J", 800L),
       // k=9: delete of an absent key — a no-op, never an error
-      (9L, 1L, "D", "-", 0L)
+      (9L, 1L, "D", "-", 0L),
+      // k=10: update whose FULL IMAGE nulls the status out — the image
+      // is taken verbatim, never coalesced against the stale base value
+      (10L, 1L, "U", null, 1001L)
     ).toDF("k", "seq", "op", "c_status", "c_cents")
     val got = Incremental.applyChanges(base, feed)
       .orderBy($"k")
@@ -51,7 +57,11 @@ class Round13Spec extends SparkSpec {
       (4L, "R", 404L, "update"),   // D then U: last writer resurrects
       (6L, "G", 606L, "update"),   // I on present = upsert
       (7L, "H", 700L, "insert"),
-      (8L, "J", 800L, "insert")    // U on absent = upsert
+      (8L, "J", 800L, "insert"),   // U on absent = upsert
+      (10L, null, 1001L, "update"), // NULL image field applied verbatim;
+                                    // action = update (base row PRESENT)
+      (11L, null, 1100L, "keep")    // untouched NULL-status row passes
+                                    // through as keep, never 'insert'
     ))
   }
 
