@@ -1037,20 +1037,38 @@ object Embeddings {
   // structure. Determinism: sims round(·, 6) before every comparison,
   // ties by vec_id asc, beam membership therefore total-ordered; the
   // oracle unrolls the 3 rounds as CTEs over the same adjacency.
-  def nswTopK(spark: SparkSession, dir: String): DataFrame = {
-    graft.GraftExtensions.ensure(spark)
+  /** The NSW corpus/query frames: corpus localCheckpointed once (feeds
+    * the index build AND every round's candidate scoring across several
+    * consuming actions), query set broadcast.
+    */
+  private[graft] def nswFrames(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
-    val topk = udaf(new graft.functions.TopKAggregator(5),
-      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
     val e0 = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding".as("v"))
       .withColumn("nrm", norm($"v"))
-    // corpus materialized once; feeds the index build AND every round's
-    // candidate scoring (localCheckpoint, not ScopedCache: the loop runs
-    // several consuming actions before the final query)
     val e = e0.filter($"vec_id" >= 5).localCheckpoint()
     val q = broadcast(e0.filter($"vec_id" < 5)
       .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn")))
+    (e, q)
+  }
+
+  /** NSW index build over the corpus frame: SRP-banded seed graph, then
+    * ONE NN-descent round (Dong et al. 2011: a neighbor's neighbor is a
+    * candidate neighbor — adj0 ⋈ adj0 adds ≤ deg² pairs per node, linear
+    * in n, exactly how production graph-ANN indexes densify past the LSH
+    * recall ceiling). Final adjacency = LSH seed edges ∪ refined close
+    * edges (degree ≤ 10): refinement alone LOWERS navigability (measured
+    * 6/15 → 4/15 recall@3 here) — a purely-refined graph clusters and
+    * the beam stalls locally, the reason HNSW keeps long-range links;
+    * the union keeps the seed graph's diversity AND the densified near
+    * edges. Returns the directed (src, dst) edge list, un-materialized —
+    * the caller decides checkpoint vs persist-to-artifact.
+    */
+  private[graft] def nswAdjacency(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val topk = udaf(new graft.functions.TopKAggregator(5),
+      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
     def scorePairs(cand: DataFrame): DataFrame = cand
       .join(e.select($"vec_id".as("va"), $"v".as("av"), $"nrm".as("an")), Seq("va"))
       .join(e.select($"vec_id".as("vb"), $"v".as("bv"), $"nrm".as("bn")), Seq("vb"))
@@ -1062,10 +1080,6 @@ object Embeddings {
       .groupBy($"src").agg(topk($"dst", $"sim").as("top"))
       .select($"src", explode($"top").as("s"))
       .select($"src", $"s.cid".as("dst"))
-    // graph build: SRP-banded seed graph, then ONE NN-descent round
-    // (Dong et al. 2011): a neighbor's neighbor is a candidate neighbor —
-    // adj0 ⋈ adj0 adds ≤ deg² pairs per node (linear in n), exactly how
-    // production graph-ANN indexes densify past the LSH recall ceiling
     val cand0 = srpCandidates(e)
     val adj0 = topOut(scorePairs(cand0))
     val non = adj0.as("a").join(adj0.as("b"),
@@ -1073,14 +1087,23 @@ object Embeddings {
       .select(least($"a.src", $"b.dst").as("va"),
         greatest($"a.src", $"b.dst").as("vb"))
       .distinct()
-    // final adjacency = LSH seed edges ∪ refined close edges (degree ≤ 10):
-    // refinement alone LOWERS navigability (measured 6/15 → 4/15 recall@3
-    // here) — a purely-refined graph clusters and the beam stalls locally,
-    // the reason HNSW keeps long-range links; the union keeps the seed
-    // graph's diversity AND the densified near edges
-    val adj = topOut(scorePairs(cand0.unionByName(non).distinct()))
+    topOut(scorePairs(cand0.unionByName(non).distinct()))
       .unionByName(adj0).distinct()
-      .localCheckpoint()
+  }
+
+  def nswTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.ensure(spark)
+    val (e, q) = nswFrames(spark, dir)
+    val adj = nswAdjacency(e).localCheckpoint()
+    nswBeamSearch(e, q, adj)
+  }
+
+  /** The fixed-round batched beam search over a materialized adjacency —
+    * shared by E18 (fresh build) and E20 (artifact read-back).
+    */
+  private[graft] def nswBeamSearch(e: DataFrame, q: DataFrame, adj: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
     val seeds = e.orderBy($"vec_id".asc).limit(4)
       .select($"vec_id".as("cid"), $"v".as("cv"), $"nrm".as("cn"))
     val wBeam = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid".asc)
@@ -1109,6 +1132,35 @@ object Embeddings {
       .filter($"rnk" <= 3)
       .select($"qid", $"rnk", $"cid", $"sim")
       .orderBy($"qid", $"rnk")
+  }
+
+  // ---------------------------------------------------------------------
+  // E20 persisted NSW adjacency: the "bucketed build-once artifact" the
+  // E18 scaladoc defers to, made concrete (the E16/G0 MV pattern applied
+  // to the graph-ANN index): build the adjacency ONCE, publish it
+  // src-clustered (repartition + sortWithinPartitions — row-group
+  // locality and min/max skipping on the join key), read it BACK, and
+  // answer the standard query batch from the round-tripped artifact —
+  // the oracle (nswTopKSql, unchanged) certifies the on-disk copy, the
+  // way emb_ivf_mv's unchanged E2 oracle certifies the IVF artifact.
+  // This is the production split: the graph build amortizes across
+  // every query batch until the next NN-descent refresh, and a batch
+  // pays only the 4 beam-search equi-joins against the artifact
+  // (ProbeNsw, sf0.1: build+persist 6.4 s ONCE, then 1.4–2.0 s per
+  // query batch from the artifact, vs 7.4–12.6 s per batch when each
+  // rebuilds — the build cost crosses over on the second batch).
+  def nswMvTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.ensure(spark)
+    import spark.implicits._
+    val root = ivfRoot(dir, "nsw")
+    ivfCleanup // ensure the shutdown hook is registered before first write
+    ivfWritten.add(root)
+    val (e, q) = nswFrames(spark, dir)
+    nswAdjacency(e)
+      .repartition(4, $"src").sortWithinPartitions($"src", $"dst")
+      .write.mode("overwrite").parquet(s"$root/adj")
+    val adj = spark.read.parquet(s"$root/adj").localCheckpoint()
+    nswBeamSearch(e, q, adj)
   }
 
   private def nswRoundSql(r: Int): String = {
@@ -2018,6 +2070,7 @@ object Embeddings {
     "emb_ivfadc_topk" -> (ivfadcTopK _),
     "emb_knn_graph"   -> (knnGraph _),
     "emb_nsw_topk"    -> (nswTopK _),
+    "emb_nsw_mv"      -> (nswMvTopK _),
     "emb_semdedup"    -> (semDedup _),
     "emb_quantize"    -> (quantize _),
     "emb_recall_eval" -> (recallEval _),
@@ -2039,6 +2092,7 @@ object Embeddings {
     "emb_ivfadc_topk" -> ivfadcTopKSql,
     "emb_knn_graph"   -> knnGraphSql,
     "emb_nsw_topk"    -> nswTopKSql,
+    "emb_nsw_mv"      -> nswTopKSql,
     "emb_semdedup"    -> semDedupSql,
     "emb_quantize"    -> quantizeSql,
     "emb_recall_eval" -> recallEvalSql,

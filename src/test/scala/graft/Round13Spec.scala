@@ -122,6 +122,19 @@ class Round13Spec extends SparkSpec {
     assert(total === graft.Tables.orders(spark, sfDir).count())
   }
 
+  test("E20 nsw_mv: beam search from the persisted adjacency == fresh build") {
+    import spark.implicits._
+    val fresh = Embeddings.nswTopK(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("cid"), r.getAs[Double]("sim"))).toSeq
+    val mv = Embeddings.nswMvTopK(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("cid"), r.getAs[Double]("sim"))).toSeq
+    assert(mv === fresh,
+      "round-tripped adjacency must answer identically to the fresh build")
+    assert(mv.nonEmpty)
+  }
+
   test("E19 ndcg_eval: recomputed from the two rankings; ALL row is the exact rollup") {
     import spark.implicits._
     val w = Map(1 -> 1000000000L, 2 -> 630929753L, 3 -> 500000000L)
