@@ -68,14 +68,31 @@ object Bench {
       spark.catalog.clearCache()
       dt
     }
-    val results = ordered.map { case (name, fn) =>
-      name -> Seq.fill(3)(timeOnce(fn)).min
+    val passes = ordered.map { case (name, fn) =>
+      name -> Seq.fill(3)(timeOnce(fn))
     }
+    val results = passes.map { case (name, ts) => name -> ts.min }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Diagnosability fields (round-12: the driver's run and a same-commit
+    // local run disagreed 287 s vs 185 s with no way to tell noise from
+    // regression): the full JSON carries all 3 raw pass times per query
+    // plus the JVM heap / cpu / env the run actually had, so a future
+    // discrepancy localizes to "pass variance" (environment) vs "all
+    // three passes slow" (plan). The driver-parsed compact line is
+    // unchanged.
+    def fmt3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val passesJson = passes.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(fmt3).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val heapMaxGb = Runtime.getRuntime.maxMemory() / (1024.0 * 1024 * 1024)
+    val envJson =
+      s""""heap_max_gb":${fmt3(heapMaxGb)},"cpus":"$cpus"""" +
+        s""","driver_mem_env":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "")}"""" +
+        s""","avail_processors":${Runtime.getRuntime.availableProcessors()}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passesJson,$envJson,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try Files.writeString(Paths.get(outPath), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }

@@ -59,14 +59,23 @@ case class WinnowFps(child: Expression) extends UnaryExpression {
 }
 
 object WinnowFps {
+  // MessageDigest is reusable via reset() but not thread-safe: hold one
+  // per executor thread instead of allocating digest+builder per ROW —
+  // this expression sits on the per-document hot path it was created to
+  // optimize, and per-row allocation is pure GC pressure at corpus scale
+  private val tlMd = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+  private val tlSb = ThreadLocal.withInitial[java.lang.StringBuilder](
+    () => new java.lang.StringBuilder)
+
   def fps(s: UTF8String): ArrayData = {
     val toks = s.toString.split(" ", -1)
     val n = toks.length
     if (n < 7) return new GenericArrayData(Array.empty[Any])
     val ng = n - 3
     val hs = new Array[Long](ng)
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val sb = new java.lang.StringBuilder
+    val md = tlMd.get()
+    val sb = tlSb.get()
     var i = 0
     while (i < ng) {
       sb.setLength(0)

@@ -118,14 +118,12 @@ object Curation {
     import spark.implicits._
     // The iteration core (min-label + pointer jumping, monotone label-sum
     // convergence, per-round localCheckpoint) lives in
-    // graft.ops.Graph.connectedComponents — shared with the G4 graph
-    // query; this operator owns the LSH pair generation and the cluster
-    // report. The helper's first localCheckpoint materializes the
-    // candidate pairs ONCE and truncates the minhash lineage — without it
-    // every loop round re-plans the whole LSH pipeline.
-    graft.ops.Graph.connectedComponents(
-      TextDedup.minhashLsh(spark, dir).select($"doc_a", $"doc_b"))
-      .select($"node".as("doc_id"), $"component".as("lbl"))
+    // graft.ops.Graph.connectedComponents; since round 12 the LSH pairs
+    // AND the labels come from the build-once pair-graph MV
+    // (TextDedup.componentLabels) shared with C12/C18 — this operator
+    // owns only the cluster report.
+    TextDedup.componentLabels(spark, dir)
+      .select($"doc_id", $"component".as("lbl"))
       .groupBy($"lbl".as("cluster_root"))
       .agg(count(lit(1)).as("n_members"), max($"doc_id").as("max_doc"))
       .filter($"n_members" >= 2)
@@ -177,9 +175,8 @@ object Curation {
     */
   private[graft] def leakSafeAssignments(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val comp = graft.ops.Graph.connectedComponents(
-      TextDedup.minhashLsh(spark, dir).select($"doc_a", $"doc_b"))
-      .select($"node".as("doc_id"), $"component".as("root"))
+    val comp = TextDedup.componentLabels(spark, dir)
+      .select($"doc_id", $"component".as("root"))
     Tables.documents(spark, dir)
       .join(comp, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce($"root", $"doc_id"))
@@ -879,12 +876,18 @@ object Curation {
   // 100 TB: candidates stay banded (no all-pairs), components are the
   // O(log n)-round pointer jump, and the winner pick is one ranking
   // window over cluster-sized groups.
-  def nearDedupBest(spark: SparkSession, dir: String): DataFrame = {
+  def nearDedupBest(spark: SparkSession, dir: String): DataFrame =
+    nearDedupReport(qualityFrame(spark, dir),
+      TextDedup.componentLabels(spark, dir))
+
+  /** The C12 aggregate over an explicit (doc_id, component) label frame —
+    * shared by the memoized-read form (cur_neardedup_best) and the
+    * refresh-billing form (cur_neardedup_mv).
+    */
+  private def nearDedupReport(q: DataFrame, labels: DataFrame): DataFrame = {
+    val spark = q.sparkSession
     import spark.implicits._
-    val q = qualityFrame(spark, dir)
-    val cc = graft.ops.Graph.connectedComponents(
-      TextDedup.minhashLsh(spark, dir).select($"doc_a", $"doc_b"))
-      .select($"node".as("doc_id"), $"component")
+    val cc = labels.select($"doc_id", $"component")
     val clustered = q.join(cc, Seq("doc_id"), "left")
       .withColumn("cluster", coalesce($"component", $"doc_id"))
     val w = Window.partitionBy($"cluster").orderBy($"quality".desc, $"doc_id".asc)
@@ -896,6 +899,26 @@ object Curation {
         round(avg(when($"rn" === 1, $"quality")), 6).as("avg_survivor_quality"))
       .orderBy($"source")
   }
+
+  /** C22 the pair-graph refresh as a registered query (the emb_ivf_mv
+    * convention): REFRESH the near-dup pair-graph MV unconditionally —
+    * this query bills the corpus-sized LSH + CC build the memoized
+    * consumers amortize — then compute the C12 report from the read-back
+    * labels artifact. Result-identical to cur_neardedup_best BY
+    * CONSTRUCTION (same derivation, and parquet round-trips int64 ids
+    * exactly), so it shares nearDedupBestSql — the oracle match certifies
+    * the artifact end-to-end.
+    */
+  def nearDedupMv(spark: SparkSession, dir: String): DataFrame = {
+    val root = TextDedup.refreshPairGraphMv(spark, dir)
+    nearDedupReport(qualityFrame(spark, dir),
+      spark.read.parquet(s"$root/labels"))
+  }
+
+  // lazy: nearDedupBestSql is declared further down the object body — an
+  // eager val here would read null during object init (the graphPipelineSql
+  // lesson)
+  lazy val nearDedupMvSql: String = nearDedupBestSql
 
   val nearDedupBestSql: String =
     "WITH RECURSIVE pairs AS (\n" +
@@ -1118,6 +1141,7 @@ object Curation {
     "cur_gopher"       -> (gopherRules _),
     "cur_dsir"         -> (dsirWeights _),
     "cur_neardedup_best" -> (nearDedupBest _),
+    "cur_neardedup_mv" -> (nearDedupMv _),
     "cur_weighted_sample" -> (weightedSample _),
     "cur_snapshot_diff" -> (snapshotDiffReport _),
     "cur_chunk"        -> (chunk _),
@@ -1140,6 +1164,7 @@ object Curation {
     "cur_gopher"       -> gopherSql,
     "cur_dsir"         -> dsirSql,
     "cur_neardedup_best" -> nearDedupBestSql,
+    "cur_neardedup_mv" -> nearDedupMvSql,
     "cur_weighted_sample" -> weightedSampleSql,
     "cur_snapshot_diff" -> snapshotDiffSql,
     "cur_chunk"        -> chunkSql,

@@ -394,6 +394,10 @@ object Embeddings {
     java.lang.Long.toHexString(java.lang.ProcessHandle.current().pid()) + "-" +
       java.util.UUID.randomUUID().toString.take(8)
   private val ivfWritten = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // roots whose index is complete this process — the E21 read path's
+  // build-once memo (any buildIvfIndex marks its root, so a prior
+  // emb_ivf_mv refresh also satisfies emb_ivf_read)
+  private val ivfBuilt = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
   private lazy val ivfCleanup: Thread = {
     val t = new Thread(() => {
       ivfWritten.forEach { root =>
@@ -448,6 +452,7 @@ object Embeddings {
         .write.mode("overwrite").partitionBy("cell").parquet(s"$root/cells")
       cents.repartition(1).write.mode("overwrite").parquet(s"$root/centroids")
     } finally { e.unpersist(false); () }
+    ivfBuilt.put(root, java.lang.Boolean.TRUE)
     root
   }
 
@@ -514,6 +519,29 @@ object Embeddings {
     ivfQueryFromIndex(spark, dir, buildIvfIndex(spark, dir, "full", identity))
 
   val ivfMvTopKSql: String = ivfTopKSql
+
+  /** E21 the PRODUCTION read path: probe a persisted IVF index that is
+    * built at most once per (process, dataset) — build-once memoized like
+    * the near-dup pair graph (TextDedup.componentLabels), so the suite
+    * shows what a query against an already-maintained index costs, with
+    * no build billed. The build convention stays honest three ways:
+    * emb_ivf_topk = inline (no artifact), emb_ivf_mv = refresh + read
+    * (bills the build every run), emb_ivf_read = read-only against the
+    * amortized artifact. Same probes, same scoring expressions, parquet
+    * round-trips floats bit-exactly → shares E2's oracle SQL.
+    */
+  def ivfReadTopK(spark: SparkSession, dir: String): DataFrame = {
+    val root = ivfRoot(dir, "full")
+    // double-checked, NOT computeIfAbsent: buildIvfIndex marks its own
+    // root in ivfBuilt, and a same-map write inside computeIfAbsent's
+    // mapping function is an illegal recursive update
+    if (!ivfBuilt.containsKey(root)) ivfBuilt.synchronized {
+      if (!ivfBuilt.containsKey(root)) { buildIvfIndex(spark, dir, "full", identity); () }
+    }
+    ivfQueryFromIndex(spark, dir, root)
+  }
+
+  val ivfReadTopKSql: String = ivfTopKSql
 
   // ---------------------------------------------------------------------
   // E17 incremental index ingest: 90% of the corpus (vec_id % 10 <> 7)
@@ -2064,6 +2092,7 @@ object Embeddings {
     "emb_cosine_topk" -> (cosineTopK _),
     "emb_ivf_topk"    -> (ivfTopK _),
     "emb_ivf_mv"      -> (ivfMvTopK _),
+    "emb_ivf_read"    -> (ivfReadTopK _),
     "emb_ivf_append"  -> (ivfAppendTopK _),
     "emb_lsh_neardup" -> (lshNearDup _),
     "emb_multiprobe_neardup" -> (multiProbeNearDup _),
@@ -2086,6 +2115,7 @@ object Embeddings {
     "emb_cosine_topk" -> cosineTopKSql,
     "emb_ivf_topk"    -> ivfTopKSql,
     "emb_ivf_mv"      -> ivfMvTopKSql,
+    "emb_ivf_read"    -> ivfReadTopKSql,
     "emb_ivf_append"  -> ivfAppendTopKSql,
     "emb_lsh_neardup" -> lshNearDupSql,
     "emb_multiprobe_neardup" -> multiProbeNearDupSql,

@@ -45,5 +45,13 @@ object ProbeNsw {
       }
     }
     spark.stop()
+    // the probe root is not on Embeddings' registered-artifact cleanup
+    // list (the shutdown hook only tracks roots ivf/nsw queries wrote),
+    // so delete it here — a scratch probe must not leak /tmp state
+    // across runs
+    def rm(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(): Unit
+    }
+    rm(new java.io.File(root))
   }
 }

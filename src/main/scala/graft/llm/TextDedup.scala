@@ -325,7 +325,11 @@ object TextDedup {
           concat_ws("|", col(s"m${2 * b}"), col(s"m${2 * b + 1}"))): _*)).as(Seq("band", "sig")))
   }
 
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** The L3 pair derivation WITHOUT the presentation sort — the refresh
+    * body of the pair-graph MV (which re-clusters on doc_a itself) and
+    * the internal form [[minhashLsh]] orders for its registered output.
+    */
+  private[graft] def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // consumed by the minhash, the size agg and the 2-scan verify join
     val sh = graft.ops.ScopedCache.untilConsumed(shingles(Tables.documents(spark, dir)))
@@ -346,7 +350,115 @@ object TextDedup {
         $"da".as("doc_a"), $"db".as("doc_b"),
         $"i".as("n_common"), $"sa.n".as("n_a"), $"sb.n".as("n_b"),
         ($"i".cast("double") / ($"sa.n" + $"sb.n" - $"i")).as("jaccard"))
-      .orderBy($"doc_a", $"doc_b")
+  }
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    minhashPairs(spark, dir).orderBy($"doc_a", $"doc_b")
+  }
+
+  // ---------------------------------------------------------------------
+  // Near-dup pair-graph MV — the G0/E16 derive-once-read-many pattern
+  // applied to the MinHash-LSH pair graph. THREE suite consumers need the
+  // same expensive artifact (C3 dup clusters, C12 near-dup keep-best, C18
+  // leakage-safe split: each re-derived LSH pairs + connected components
+  // from raw text per invocation — the suite's top fixed cost, 22 s/query
+  // driver-side at sf0.1), so the pairs AND the component labels are
+  // published once per (process, dataset) and every consumer reads the
+  // doc_id-clustered parquet.
+  //
+  // Path discipline = the backbone MV's: keyed by a hash of the CANONICAL
+  // dataset path plus a per-process nonce (concurrent runs never clobber
+  // each other), deleted by a shutdown hook. Readers in THIS process are
+  // memoized rather than switch-gated (the backboneEdges indirection):
+  // the backbone's switch models an opt-in production-DAG mode for
+  // kernels that are ALSO meaningful standalone, while the pair graph has
+  // no standalone consumer — every query that touches it wants the same
+  // shared artifact, exactly like E20's NSW adjacency. The honest build
+  // cost stays bench-visible through cur_neardedup_mv, which REFRESHES
+  // unconditionally before reading (the emb_ivf_mv convention).
+  //
+  // 100 TB: the refresh is the one corpus-sized job (banded LSH + O(log n)
+  // CC rounds); each consumer then pays a labels-sized (pair-graph-sized,
+  // ≪ corpus) scan + one join. A daily-crawl deployment APPENDS instead
+  // of refreshing: route the new batch through the L8 asymmetric probe
+  // (incrDedup's incoming-probes-existing band join) to get batch×corpus
+  // pairs, union them into /pairs, and re-run CC seeded from the stored
+  // labels — per-day cost is batch-sized, the full refresh becomes a
+  // periodic compaction (the S12 story).
+  private lazy val pgNonce: String =
+    java.lang.Long.toHexString(java.lang.ProcessHandle.current().pid()) + "-" +
+      java.util.UUID.randomUUID().toString.take(8)
+  private val pgWritten = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val pgBuilt = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private lazy val pgCleanup: Thread = {
+    val t = new Thread(() => {
+      pgWritten.forEach { root =>
+        def rm(f: java.io.File): Unit = {
+          val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(): Unit
+        }
+        rm(new java.io.File(root))
+      }
+    }, "graft-pairgraph-mv-cleanup")
+    java.lang.Runtime.getRuntime.addShutdownHook(t)
+    t
+  }
+
+  private[graft] def pairGraphRoot(dir: String): String = {
+    val canon = new java.io.File(dir).getCanonicalPath
+    val h = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(canon.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val tmp = System.getProperty("java.io.tmpdir", "/tmp").stripSuffix("/")
+    s"$tmp/graft_pairgraph_mv_${h}_$pgNonce"
+  }
+
+  /** Derive the pair graph FRESH (never reading the MV's own previous
+    * output) and publish both layers: `/pairs` (doc_a, doc_b, n_common,
+    * n_a, n_b, jaccard) clustered on doc_a, and `/labels` (doc_id,
+    * component) clustered on doc_id — component = min doc_id reachable,
+    * the algorithm-independent labeling the C3 oracle certifies. CC runs
+    * over the READ-BACK pairs artifact, so the labels' lineage roots at
+    * the artifact (one corpus-sized LSH job total) and the iteration's
+    * localCheckpoints never re-plan the shingle pipeline. Returns the
+    * root.
+    */
+  private[graft] def refreshPairGraphMv(spark: SparkSession, dir: String): String = {
+    val root = doRefreshPairGraph(spark, dir)
+    // outside doRefreshPairGraph: componentLabels invokes the refresh
+    // from inside pgBuilt.computeIfAbsent, where a same-map put would be
+    // an illegal recursive update
+    pgBuilt.put(root, java.lang.Boolean.TRUE)
+    root
+  }
+
+  private def doRefreshPairGraph(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val root = pairGraphRoot(dir)
+    pgCleanup // ensure the shutdown hook is registered before first write
+    pgWritten.add(root)
+    minhashPairs(spark, dir)
+      .repartition(4, $"doc_a").sortWithinPartitions($"doc_a", $"doc_b")
+      .write.mode("overwrite").parquet(s"$root/pairs")
+    graft.ops.Graph.connectedComponents(
+        spark.read.parquet(s"$root/pairs").select($"doc_a", $"doc_b"))
+      .select($"node".as("doc_id"), $"component")
+      .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
+      .write.mode("overwrite").parquet(s"$root/labels")
+    root
+  }
+
+  /** Component labels (doc_id, component) of the near-dup pair graph,
+    * build-once per (process, dataset): the first consumer pays the
+    * refresh, every later call reads the clustered artifact. Contract:
+    * the dataset under `dir` is immutable for the process lifetime (true
+    * for the driver's testdata and every suite path); a pipeline that
+    * mutates its corpus calls [[refreshPairGraphMv]] at the batch
+    * boundary instead.
+    */
+  private[graft] def componentLabels(spark: SparkSession, dir: String): DataFrame = {
+    val root = pairGraphRoot(dir)
+    pgBuilt.computeIfAbsent(root, _ => { doRefreshPairGraph(spark, dir); java.lang.Boolean.TRUE })
+    spark.read.parquet(s"$root/labels")
   }
 
   val minhashLshSql: String =

@@ -472,7 +472,7 @@ object Graph {
         count(lit(1)).as("n_edges"),
         min($"u").as("min_u"), max($"v").as("max_v"),
         sum($"shared").as("sum_shared"))
-      .crossJoin(nodes.agg(countDistinct($"node").as("n_nodes")))
+      .crossJoin(broadcast(nodes.agg(countDistinct($"node").as("n_nodes"))))
       .select($"n_edges", $"n_nodes", $"min_u", $"max_v", $"sum_shared")
   }
 
@@ -750,13 +750,32 @@ object Graph {
     * node-sized (never edge-sized); localCheckpoint per round truncates
     * the snowballing lineage (the round-4 dupClusters lesson).
     */
+  /** Round-timing trace for [[connectedComponents]] (env opt-in). Used for
+    * the round-12 A/B that REJECTED pointer-jump doubling: at sf0.1 both
+    * consumers converge in 3 rounds (dup cliques and the co-purchase
+    * backbone have tiny diameter), so a second jump per round cannot cut
+    * rounds — it only added a checkpoint job per round (isolated A/B:
+    * g4_concomp 7.4 s single-jump vs 10.3 s doubled; the trace shows the
+    * loop is ~1.5 s of g4's total, dominated by the backbone derivation,
+    * not by iteration count). At a diameter where doubling would bind
+    * (>2^20 nodes in a path-ish component), the right move is the
+    * two-phase large-star/small-star algorithm, not more jumps here.
+    */
+  private lazy val ccVerbose = sys.env.get("SPARK_GRAFT_CC_VERBOSE").contains("1")
+
   def connectedComponents(pairs: DataFrame): DataFrame = {
     import pairs.sparkSession.implicits._
+    val i0 = if (ccVerbose) System.nanoTime() else 0L
     val p = pairs.toDF("u", "v").localCheckpoint()
+    val i1 = if (ccVerbose) System.nanoTime() else 0L
     val edges = p.select($"u".as("src"), $"v".as("dst"))
       .unionByName(p.select($"v".as("src"), $"u".as("dst")))
     var labels = edges.select($"src".as("node")).distinct()
       .withColumn("lbl", $"node").localCheckpoint()
+    if (ccVerbose) {
+      val i2 = System.nanoTime()
+      println(f"CC init: pairs-ckpt ${(i1 - i0) / 1e9}%.3f labels-init ${(i2 - i1) / 1e9}%.3f")
+    }
     def labelSum(df: DataFrame): Option[BigInt] =
       Option(df.agg(sum($"lbl".cast("decimal(38,0)"))).head().getDecimal(0))
         .map(d => BigInt(d.toBigInteger))
@@ -764,6 +783,7 @@ object Graph {
     var converged = prevSum.isEmpty
     var rounds = 0
     while (!converged && rounds < 20) {
+      val t0 = if (ccVerbose) System.nanoTime() else 0L
       val neighborMin = edges
         .join(labels.select($"node".as("dst"), $"lbl".as("dst_lbl")), Seq("dst"))
         .groupBy($"src".as("node")).agg(min($"dst_lbl").as("nb_lbl"))
@@ -773,11 +793,16 @@ object Graph {
         .join(prop.select($"node".as("lbl"), $"lbl".as("lbl2")).as("m"), Seq("lbl"), "left")
         .select($"node", least($"lbl", coalesce($"lbl2", $"lbl")).as("lbl"))
         .localCheckpoint()
+      val t1 = if (ccVerbose) System.nanoTime() else 0L
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
       labels = next
       rounds += 1
+      if (ccVerbose) {
+        val t2 = System.nanoTime()
+        println(f"CC round $rounds: prop+jump ${(t1 - t0) / 1e9}%.3f sum ${(t2 - t1) / 1e9}%.3f converged=$converged")
+      }
     }
     labels.select($"node", $"lbl".as("component"))
   }

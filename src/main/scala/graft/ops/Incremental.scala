@@ -217,7 +217,12 @@ object Incremental {
     import base.sparkSession.implicits._
     // latest change per key: seq is unique per key by contract, so
     // max(struct(seq, …)) is a deterministic argmax and partially
-    // aggregates map-side — the feed never meets a ranking window
+    // aggregates map-side — the feed never meets a ranking window.
+    // Tie-break contract: if the seq-unique contract were ever violated,
+    // the struct max falls through lexicographically to (op, c_status,
+    // c_cents) DESC — the oracle's ROW_NUMBER window orders by the SAME
+    // key chain, so both engines resolve a duplicate seq identically
+    // instead of diverging silently on an engine-internal row order
     val latest = ch
       .groupBy($"k")
       .agg(max(struct($"seq", $"op", $"c_status", $"c_cents")).as("c"))
@@ -261,7 +266,8 @@ object Incremental {
       |latest AS (
       |  SELECT k, op, c_status, c_cents FROM (
       |    SELECT k, op, c_status, c_cents,
-      |      ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      |      ROW_NUMBER() OVER (PARTITION BY k
+      |        ORDER BY seq DESC, op DESC, c_status DESC, c_cents DESC) AS rn
       |    FROM ch) r
       |  WHERE rn = 1)
       |SELECT COALESCE(b.k, l.k) AS k,

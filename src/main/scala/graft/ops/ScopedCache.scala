@@ -35,6 +35,17 @@ object ScopedCache {
   private val opened = new java.util.concurrent.atomic.AtomicLong(0)
   private[graft] def scopesOpened: Long = opened.get
 
+  /** Escape hatch for the constructed-but-never-consumed trap: if this
+    * many actions complete WITHOUT consuming the watched fragment, the
+    * cache is released and the listener unregistered anyway. The scope's
+    * intended lifetime is "until the caller's next action", so a query
+    * that hasn't been executed within 64 foreign actions was abandoned —
+    * releasing it costs at worst an uncached recompute if it does run
+    * later (correct, just unboosted), and bounds both the pinned blocks
+    * and the listener registry in a long-lived library session.
+    */
+  private[graft] val AbandonAfterActions = 64
+
   /** Cache `cached` until the first completed action whose plan contains
     * RESULT's analyzed fragment (not `cached`'s own). For multi-action
     * operators — iterative training collects followed by a final query
@@ -52,22 +63,33 @@ object ScopedCache {
     * constructed instance per cached plan and execute it before
     * constructing the next (Verify, Bench and the audits all construct →
     * execute per query, which satisfies this); a constructed-but-never-
-    * consumed result keeps its blocks until `spark.catalog.clearCache()`.
+    * consumed result keeps its blocks only until [[AbandonAfterActions]]
+    * later actions complete (the abandonment TTL) or
+    * `spark.catalog.clearCache()`.
     */
-  def untilResultConsumed(cached: DataFrame, result: DataFrame): DataFrame = {
-    opened.incrementAndGet()
+  /** Register the release watcher: unpersist `cached` and unregister after
+    * the first completed action whose plan contains `fragment` — or, the
+    * TTL escape hatch, after [[AbandonAfterActions]] completed actions
+    * that DON'T (the scope was abandoned; see the val's scaladoc).
+    */
+  private def watchFragment(
+      cached: DataFrame,
+      fragment: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit = {
     val spark = cached.sparkSession
-    val fragment = result.queryExecution.analyzed.canonicalized
     val released = new AtomicBoolean(false)
+    val foreignActions = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener: QueryExecutionListener = new QueryExecutionListener {
+      private def release(): Unit =
+        if (released.compareAndSet(false, true)) {
+          cached.unpersist(false)
+          spark.listenerManager.unregister(this)
+        }
       private def maybeRelease(qe: QueryExecution): Unit = {
         val consumed =
           try qe.analyzed.find(_.canonicalized == fragment).isDefined
           catch { case scala.util.control.NonFatal(_) => false }
-        if (consumed && released.compareAndSet(false, true)) {
-          cached.unpersist(false)
-          spark.listenerManager.unregister(this)
-        }
+        if (consumed || foreignActions.incrementAndGet() >= AbandonAfterActions)
+          release()
       }
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
         maybeRelease(qe)
@@ -75,31 +97,18 @@ object ScopedCache {
         maybeRelease(qe)
     }
     spark.listenerManager.register(listener)
+  }
+
+  def untilResultConsumed(cached: DataFrame, result: DataFrame): DataFrame = {
+    opened.incrementAndGet()
+    watchFragment(cached, result.queryExecution.analyzed.canonicalized)
     result
   }
 
   def untilConsumed(df: DataFrame): DataFrame = {
     opened.incrementAndGet()
-    val spark = df.sparkSession
     val cached = df.cache()
-    val fragment = cached.queryExecution.analyzed.canonicalized
-    val released = new AtomicBoolean(false)
-    val listener: QueryExecutionListener = new QueryExecutionListener {
-      private def maybeRelease(qe: QueryExecution): Unit = {
-        val consumed =
-          try qe.analyzed.find(_.canonicalized == fragment).isDefined
-          catch { case scala.util.control.NonFatal(_) => false }
-        if (consumed && released.compareAndSet(false, true)) {
-          cached.unpersist(false)
-          spark.listenerManager.unregister(this)
-        }
-      }
-      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-        maybeRelease(qe)
-      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
-        maybeRelease(qe)
-    }
-    spark.listenerManager.register(listener)
+    watchFragment(cached, cached.queryExecution.analyzed.canonicalized)
     cached
   }
 }

@@ -15,14 +15,46 @@ import graft.Tables
   */
 object Formats {
 
-  /** Side-file roots are FIXED paths because the DuckDB oracle SQL is a
-    * static string (SparkEntry contract) and must name the same files this
-    * query wrote. Consequence: one Verify→oracle-compare cycle at a time —
+  /** csvRoot is a FIXED path because the DuckDB oracle SQL is a static
+    * string (SparkEntry contract) and must name the same files this query
+    * wrote. Consequence: one Verify→oracle-compare cycle at a time —
     * interleaving runs at different SFs between the dump and the compare
     * would cross-contaminate (the driver runs them sequentially; local
     * workflows should too).
+    *
+    * Every OTHER side-file root below carries a per-process nonce (the
+    * backbone-MV path discipline): those queries' oracles recompute from
+    * the base tables, so nothing external ever needs the path — and the
+    * nonce means a bench and a verify running concurrently (or a crashed
+    * run's stale /tmp leftovers) can never overwrite a directory out from
+    * under another process's scan mid-query. All nonce'd roots are
+    * deleted by a shutdown hook; they live exactly as long as the process
+    * that can read them.
     */
   val csvRoot = "/tmp/graft_csv_orders"
+
+  private lazy val sideNonce: String =
+    java.lang.Long.toHexString(java.lang.ProcessHandle.current().pid()) + "-" +
+      java.util.UUID.randomUUID().toString.take(8)
+  private val sideWritten = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val sideCleanup: Thread = {
+    val t = new Thread(() => {
+      sideWritten.forEach { root =>
+        def rm(f: java.io.File): Unit = {
+          val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(): Unit
+        }
+        rm(new java.io.File(root))
+      }
+    }, "graft-side-file-cleanup")
+    java.lang.Runtime.getRuntime.addShutdownHook(t)
+    t
+  }
+  private def sideRoot(tag: String): String = {
+    val root = s"/tmp/graft_${tag}_$sideNonce"
+    sideCleanup // ensure the hook is registered before first write
+    sideWritten.add(root)
+    root
+  }
 
   /** CSV round trip: typed write (DECIMAL money column — exact text, no
     * float-formatting drift between engines), schema'd read back (no
@@ -109,7 +141,7 @@ object Formats {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
-  val orcRoot = "/tmp/graft_orc_lineitem"
+  lazy val orcRoot: String = sideRoot("orc_lineitem")
 
   /** ORC round trip: columnar sink+scan in Spark's second native columnar
     * format. DuckDB cannot read ORC, so the oracle computes the SAME
@@ -140,7 +172,7 @@ object Formats {
       |  MAX(l_orderkey) AS max_key
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
-  val xmlRoot = "/tmp/graft_xml_lineitem"
+  lazy val xmlRoot: String = sideRoot("xml_lineitem")
 
   /** S13 XML round trip: Spark 4's built-in XML source (rowTag records) as
     * sink+scan. Text-format discipline mirrors the CSV rule: money goes
@@ -230,7 +262,7 @@ object Formats {
       |  MIN(y) AS min_y, MAX(y) AS max_y
       |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin
 
-  val partRoot = "/tmp/graft_part_orders"
+  lazy val partRoot: String = sideRoot("part_orders")
 
   /** S7 partitioned layout + partition pruning: orders written
     * partitionBy(o_orderstatus), then read back with a partition-key
@@ -274,7 +306,7 @@ object Formats {
     * with file COUNT, not data; pin the merged schema in a table catalog
     * for production reads and the per-file footers aren't touched at all.
     */
-  val mergeRoot = "/tmp/graft_merge_lineitem"
+  lazy val mergeRoot: String = sideRoot("merge_lineitem")
 
   def mergeScan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -314,7 +346,7 @@ object Formats {
     * count — compaction is what keeps a 1000-batch-a-day table scannable;
     * target size via repartition(n) or spark.sql.files.maxRecordsPerFile.
     */
-  val compactRoot = "/tmp/graft_compact_events"
+  lazy val compactRoot: String = sideRoot("compact_events")
 
   def compaction(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -342,6 +374,10 @@ object Formats {
       |  MAX(event_id) AS max_id
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // FIXED like csvRoot — the S15 oracle SQL reads these very files with
+  // read_parquet(union_by_name), and the DuckDB compare runs AFTER this
+  // JVM exits, so the path can be neither nonce'd-and-cleaned nor
+  // process-scoped (same one-Verify-cycle-at-a-time constraint)
   val evoRoot = "/tmp/graft_schema_evo"
 
   /** S15 schema evolution: a long-lived 100 TB table is written by MANY

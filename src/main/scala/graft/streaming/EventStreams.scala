@@ -278,10 +278,17 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
         val s = batch.sparkSession
+        // materialize the feed ONCE (eager localCheckpoint): both the
+        // emptiness probe below and the merge read the checkpointed rows,
+        // so the micro-batch source plan is evaluated exactly once per
+        // trigger (an isEmpty straight on `batch` would run a second job
+        // over the source — cheap for MemoryStream, measurable for real
+        // feeds)
+        val feed = batch.toDF().localCheckpoint(true)
         // an empty batch (no-data trigger, restart recovery) must not
         // rewrite the base-sized snapshot into a byte-identical new
         // version — per-batch cost stays FEED-sized
-        if (!batch.isEmpty) {
+        if (!feed.isEmpty) {
         val cols = Seq("k", "status", "cents").map(col)
         val base = graft.weather.Staging.currentSnapshotVersion(s, root) match {
           case Some(_) => graft.weather.Staging.readSnapshot(s, root).select(cols: _*)
@@ -296,7 +303,7 @@ object EventStreams {
         // a lazy write inside publishSnapshot would interleave that read
         // with the lock window longer than necessary (snap_N itself is
         // immutable, so this is latency hygiene, not correctness)
-        val merged = graft.ops.Incremental.applyChanges(base, batch.toDF())
+        val merged = graft.ops.Incremental.applyChanges(base, feed)
           .select(cols: _*).localCheckpoint(true)
         graft.weather.Staging.publishSnapshot(s, root)(p =>
           merged.write.parquet(p))

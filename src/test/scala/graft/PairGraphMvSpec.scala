@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-12 pins: the near-dup pair-graph MV (build-once LSH pairs + CC
+  * labels shared by C3/C12/C18), the E21 read-only IVF path, and the
+  * ScopedCache abandonment TTL.
+  */
+class PairGraphMvSpec extends SparkSpec {
+
+  test("pair-graph MV: labels artifact equals a fresh LSH+CC derivation") {
+    import spark.implicits._
+    val fromMv = llm.TextDedup.componentLabels(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fresh = graft.ops.Graph.connectedComponents(
+        llm.TextDedup.minhashLsh(spark, sfDir).select($"doc_a", $"doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromMv === fresh)
+    assert(fromMv.nonEmpty, "pair graph is empty at this SF — pins are vacuous")
+  }
+
+  test("pair-graph MV: consumers are memoized reads; refresh re-publishes") {
+    // first consumer (above test or this call) built the artifact
+    llm.TextDedup.componentLabels(spark, sfDir).count()
+    val root = new java.io.File(llm.TextDedup.pairGraphRoot(sfDir))
+    assert(root.isDirectory, s"$root missing after componentLabels")
+    def snapshot(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] = {
+        val cs = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        cs.flatMap(c => if (c.isDirectory) walk(c) else Seq(c))
+      }
+      walk(root).map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = snapshot()
+    assert(before.nonEmpty)
+    // a second consumer must READ, not rebuild: byte layout untouched
+    llm.Curation.dupClusters(spark, sfDir).count()
+    assert(snapshot() === before, "memoized consumer rewrote the artifact")
+    // an explicit refresh must re-publish (new part files / mtimes)
+    llm.TextDedup.refreshPairGraphMv(spark, sfDir)
+    assert(snapshot() !== before, "refresh did not rewrite the artifact")
+  }
+
+  test("cur_neardedup_mv (refresh + artifact read) equals cur_neardedup_best") {
+    val mv = llm.Curation.nearDedupMv(spark, sfDir).collect().map(_.toSeq)
+    val best = llm.Curation.nearDedupBest(spark, sfDir).collect().map(_.toSeq)
+    assert(mv.toSeq === best.toSeq)
+  }
+
+  test("E21 emb_ivf_read equals the inline emb_ivf_topk on the same index recipe") {
+    val read = llm.Embeddings.ivfReadTopK(spark, sfDir).collect().map(_.toSeq)
+    val inline = llm.Embeddings.ivfTopK(spark, sfDir).collect().map(_.toSeq)
+    assert(read.toSeq === inline.toSeq)
+  }
+
+  test("ScopedCache TTL: an abandoned untilResultConsumed scope frees its blocks") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+    val cached = Seq(1L, 2L, 3L).toDF("v").cache()
+    cached.count() // materialize the blocks
+    val result = cached.agg(sum($"v").as("s"))
+    graft.ops.ScopedCache.untilResultConsumed(cached, result)
+    // result is NEVER executed — the abandonment TTL must release the
+    // cache after AbandonAfterActions foreign actions complete
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- baseline).nonEmpty)
+    for (_ <- 1 to graft.ops.ScopedCache.AbandonAfterActions)
+      spark.range(1).count(): Unit
+    // listener delivery is async on the listener bus — poll briefly
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- baseline
+    while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(leaked.isEmpty, s"abandoned scope still pins RDDs: $leaked")
+  }
+}

@@ -321,9 +321,13 @@ class Round11Spec extends SparkSpec {
     assert(bysrc("small")._4.toDouble / 4 > 1.0)
     assert(bysrc("big")._4.toDouble / 64 < 1.0)
     // the driver corpus is source-uniform: temperature mix must be the
-    // identity there (equal weights, out == in per source)
+    // identity there UP TO the documented ppm-floor rounding — weight_ppm
+    // = floor(w/W * 1e6) loses at most 1 ppm per source, so |out − in|
+    // ≤ 1 regardless of whether the source count divides 1e6 (exact
+    // equality only holds when it does, which a corpus change could break
+    // spuriously)
     val real = graft.llm.Curation.tempMix(spark, sfDir).collect()
     assert(real.nonEmpty)
-    real.foreach(r => assert(r.getLong(1) === r.getLong(3), r.toString))
+    real.foreach(r => assert(math.abs(r.getLong(1) - r.getLong(3)) <= 1L, r.toString))
   }
 }
