@@ -611,15 +611,18 @@ object TextDedup {
     simhashPairs(spark, dir).orderBy($"doc_a", $"doc_b")
   }
 
-  private[graft] def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, sig) 32-bit simhash signatures, shared by the pair listing
+    * and the signature-compressed cluster form. Bit b of the signature
+    * input = bit (b%4) of hex digit (b/4) of md5(tok) — exactly the
+    * integer formed by reading the first 8 hex digits LITTLE-endian, so
+    * the whole 32-bit token hash is one conv(). The ±1-per-bit vote sum
+    * sc_b = 2*ones_b − n_tok, so the sign test `sc_b >= 0` is
+    * `2*ones_b >= n_tok`: 32 conditional sums in ONE aggregation replace
+    * the old 32×-explode (a 13M-row intermediate and two shuffles at
+    * sf0.1).
+    */
+  private def simhashSigs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // Bit b of the signature input = bit (b%4) of hex digit (b/4) of
-    // md5(tok) — exactly the integer formed by reading the first 8 hex
-    // digits LITTLE-endian, so the whole 32-bit token hash is one conv().
-    // The ±1-per-bit vote sum sc_b = 2*ones_b − n_tok, so the sign test
-    // `sc_b >= 0` is `2*ones_b >= n_tok`: 32 conditional sums in ONE
-    // aggregation replace the old 32×-explode (a 13M-row intermediate and
-    // two shuffles at sf0.1).
     val tu = Tables.documents(spark, dir)
       .select($"doc_id", explode(array_distinct(split($"text", " "))).as("tok"))
       .withColumn("hv",
@@ -628,21 +631,32 @@ object TextDedup {
       (0 until 32).map(b => sum(expr(s"shiftright(hv, $b) & 1")).as(s"o$b"))
     val ones = tu.groupBy($"doc_id")
       .agg(count(lit(1)).as("n"), oneCounts: _*)
-    val sig = ones.select($"doc_id",
+    ones.select($"doc_id",
       (0 until 32).map(b =>
         when(col(s"o$b") * 2 >= $"n", lit(1L << b)).otherwise(lit(0L)))
         .reduce(_ + _).as("sig"))
-    val bands = sig.select(
+  }
+
+  /** 4×8-bit band rows of a (doc_id, sig) frame. */
+  private def simhashBands(sig: DataFrame): DataFrame = {
+    import sig.sparkSession.implicits._
+    sig.select(
       $"doc_id", $"sig",
       explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("chunk", expr("shiftright(sig, band * 8) & CAST(255 AS BIGINT)"))
-    // Pair dedup WITHOUT a distinct: a pair matching in k bands would be
-    // emitted k times, so each match row also checks that NO EARLIER band
-    // matched (one shift+mask per earlier band on the signatures already
-    // in the row) — every surviving pair is emitted exactly once and the
-    // near-quadratic candidate set never hits a shuffle. The Hamming test
-    // runs in the same join conjunct, before the first-band guards (both
-    // are O(1); the guards only matter for true near-dups).
+  }
+
+  /** The banded Hamming-≤3 self-join over band rows. Pair dedup WITHOUT a
+    * distinct: a pair matching in k bands would be emitted k times, so
+    * each match row also checks that NO EARLIER band matched (one
+    * shift+mask per earlier band on the signatures already in the row) —
+    * every surviving pair is emitted exactly once and the near-quadratic
+    * candidate set never hits a shuffle. The Hamming test runs in the
+    * same join conjunct, before the first-band guards (both are O(1);
+    * the guards only matter for true near-dups).
+    */
+  private def simhashBandJoin(bands: DataFrame): DataFrame = {
+    import bands.sparkSession.implicits._
     bands.as("a").join(bands.as("b"),
         $"a.band" === $"b.band" && $"a.chunk" === $"b.chunk" && $"a.doc_id" < $"b.doc_id"
           && expr("bit_count(a.sig ^ b.sig) <= 3")
@@ -653,21 +667,41 @@ object TextDedup {
         expr("CAST(bit_count(a.sig ^ b.sig) AS BIGINT)").as("hamming"))
   }
 
-  /** L4f fused simhash→clusters: the band-join pair stream feeds the
-    * shared min-label/pointer-jumping core (graft.ops.Graph
-    * .connectedComponents) DIRECTLY — no global sort and no materialized
-    * full pair listing in between. This is the production composition:
-    * on a near-duplicate-heavy corpus the L4 pair listing is
-    * near-quadratic in dup density (14.5M pairs on the 4×-replicated
-    * corpus, SURVEY §6.1) and exists only to be totally ordered for
-    * human eyes; clustering consumes the pairs unsorted, so the fused
-    * form's cost is the band join plus frontier-sized component rounds.
-    * Output is the same cluster report shape as cur_dup_clusters.
+  private[graft] def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashBandJoin(simhashBands(simhashSigs(spark, dir)))
+
+  /** L4f fused simhash→clusters: signatures feed the shared min-label/
+    * pointer-jumping core (graft.ops.Graph.connectedComponents) through a
+    * signature-compressed star graph — no global sort, no materialized
+    * pairwise listing, and no quadratic-in-dup-density edge volume (see
+    * the in-body comment). Output is the same cluster report shape as
+    * cur_dup_clusters; the oracle certifies equivalence against the full
+    * pairwise reachability.
     */
   def simhashClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    graft.ops.Graph.connectedComponents(
-      simhashPairs(spark, dir).select($"doc_a", $"doc_b"))
+    // SIGNATURE compression (round 12): Hamming distance is a function of
+    // the two signatures alone, so doc-level connectivity is entirely
+    // determined by the DISTINCT signatures — same-sig docs are pairwise
+    // hamming-0 near-dups of each other (and collide in every band). The
+    // pairwise doc listing is therefore quadratic in duplicate density
+    // (14.5M pairs on the 4×-replicated probe corpus, SURVEY §6.1) while
+    // carrying no extra connectivity. Feed CC the EQUIVALENT linear graph
+    // instead: one star edge per doc to its signature's min-doc rep, plus
+    // the band join run over one rep per distinct signature. Components
+    // (and min-doc labels) are identical — same-sig docs connect through
+    // the rep star; cross-sig connectivity needs a shared band chunk and
+    // hamming ≤ 3, the exact pairwise condition — and the certifying
+    // oracle still derives them from the full pairwise listing.
+    val sig = graft.ops.ScopedCache.untilConsumed(simhashSigs(spark, dir))
+    val reps = sig.groupBy($"sig").agg(min($"doc_id").as("rep"))
+    val stars = sig.join(reps, Seq("sig"))
+      .filter($"doc_id" =!= $"rep")
+      .select($"rep".as("doc_a"), $"doc_id".as("doc_b"))
+    val repPairs = simhashBandJoin(
+      simhashBands(reps.select($"rep".as("doc_id"), $"sig")))
+      .select($"doc_a", $"doc_b")
+    graft.ops.Graph.connectedComponents(repPairs.unionByName(stars))
       .select($"node".as("doc_id"), $"component".as("lbl"))
       .groupBy($"lbl".as("cluster_root"))
       .agg(count(lit(1)).as("n_members"), max($"doc_id").as("max_doc"))
