@@ -338,17 +338,34 @@ object TextDedup {
         $"a.band" === $"b.band" && $"a.sig" === $"b.sig" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("da"), $"b.doc_id".as("db")).distinct()
     val szs = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    verifiedPairs(cand, sh, sh, szs, szs)
+  }
+
+  /** Exact-Jaccard verification of a candidate (da, db) list where da rows
+    * come from side A and db rows from side B: intersect the two shingle
+    * frames, join the two size frames, keep 2i ≥ union (Jaccard ≥ 0.5),
+    * and emit in the canonical doc_a < doc_b orientation with n_a/n_b
+    * following the swap. With A = B this is the L3 tail; with A = an
+    * incoming batch and B = the resident corpus it is the append probe's
+    * verify — candidates may arrive in either id order there.
+    */
+  private def verifiedPairs(cand: DataFrame, shA: DataFrame, shB: DataFrame,
+                            szA: DataFrame, szB: DataFrame): DataFrame = {
+    val spark = cand.sparkSession
+    import spark.implicits._
     val inter = cand
-      .join(sh.as("x"), $"x.doc_id" === $"da")
-      .join(sh.as("y"), $"y.doc_id" === $"db" && $"y.s" === $"x.s")
+      .join(shA.as("x"), $"x.doc_id" === $"da")
+      .join(shB.as("y"), $"y.doc_id" === $"db" && $"y.s" === $"x.s")
       .groupBy($"da", $"db").agg(count(lit(1)).as("i"))
     inter
-      .join(szs.as("sa"), $"sa.doc_id" === $"da")
-      .join(szs.as("sb"), $"sb.doc_id" === $"db")
+      .join(szA.as("sa"), $"sa.doc_id" === $"da")
+      .join(szB.as("sb"), $"sb.doc_id" === $"db")
       .filter($"i" * 2 >= $"sa.n" + $"sb.n" - $"i")
       .select(
-        $"da".as("doc_a"), $"db".as("doc_b"),
-        $"i".as("n_common"), $"sa.n".as("n_a"), $"sb.n".as("n_b"),
+        least($"da", $"db").as("doc_a"), greatest($"da", $"db").as("doc_b"),
+        $"i".as("n_common"),
+        when($"da" < $"db", $"sa.n").otherwise($"sb.n").as("n_a"),
+        when($"da" < $"db", $"sb.n").otherwise($"sa.n").as("n_b"),
         ($"i".cast("double") / ($"sa.n" + $"sb.n" - $"i")).as("jaccard"))
   }
 
@@ -436,14 +453,108 @@ object TextDedup {
     val root = pairGraphRoot(dir)
     pgCleanup // ensure the shutdown hook is registered before first write
     pgWritten.add(root)
-    minhashPairs(spark, dir)
-      .repartition(4, $"doc_a").sortWithinPartitions($"doc_a", $"doc_b")
-      .write.mode("overwrite").parquet(s"$root/pairs")
+    // plain cache + explicit release (not ScopedCache): the shingle frame
+    // is consumed by THREE write actions here, and the scoped form would
+    // release it after the first
+    val sh = shingles(Tables.documents(spark, dir)).cache()
+    try {
+      // sig deliberately NOT cached despite three consumers: the
+      // candidate self-join's two sides share one ReusedExchange when
+      // the plan stays lazy, and an A/B showed caching it doubles the
+      // refresh (4.4 s → 8.8 s at sf0.1) by materializing the frame and
+      // severing that reuse
+      val sig = minhashBandSigs(sh)
+      val szs = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      // the signature index and set sizes ARE part of the artifact: they
+      // are what appendPairGraphMv probes, so an append never re-shingles
+      // the resident corpus (the L8 asymmetric-index discipline). The
+      // index is (band, sig)-clustered — the probe join's key.
+      sig.repartition(4, $"band", $"sig").sortWithinPartitions($"band", $"sig")
+        .write.mode("overwrite").parquet(s"$root/sigs")
+      szs.repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
+        .write.mode("overwrite").parquet(s"$root/sizes")
+      val cand = sig.as("a").join(sig.as("b"),
+          $"a.band" === $"b.band" && $"a.sig" === $"b.sig" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("da"), $"b.doc_id".as("db")).distinct()
+      verifiedPairs(cand, sh, sh, szs, szs)
+        .repartition(4, $"doc_a").sortWithinPartitions($"doc_a", $"doc_b")
+        .write.mode("overwrite").parquet(s"$root/pairs")
+    } finally { sh.unpersist(false); () }
     graft.ops.Graph.connectedComponents(
         spark.read.parquet(s"$root/pairs").select($"doc_a", $"doc_b"))
       .select($"node".as("doc_id"), $"component")
       .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
       .write.mode("overwrite").parquet(s"$root/labels")
+    root
+  }
+
+  /** Incremental batch ingest into a BUILT pair-graph MV — the per-day
+    * path of the 100 TB daily-crawl shape (the full refresh becomes a
+    * periodic compaction, the S12 story). Per-batch cost is batch-bounded
+    * everywhere:
+    *  - the batch is shingled and signed once (batch-sized);
+    *  - candidates = batch probes the STORED (band, sig) index (the L8
+    *    asymmetric join — never resident×resident) plus the batch's own
+    *    band self-join (batch²-bounded, and batches are small);
+    *  - exact-Jaccard verify re-shingles only the CANDIDATE PARTNERS of
+    *    the resident side (a semi-join-pruned corpus scan; batch side
+    *    reuses its cached shingles), with resident set sizes read from
+    *    the stored /sizes — no corpus-wide recompute;
+    *  - relabeling runs CC over the batch's new pairs UNION one star edge
+    *    per already-labeled doc (component → member), so the iteration
+    *    state is (labels + new-pairs)-sized and existing components merge
+    *    correctly when a batch doc bridges them. Labels stay exactly
+    *    "min doc_id reachable" — identical to a full rebuild
+    *    (PairGraphMvSpec pins append == rebuild on a split corpus).
+    * The batch frame must carry (doc_id, text) with doc_ids disjoint from
+    * the resident corpus (CDC-style ingest contract).
+    */
+  private[graft] def appendPairGraphMv(spark: SparkSession, dir: String,
+                                       batch: DataFrame): String = {
+    import spark.implicits._
+    val root = pairGraphRoot(dir)
+    require(pgBuilt.containsKey(root),
+      s"appendPairGraphMv: no built pair-graph MV for $dir — refresh first")
+    val bsh = shingles(batch).cache()
+    try {
+      val bsig = minhashBandSigs(bsh)
+      val bszs = bsh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val esig = spark.read.parquet(s"$root/sigs")
+      val eszs = spark.read.parquet(s"$root/sizes")
+      // asymmetric probe: batch → resident index (da = batch, db = resident)
+      val candBE = bsig.as("a").join(esig.as("b"),
+          $"a.band" === $"b.band" && $"a.sig" === $"b.sig")
+        .select($"a.doc_id".as("da"), $"b.doc_id".as("db")).distinct()
+      // batch-internal near-dups (a crawl batch can carry its own dups)
+      val candBB = bsig.as("a").join(bsig.as("b"),
+          $"a.band" === $"b.band" && $"a.sig" === $"b.sig" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("da"), $"b.doc_id".as("db")).distinct()
+      // resident shingles only for candidate partners (semi-join prune)
+      val partners = candBE.select($"db".as("doc_id")).distinct()
+      val esh = shingles(
+        Tables.documents(spark, dir).join(partners, Seq("doc_id"), "left_semi"))
+      val newPairs = verifiedPairs(candBE, bsh, esh, bszs, eszs)
+        .unionByName(verifiedPairs(candBB, bsh, bsh, bszs, bszs))
+        .localCheckpoint() // consumed by the pairs append AND the relabel CC
+      newPairs.repartition(4, $"doc_a").sortWithinPartitions($"doc_a", $"doc_b")
+        .write.mode("append").parquet(s"$root/pairs")
+      bsig.repartition(4, $"band", $"sig").sortWithinPartitions($"band", $"sig")
+        .write.mode("append").parquet(s"$root/sigs")
+      bszs.repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
+        .write.mode("append").parquet(s"$root/sizes")
+      // relabel: old labels as star edges (root → member; roots reconnect
+      // through their members' edges) ∪ the new pairs. CC checkpoints its
+      // input up front, so overwriting /labels below never yanks files
+      // out from under a live scan.
+      val star = spark.read.parquet(s"$root/labels")
+        .filter($"component" =!= $"doc_id")
+        .select($"component".as("doc_a"), $"doc_id".as("doc_b"))
+      graft.ops.Graph.connectedComponents(
+          star.unionByName(newPairs.select($"doc_a", $"doc_b")))
+        .select($"node".as("doc_id"), $"component")
+        .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
+        .write.mode("overwrite").parquet(s"$root/labels")
+    } finally { bsh.unpersist(false); () }
     root
   }
 

@@ -41,6 +41,39 @@ class PairGraphMvSpec extends SparkSpec {
     assert(snapshot() !== before, "refresh did not rewrite the artifact")
   }
 
+  test("pair-graph MV append: incremental batch ingest equals a full rebuild") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val resident = docs.filter($"doc_id" % 5 =!= 0)
+    val batch = docs.filter($"doc_id" % 5 === 0)
+    // scratch corpora: the resident 80% as its own dataset dir (the MV is
+    // keyed by dir), and the full corpus as the rebuild reference
+    val baseDir = java.nio.file.Files.createTempDirectory("graft_pg_base").toString
+    val fullDir = java.nio.file.Files.createTempDirectory("graft_pg_full").toString
+    resident.write.mode("overwrite").parquet(s"$baseDir/documents.parquet")
+    docs.write.mode("overwrite").parquet(s"$fullDir/documents.parquet")
+    llm.TextDedup.refreshPairGraphMv(spark, baseDir)
+    llm.TextDedup.appendPairGraphMv(spark, baseDir, batch.select($"doc_id", $"text"))
+    def labelMap(dir: String) = llm.TextDedup.componentLabels(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val incremental = labelMap(baseDir)
+    val rebuilt = labelMap(fullDir)
+    assert(incremental === rebuilt)
+    // the pin must be binding: the batch actually contributed pairs
+    // (otherwise append-correctness is vacuous at this SF)
+    val basePairs = spark.read.parquet(
+      s"${llm.TextDedup.pairGraphRoot(baseDir)}/pairs")
+    assert(basePairs.filter($"doc_a" % 5 === 0 || $"doc_b" % 5 === 0).count() > 0,
+      "no batch-side pairs at this SF — append test is vacuous")
+    // and the appended pair SET matches the full rebuild's
+    val fullPairs = spark.read.parquet(
+      s"${llm.TextDedup.pairGraphRoot(fullDir)}/pairs")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_a", $"doc_b", $"n_common", $"n_a", $"n_b")
+        .collect().map(_.toSeq).toSet
+    assert(pairSet(basePairs) === pairSet(fullPairs))
+  }
+
   test("cur_neardedup_mv (refresh + artifact read) equals cur_neardedup_best") {
     val mv = llm.Curation.nearDedupMv(spark, sfDir).collect().map(_.toSeq)
     val best = llm.Curation.nearDedupBest(spark, sfDir).collect().map(_.toSeq)
