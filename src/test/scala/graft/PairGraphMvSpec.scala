@@ -74,6 +74,21 @@ class PairGraphMvSpec extends SparkSpec {
     assert(pairSet(basePairs) === pairSet(fullPairs))
   }
 
+  test("pair-graph consumers never re-shingle: plans are artifact reads") {
+    // the durable form of the round-12 fix: if a refactor silently
+    // reconnects a consumer to the raw-text derivation, its physical
+    // plan re-acquires the shingle generator / LSH stages — pin their
+    // absence (the quality signal legitimately scans documents; it must
+    // be the ONLY corpus-shaped work left in these plans)
+    llm.TextDedup.componentLabels(spark, sfDir).count() // ensure built
+    for (name <- Seq("cur_neardedup_best", "cur_leak_safe_split", "cur_dup_clusters")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("graft_shingles"), s"$name re-derives shingles")
+      assert(!plan.toLowerCase.contains("1000000007"), s"$name re-runs minhash")
+    }
+  }
+
   test("cur_neardedup_mv (refresh + artifact read) equals cur_neardedup_best") {
     val mv = llm.Curation.nearDedupMv(spark, sfDir).collect().map(_.toSeq)
     val best = llm.Curation.nearDedupBest(spark, sfDir).collect().map(_.toSeq)
