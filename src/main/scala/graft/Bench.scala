@@ -82,14 +82,23 @@ object Bench {
     // discrepancy localizes to "pass variance" (environment) vs "all
     // three passes slow" (plan). The driver-parsed compact line is
     // unchanged.
-    def fmt3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // env-sourced strings are attacker/typo-shaped — escape them, or a
+    // quote in SPARK_DRIVER_MEM corrupts the very JSON this block was
+    // added to make parseable
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val passesJson = passes.map { case (k, ts) =>
-      "\"" + k + "\":[" + ts.map(fmt3).mkString(",") + "]"
+      jstr(k) + ":[" + ts.map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val heapMaxGb = Runtime.getRuntime.maxMemory() / (1024.0 * 1024 * 1024)
     val envJson =
-      s""""heap_max_gb":${fmt3(heapMaxGb)},"cpus":"$cpus"""" +
-        s""","driver_mem_env":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "")}"""" +
+      s""""heap_max_gb":${fmt(heapMaxGb)},"cpus":${jstr(cpus)}""" +
+        s""","driver_mem_env":${jstr(sys.env.getOrElse("SPARK_DRIVER_MEM", ""))}""" +
         s""","avail_processors":${Runtime.getRuntime.availableProcessors()}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passesJson,$envJson,"sf":"$sfDir"}"""
@@ -103,7 +112,6 @@ object Bench {
     // slowest queries that fit. Full precision always lives in bench_result
     // .json and in the penultimate stdout line.
     println(line)
-    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def compactLine(qsub: Seq[(String, Double)]): String = {
       val m = qsub.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$m,"sf":"$sfDir"}"""

@@ -390,39 +390,19 @@ object Embeddings {
   // build amortizes across every query until the next refresh instead
   // of being paid per query.
 
-  private lazy val ivfNonce: String =
-    java.lang.Long.toHexString(java.lang.ProcessHandle.current().pid()) + "-" +
-      java.util.UUID.randomUUID().toString.take(8)
-  private val ivfWritten = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   // roots whose index is complete this process — the E21 read path's
   // build-once memo (any buildIvfIndex marks its root, so a prior
-  // emb_ivf_mv refresh also satisfies emb_ivf_read)
+  // emb_ivf_mv refresh also satisfies emb_ivf_read); also the writers'
+  // monitor (see buildIvfIndex)
   private val ivfBuilt = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-  private lazy val ivfCleanup: Thread = {
-    val t = new Thread(() => {
-      ivfWritten.forEach { root =>
-        def rm(f: java.io.File): Unit = {
-          val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(): Unit
-        }
-        rm(new java.io.File(root))
-      }
-    }, "graft-ivf-mv-cleanup")
-    java.lang.Runtime.getRuntime.addShutdownHook(t)
-    t
-  }
 
-  /** Artifact root for one (dataset, variant) pair — the backbone MV's
-    * path discipline (Graph.backboneRoot): keyed by a hash of the
-    * CANONICAL dataset path plus a per-process nonce so concurrent runs
-    * never clobber each other's index, deleted by a shutdown hook.
+  /** Artifact root for one (dataset, variant) pair — path/nonce/cleanup
+    * machinery shared with every MV family via
+    * [[graft.ops.ArtifactRoots]] (canonical-dataset-path hash +
+    * per-process nonce, shutdown-hook deletion).
     */
-  private[graft] def ivfRoot(dir: String, tag: String): String = {
-    val canon = new java.io.File(dir).getCanonicalPath
-    val h = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(canon.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-    val tmp = System.getProperty("java.io.tmpdir", "/tmp").stripSuffix("/")
-    s"$tmp/graft_ivf_mv_${tag}_${h}_$ivfNonce"
-  }
+  private[graft] def ivfRoot(dir: String, tag: String): String =
+    graft.ops.ArtifactRoots.path(s"graft_ivf_mv_$tag", Some(dir))
 
   /** Build + persist the IVF index over the vectors selected by `pred`:
     * train the coarse quantizer (k=10 × 5 Lloyd rounds, E2's exact
@@ -434,13 +414,20 @@ object Embeddings {
     * return — lloydCentroids sees the cache via its caller-caches
     * contract and skips its internal copy.
     */
+  /** All index WRITERS serialize on ivfBuilt's monitor (same single-
+    * writer-per-process contract as the pair-graph MV): a refresh
+    * (emb_ivf_mv) can never interleave its overwrite with another
+    * build, and the read path's double-check below excludes a
+    * concurrent first-build of the same root. Readers concurrent with
+    * a refresh can still observe the overwrite mid-scan — plain parquet
+    * has no snapshot isolation; the registry is single-threaded per
+    * dataset, which satisfies the constraint.
+    */
   private[graft] def buildIvfIndex(spark: SparkSession, dir: String, tag: String,
-                                   pred: DataFrame => DataFrame): String = {
+                                   pred: DataFrame => DataFrame): String = ivfBuilt.synchronized {
     graft.GraftExtensions.ensure(spark)
     import spark.implicits._
-    val root = ivfRoot(dir, tag)
-    ivfCleanup // ensure the shutdown hook is registered before first write
-    ivfWritten.add(root)
+    val root = graft.ops.ArtifactRoots.register(s"graft_ivf_mv_$tag", Some(dir))
     val eAll = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding".as("v"))
       .withColumn("nrm", norm($"v"))
@@ -1180,9 +1167,7 @@ object Embeddings {
   def nswMvTopK(spark: SparkSession, dir: String): DataFrame = {
     graft.GraftExtensions.ensure(spark)
     import spark.implicits._
-    val root = ivfRoot(dir, "nsw")
-    ivfCleanup // ensure the shutdown hook is registered before first write
-    ivfWritten.add(root)
+    val root = graft.ops.ArtifactRoots.register("graft_ivf_mv_nsw", Some(dir))
     val (e, q) = nswFrames(spark, dir)
     nswAdjacency(e)
       .repartition(4, $"src").sortWithinPartitions($"src", $"dst")

@@ -23,35 +23,34 @@ object ProbeNsw {
       val t0 = System.nanoTime(); val r = f
       println(f"PROBE $label ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
     }
-    // warm up JVM/IO once
-    Embeddings.nswTopK(spark, sfDir).count()
-    spark.catalog.clearCache()
-    for (_ <- 1 to 3) {
-      time("e18_build_and_query") { Embeddings.nswTopK(spark, sfDir).count() }
+    // register the probe root for shutdown-hook deletion UP FRONT (not a
+    // normal-exit rm at the end — a thrown query would leak the nonce'd
+    // dir forever, a fresh one per crashed run)
+    val root = graft.ops.ArtifactRoots.register("graft_ivf_mv_nswprobe", Some(sfDir))
+    try {
+      // warm up JVM/IO once
+      Embeddings.nswTopK(spark, sfDir).count()
       spark.catalog.clearCache()
-    }
-    // E20 split: build+persist once, then query batches from the artifact
-    val (e, q) = time("e20_corpus_frames") { Embeddings.nswFrames(spark, sfDir) }
-    val root = Embeddings.ivfRoot(sfDir, "nswprobe")
-    time("e20_build_persist_adjacency") {
-      Embeddings.nswAdjacency(e)
-        .repartition(4, $"src").sortWithinPartitions($"src", $"dst")
-        .write.mode("overwrite").parquet(s"$root/adj")
-    }
-    val adj = spark.read.parquet(s"$root/adj").localCheckpoint()
-    for (_ <- 1 to 3) {
-      time("e20_query_from_artifact") {
-        Embeddings.nswBeamSearch(e, q, adj).count()
+      for (_ <- 1 to 3) {
+        time("e18_build_and_query") { Embeddings.nswTopK(spark, sfDir).count() }
+        spark.catalog.clearCache()
       }
+      // E20 split: build+persist once, then query batches from the artifact
+      val (e, q) = time("e20_corpus_frames") { Embeddings.nswFrames(spark, sfDir) }
+      time("e20_build_persist_adjacency") {
+        Embeddings.nswAdjacency(e)
+          .repartition(4, $"src").sortWithinPartitions($"src", $"dst")
+          .write.mode("overwrite").parquet(s"$root/adj")
+      }
+      val adj = spark.read.parquet(s"$root/adj").localCheckpoint()
+      for (_ <- 1 to 3) {
+        time("e20_query_from_artifact") {
+          Embeddings.nswBeamSearch(e, q, adj).count()
+        }
+      }
+    } finally {
+      spark.stop()
+      graft.ops.ArtifactRoots.delete(root)
     }
-    spark.stop()
-    // the probe root is not on Embeddings' registered-artifact cleanup
-    // list (the shutdown hook only tracks roots ivf/nsw queries wrote),
-    // so delete it here — a scratch probe must not leak /tmp state
-    // across runs
-    def rm(f: java.io.File): Unit = {
-      val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(): Unit
-    }
-    rm(new java.io.File(root))
   }
 }

@@ -403,31 +403,12 @@ object TextDedup {
   // pairs, union them into /pairs, and re-run CC seeded from the stored
   // labels — per-day cost is batch-sized, the full refresh becomes a
   // periodic compaction (the S12 story).
-  private lazy val pgNonce: String =
-    java.lang.Long.toHexString(java.lang.ProcessHandle.current().pid()) + "-" +
-      java.util.UUID.randomUUID().toString.take(8)
-  private val pgWritten = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // built-this-process memo + the writers' monitor; path/nonce/cleanup
+  // machinery shared with every MV family via graft.ops.ArtifactRoots
   private val pgBuilt = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-  private lazy val pgCleanup: Thread = {
-    val t = new Thread(() => {
-      pgWritten.forEach { root =>
-        def rm(f: java.io.File): Unit = {
-          val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(): Unit
-        }
-        rm(new java.io.File(root))
-      }
-    }, "graft-pairgraph-mv-cleanup")
-    java.lang.Runtime.getRuntime.addShutdownHook(t)
-    t
-  }
 
-  private[graft] def pairGraphRoot(dir: String): String = {
-    val canon = new java.io.File(dir).getCanonicalPath
-    val h = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(canon.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-    val tmp = System.getProperty("java.io.tmpdir", "/tmp").stripSuffix("/")
-    s"$tmp/graft_pairgraph_mv_${h}_$pgNonce"
-  }
+  private[graft] def pairGraphRoot(dir: String): String =
+    graft.ops.ArtifactRoots.path("graft_pairgraph_mv", Some(dir))
 
   /** Derive the pair graph FRESH (never reading the MV's own previous
     * output) and publish both layers: `/pairs` (doc_a, doc_b, n_common,
@@ -439,20 +420,32 @@ object TextDedup {
     * localCheckpoints never re-plan the shingle pipeline. Returns the
     * root.
     */
-  private[graft] def refreshPairGraphMv(spark: SparkSession, dir: String): String = {
-    val root = doRefreshPairGraph(spark, dir)
-    // outside doRefreshPairGraph: componentLabels invokes the refresh
-    // from inside pgBuilt.computeIfAbsent, where a same-map put would be
-    // an illegal recursive update
-    pgBuilt.put(root, java.lang.Boolean.TRUE)
-    root
-  }
+  /** Concurrency contract (all three mutators — refresh, append, the
+    * build-on-first-read — serialize on pgBuilt's monitor): at most one
+    * WRITER per (process, dataset) at a time. Readers concurrent with a
+    * refresh/append can still observe the overwrite mid-scan (plain
+    * parquet has no snapshot isolation — that is the S6v machinery's
+    * job, deliberately not paid here); the engine's query-per-action
+    * registry (Verify, Bench, the audits) is single-threaded per
+    * dataset, which satisfies the constraint trivially. A multi-tenant
+    * deployment schedules refreshes the way it schedules compactions.
+    */
+  private[graft] def refreshPairGraphMv(spark: SparkSession, dir: String): String =
+    pgBuilt.synchronized {
+      val root = doRefreshPairGraph(spark, dir)
+      pgBuilt.put(root, java.lang.Boolean.TRUE)
+      root
+    }
 
   private def doRefreshPairGraph(spark: SparkSession, dir: String): String = {
     import spark.implicits._
-    val root = pairGraphRoot(dir)
-    pgCleanup // ensure the shutdown hook is registered before first write
-    pgWritten.add(root)
+    val root = graft.ops.ArtifactRoots.register("graft_pairgraph_mv", Some(dir))
+    // a refresh re-derives from the CORPUS alone: drop any previously
+    // appended batch archive so a later append's resident side matches
+    // the rebuilt index (stale /batchdocs rows would be harmless — their
+    // sigs are gone from /sigs, so they can never become candidate
+    // partners — but hygiene beats reasoning about harmlessness)
+    graft.ops.ArtifactRoots.delete(s"$root/batchdocs")
     // plain cache + explicit release (not ScopedCache): the shingle frame
     // is consumed by THREE write actions here, and the scoped form would
     // release it after the first
@@ -510,7 +503,7 @@ object TextDedup {
     * the resident corpus (CDC-style ingest contract).
     */
   private[graft] def appendPairGraphMv(spark: SparkSession, dir: String,
-                                       batch: DataFrame): String = {
+                                       batch: DataFrame): String = pgBuilt.synchronized {
     import spark.implicits._
     val root = pairGraphRoot(dir)
     require(pgBuilt.containsKey(root),
@@ -529,10 +522,22 @@ object TextDedup {
       val candBB = bsig.as("a").join(bsig.as("b"),
           $"a.band" === $"b.band" && $"a.sig" === $"b.sig" && $"a.doc_id" < $"b.doc_id")
         .select($"a.doc_id".as("da"), $"b.doc_id".as("db")).distinct()
-      // resident shingles only for candidate partners (semi-join prune)
+      // resident shingles only for candidate partners (semi-join prune).
+      // The resident side is corpus ∪ PREVIOUSLY APPENDED batches — the
+      // corpus table alone would silently drop any cross-batch pair on
+      // the second and later appends (partner shingles would be absent,
+      // the verify intersection empty, the component merge lost); each
+      // append therefore also archives its batch text under /batchdocs,
+      // batch-sized per append
+      val batchDocsPath = new java.io.File(s"$root/batchdocs")
+      val residentDocs =
+        if (batchDocsPath.isDirectory)
+          Tables.documents(spark, dir).select($"doc_id", $"text")
+            .unionByName(spark.read.parquet(s"$root/batchdocs"))
+        else Tables.documents(spark, dir).select($"doc_id", $"text")
       val partners = candBE.select($"db".as("doc_id")).distinct()
       val esh = shingles(
-        Tables.documents(spark, dir).join(partners, Seq("doc_id"), "left_semi"))
+        residentDocs.join(partners, Seq("doc_id"), "left_semi"))
       val newPairs = verifiedPairs(candBE, bsh, esh, bszs, eszs)
         .unionByName(verifiedPairs(candBB, bsh, bsh, bszs, bszs))
         .localCheckpoint() // consumed by the pairs append AND the relabel CC
@@ -542,6 +547,9 @@ object TextDedup {
         .write.mode("append").parquet(s"$root/sigs")
       bszs.repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
         .write.mode("append").parquet(s"$root/sizes")
+      batch.select($"doc_id", $"text")
+        .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
+        .write.mode("append").parquet(s"$root/batchdocs")
       // relabel: old labels as star edges (root → member; roots reconnect
       // through their members' edges) ∪ the new pairs. CC checkpoints its
       // input up front, so overwriting /labels below never yanks files
@@ -568,7 +576,15 @@ object TextDedup {
     */
   private[graft] def componentLabels(spark: SparkSession, dir: String): DataFrame = {
     val root = pairGraphRoot(dir)
-    pgBuilt.computeIfAbsent(root, _ => { doRefreshPairGraph(spark, dir); java.lang.Boolean.TRUE })
+    // double-checked on the shared writer monitor (NOT computeIfAbsent:
+    // a same-map put inside the mapping function is an illegal recursive
+    // update, and the bin lock would not exclude a concurrent refresh)
+    if (!pgBuilt.containsKey(root)) pgBuilt.synchronized {
+      if (!pgBuilt.containsKey(root)) {
+        doRefreshPairGraph(spark, dir)
+        pgBuilt.put(root, java.lang.Boolean.TRUE); ()
+      }
+    }
     spark.read.parquet(s"$root/labels")
   }
 

@@ -423,30 +423,11 @@ object Graph {
     * deleted by a JVM shutdown hook — they live exactly as long as the
     * session that can read them (useMaterializedBackbone).
     */
-  private lazy val mvNonce: String =
-    java.lang.Long.toHexString(java.lang.ProcessHandle.current().pid()) + "-" +
-      java.util.UUID.randomUUID().toString.take(8)
-  private val mvWritten = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private lazy val mvCleanup: Thread = {
-    val t = new Thread(() => {
-      mvWritten.forEach { root =>
-        def rm(f: java.io.File): Unit = {
-          val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(): Unit
-        }
-        rm(new java.io.File(root))
-      }
-    }, "graft-backbone-mv-cleanup")
-    java.lang.Runtime.getRuntime.addShutdownHook(t)
-    t
-  }
-
-  def backboneRoot(dir: String): String = {
-    val canon = new java.io.File(dir).getCanonicalPath
-    val h = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(canon.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-    val tmp = System.getProperty("java.io.tmpdir", "/tmp").stripSuffix("/")
-    s"$tmp/graft_backbone_mv_${h}_$mvNonce"
-  }
+  // path/nonce/cleanup machinery lives in graft.ops.ArtifactRoots (one
+  // copy for every MV family); readers resolve with path(), the refresh
+  // registers before its first write
+  def backboneRoot(dir: String): String =
+    ArtifactRoots.path("graft_backbone_mv", Some(dir))
 
   /** The refresh body shared by G0 and the G9 pipeline: derive the
     * WEIGHTED backbone fresh (never reading the MV's own previous
@@ -454,8 +435,7 @@ object Graph {
     */
   private[graft] def refreshBackboneMv(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    mvCleanup // ensure the shutdown hook is registered before first write
-    mvWritten.add(backboneRoot(dir))
+    ArtifactRoots.register("graft_backbone_mv", Some(dir))
     deriveBackboneWeighted(spark, dir)
       .repartition(4, $"u").sortWithinPartitions($"u", $"v")
       .write.mode("overwrite").parquet(backboneRoot(dir))

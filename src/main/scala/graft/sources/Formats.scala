@@ -33,28 +33,8 @@ object Formats {
     */
   val csvRoot = "/tmp/graft_csv_orders"
 
-  private lazy val sideNonce: String =
-    java.lang.Long.toHexString(java.lang.ProcessHandle.current().pid()) + "-" +
-      java.util.UUID.randomUUID().toString.take(8)
-  private val sideWritten = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private lazy val sideCleanup: Thread = {
-    val t = new Thread(() => {
-      sideWritten.forEach { root =>
-        def rm(f: java.io.File): Unit = {
-          val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(): Unit
-        }
-        rm(new java.io.File(root))
-      }
-    }, "graft-side-file-cleanup")
-    java.lang.Runtime.getRuntime.addShutdownHook(t)
-    t
-  }
-  private def sideRoot(tag: String): String = {
-    val root = s"/tmp/graft_${tag}_$sideNonce"
-    sideCleanup // ensure the hook is registered before first write
-    sideWritten.add(root)
-    root
-  }
+  private def sideRoot(tag: String): String =
+    graft.ops.ArtifactRoots.register(s"graft_$tag")
 
   /** CSV round trip: typed write (DECIMAL money column — exact text, no
     * float-formatting drift between engines), schema'd read back (no

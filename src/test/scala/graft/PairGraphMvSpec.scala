@@ -50,28 +50,44 @@ class PairGraphMvSpec extends SparkSpec {
     // keyed by dir), and the full corpus as the rebuild reference
     val baseDir = java.nio.file.Files.createTempDirectory("graft_pg_base").toString
     val fullDir = java.nio.file.Files.createTempDirectory("graft_pg_full").toString
-    resident.write.mode("overwrite").parquet(s"$baseDir/documents.parquet")
-    docs.write.mode("overwrite").parquet(s"$fullDir/documents.parquet")
-    llm.TextDedup.refreshPairGraphMv(spark, baseDir)
-    llm.TextDedup.appendPairGraphMv(spark, baseDir, batch.select($"doc_id", $"text"))
-    def labelMap(dir: String) = llm.TextDedup.componentLabels(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val incremental = labelMap(baseDir)
-    val rebuilt = labelMap(fullDir)
-    assert(incremental === rebuilt)
-    // the pin must be binding: the batch actually contributed pairs
-    // (otherwise append-correctness is vacuous at this SF)
-    val basePairs = spark.read.parquet(
-      s"${llm.TextDedup.pairGraphRoot(baseDir)}/pairs")
-    assert(basePairs.filter($"doc_a" % 5 === 0 || $"doc_b" % 5 === 0).count() > 0,
-      "no batch-side pairs at this SF — append test is vacuous")
-    // and the appended pair SET matches the full rebuild's
-    val fullPairs = spark.read.parquet(
-      s"${llm.TextDedup.pairGraphRoot(fullDir)}/pairs")
-    def pairSet(df: org.apache.spark.sql.DataFrame) =
-      df.select($"doc_a", $"doc_b", $"n_common", $"n_a", $"n_b")
-        .collect().map(_.toSeq).toSet
-    assert(pairSet(basePairs) === pairSet(fullPairs))
+    try {
+      resident.write.mode("overwrite").parquet(s"$baseDir/documents.parquet")
+      docs.write.mode("overwrite").parquet(s"$fullDir/documents.parquet")
+      llm.TextDedup.refreshPairGraphMv(spark, baseDir)
+      // TWO appends, so cross-batch pairs (batch2 doc near-dupping a
+      // batch1 doc, whose shingles are NOT in the corpus table) are
+      // exercised — the single-append form silently missed them
+      llm.TextDedup.appendPairGraphMv(spark, baseDir,
+        batch.filter($"doc_id" % 10 === 0).select($"doc_id", $"text"))
+      llm.TextDedup.appendPairGraphMv(spark, baseDir,
+        batch.filter($"doc_id" % 10 =!= 0).select($"doc_id", $"text"))
+      def labelMap(dir: String) = llm.TextDedup.componentLabels(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val incremental = labelMap(baseDir)
+      val rebuilt = labelMap(fullDir)
+      assert(incremental === rebuilt)
+      // the pin must be binding: the batches actually contributed pairs,
+      // including at least one CROSS-BATCH pair (both endpoints appended)
+      val basePairs = spark.read.parquet(
+        s"${llm.TextDedup.pairGraphRoot(baseDir)}/pairs")
+      assert(basePairs.filter($"doc_a" % 5 === 0 || $"doc_b" % 5 === 0).count() > 0,
+        "no batch-side pairs at this SF — append test is vacuous")
+      assert(basePairs.filter($"doc_a" % 5 === 0 && $"doc_b" % 5 === 0
+          && ($"doc_a" % 10 === 0) =!= ($"doc_b" % 10 === 0)).count() > 0,
+        "no cross-batch pairs at this SF — the second-append path is vacuous")
+      // and the appended pair SET matches the full rebuild's
+      val fullPairs = spark.read.parquet(
+        s"${llm.TextDedup.pairGraphRoot(fullDir)}/pairs")
+      def pairSet(df: org.apache.spark.sql.DataFrame) =
+        df.select($"doc_a", $"doc_b", $"n_common", $"n_a", $"n_b")
+          .collect().map(_.toSeq).toSet
+      assert(pairSet(basePairs) === pairSet(fullPairs))
+    } finally {
+      // the MV roots are on the shutdown hook; the scratch corpora are
+      // not — delete them here or every run leaks two corpus copies
+      graft.ops.ArtifactRoots.delete(baseDir)
+      graft.ops.ArtifactRoots.delete(fullDir)
+    }
   }
 
   test("pair-graph consumers never re-shingle: plans are artifact reads") {
