@@ -1095,8 +1095,12 @@ object Embeddings {
       .groupBy($"src").agg(topk($"dst", $"sim").as("top"))
       .select($"src", explode($"top").as("s"))
       .select($"src", $"s.cid".as("dst"))
-    val cand0 = srpCandidates(e)
-    val adj0 = topOut(scorePairs(cand0))
+    // cand0 feeds two score passes and adj0 three consumers (both sides
+    // of the NN-descent self-join + the final union): checkpoint both so
+    // the SRP banding and the seed-graph scoring run once, not per
+    // consumer (A/B'd — see the round-12 SURVEY note)
+    val cand0 = srpCandidates(e).localCheckpoint()
+    val adj0 = topOut(scorePairs(cand0)).localCheckpoint()
     val non = adj0.as("a").join(adj0.as("b"),
         $"a.dst" === $"b.src" && $"a.src" =!= $"b.dst")
       .select(least($"a.src", $"b.dst").as("va"),
