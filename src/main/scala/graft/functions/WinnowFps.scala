@@ -87,6 +87,12 @@ object WinnowFps {
         ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
       i += 1
     }
+    // the thread-local builder never shrinks on its own: one
+    // pathologically long token run would pin that capacity per executor
+    // thread for the JVM lifetime (32 copies in a long-lived local[32]
+    // session) — drop the oversized buffer, keep hot-path reuse for
+    // typical documents
+    if (sb.capacity() > 65536) tlSb.remove()
     // rightmost min per w=4 window; positions deduped in first-occurrence
     // order, then values deduped in that order
     val seenPos = new Array[Boolean](ng)

@@ -434,10 +434,19 @@ object Embeddings {
     val e = pred(eAll).cache()
     try {
       val cents = lloydCentroids(e, k = 10, iters = 5)
-      assignCells(e, cents).select($"vec_id", $"v", $"nrm", $"cell")
-        .repartition($"cell")
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$root/cells")
-      cents.repartition(1).write.mode("overwrite").parquet(s"$root/centroids")
+      // cells + centroids swap ATOMICALLY as one S6v snapshot version: a
+      // refresh overwriting them in place could otherwise be observed
+      // mid-swap by a concurrent E21 reader (new cells scored against
+      // the old quantizer — wrong data, no error). E17 appends land in
+      // the CURRENT version's cells dir — additive files never yank a
+      // live scan's file list, the documented append exception.
+      graft.weather.Staging.publishSnapshot(spark, root) { p =>
+        assignCells(e, cents).select($"vec_id", $"v", $"nrm", $"cell")
+          .repartition($"cell")
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$p/cells")
+        cents.repartition(1).write.mode("overwrite").parquet(s"$p/centroids")
+      }
+      graft.weather.Staging.gcSnapshots(spark, root, keep = 2)
     } finally { e.unpersist(false); () }
     ivfBuilt.put(root, java.lang.Boolean.TRUE)
     root
@@ -455,10 +464,11 @@ object Embeddings {
     */
   private[graft] def appendIvfIndex(spark: SparkSession, root: String, batch: DataFrame): Unit = {
     import spark.implicits._
-    val cents = spark.read.parquet(s"$root/centroids")
+    val snap = graft.weather.Staging.currentSnapshotDir(spark, root)
+    val cents = spark.read.parquet(s"$snap/centroids")
     assignCells(batch, cents).select($"vec_id", $"v", $"nrm", $"cell")
       .repartition($"cell")
-      .write.mode("append").partitionBy("cell").parquet(s"$root/cells")
+      .write.mode("append").partitionBy("cell").parquet(s"$snap/cells")
   }
 
   /** Answer the standard query set (vec_id < 5, top-3 probes, top-3
@@ -478,13 +488,17 @@ object Embeddings {
     val q = Tables.embeddings(spark, dir).filter($"vec_id" < 5)
       .select($"vec_id", $"embedding".as("v"))
       .withColumn("nrm", norm($"v"))
-    val cents = spark.read.parquet(s"$root/centroids")
+    // pin the snapshot version ONCE: cells and centroids must come from
+    // the same committed version, or a concurrent refresh could pair a
+    // new quantizer with old cell assignments
+    val snap = graft.weather.Staging.currentSnapshotDir(spark, root)
+    val cents = spark.read.parquet(s"$snap/centroids")
     val probes = probeCells(q, cents, nprobe = 3)
       .as[(Long, Seq[Float], Double, Int)].collect().toSeq.sortBy(r => (r._1, r._4))
     val probedCells = probes.map(_._4).distinct.sorted
     val probesDf = broadcast(
       spark.createDataset(probes).toDF("qid", "qv", "qn", "cell"))
-    val cells = spark.read.parquet(s"$root/cells")
+    val cells = spark.read.parquet(s"$snap/cells")
       .filter($"cell".isin(probedCells: _*))
     val wTop = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id".asc)
     probesDf.join(cells.filter($"vec_id" >= 5), Seq("cell"))
@@ -1076,8 +1090,17 @@ object Embeddings {
     * 6/15 → 4/15 recall@3 here) — a purely-refined graph clusters and
     * the beam stalls locally, the reason HNSW keeps long-range links;
     * the union keeps the seed graph's diversity AND the densified near
-    * edges. Returns the directed (src, dst) edge list, un-materialized —
-    * the caller decides checkpoint vs persist-to-artifact.
+    * edges. Returns the directed (src, dst) edge list CHECKPOINTED, with
+    * every build intermediate's storage already released — the caller
+    * frees the returned frame when done ([[graft.ops.Ckpt]] discipline).
+    *
+    * The NN-descent pass scores only the NEW candidate pairs
+    * (`non` anti-join the seed candidates): the seed pairs were already
+    * scored for `adj0`, and cosine is deterministic per pair, so
+    * re-scoring them produced byte-identical rows at one corpus-join's
+    * extra cost — the union of the memoized seed scores with the fresh
+    * scores feeds the final top-out over the IDENTICAL scored set
+    * (cand0 ∪ non = cand0 ∪ (non \ cand0), both sides distinct).
     */
   private[graft] def nswAdjacency(e: DataFrame): DataFrame = {
     val spark = e.sparkSession
@@ -1095,26 +1118,36 @@ object Embeddings {
       .groupBy($"src").agg(topk($"dst", $"sim").as("top"))
       .select($"src", explode($"top").as("s"))
       .select($"src", $"s.cid".as("dst"))
-    // cand0 feeds two score passes and adj0 three consumers (both sides
-    // of the NN-descent self-join + the final union): checkpoint both so
-    // the SRP banding and the seed-graph scoring run once, not per
+    // cand0 feeds the seed scoring + the anti-join, scored0 feeds adj0's
+    // top-out + the final top-out (the memoized seed scores), adj0 feeds
+    // three consumers (both sides of the NN-descent self-join + the
+    // final union): checkpoint all three so each runs once, not per
     // consumer (A/B'd — see the round-12 SURVEY note)
     val cand0 = srpCandidates(e).localCheckpoint()
-    val adj0 = topOut(scorePairs(cand0)).localCheckpoint()
+    val scored0 = scorePairs(cand0).localCheckpoint()
+    val adj0 = topOut(scored0).localCheckpoint()
     val non = adj0.as("a").join(adj0.as("b"),
         $"a.dst" === $"b.src" && $"a.src" =!= $"b.dst")
       .select(least($"a.src", $"b.dst").as("va"),
         greatest($"a.src", $"b.dst").as("vb"))
       .distinct()
-    topOut(scorePairs(cand0.unionByName(non).distinct()))
+    val fresh = non.join(cand0, Seq("va", "vb"), "left_anti")
+    val adj = topOut(scored0.unionByName(scorePairs(fresh)))
       .unionByName(adj0).distinct()
+      .localCheckpoint()
+    graft.ops.Ckpt.free(cand0, scored0, adj0)
+    adj
   }
 
   def nswTopK(spark: SparkSession, dir: String): DataFrame = {
     graft.GraftExtensions.ensure(spark)
     val (e, q) = nswFrames(spark, dir)
-    val adj = nswAdjacency(e).localCheckpoint()
-    nswBeamSearch(e, q, adj)
+    val adj = nswAdjacency(e)
+    val res = nswBeamSearch(e, q, adj)
+    // the beam loop materialized every round eagerly; the result's plan
+    // reads only the final beam — corpus and adjacency are dead now
+    graft.ops.Ckpt.free(e, adj)
+    res
   }
 
   /** The fixed-round batched beam search over a materialized adjacency —
@@ -1140,17 +1173,25 @@ object Embeddings {
         .join(q, Seq("qid"))
         .withColumn("sim", round(dot($"qv", $"cv") / ($"qn" * $"cn"), 6))
         .select($"qid", $"cid", $"sim")
+      val prev = beam
       beam = beam.unionByName(scored).distinct()
         .withColumn("rk", row_number().over(wBeam))
         .filter($"rk" <= 8)
         .select($"qid", $"cid", $"sim")
         .localCheckpoint()
+      // the new round's checkpoint materialized above (eager) — the
+      // prior round's blocks are dead, drop them now
+      graft.ops.Ckpt.free(prev)
     }
-    beam
-      .withColumn("rnk", row_number().over(wBeam))
-      .filter($"rnk" <= 3)
-      .select($"qid", $"rnk", $"cid", $"sim")
-      .orderBy($"qid", $"rnk")
+    // the result's plan reads the FINAL beam at action time — release it
+    // through the consumed-listener, not eagerly
+    graft.ops.Ckpt.freeOnConsumed(
+      beam
+        .withColumn("rnk", row_number().over(wBeam))
+        .filter($"rnk" <= 3)
+        .select($"qid", $"rnk", $"cid", $"sim")
+        .orderBy($"qid", $"rnk"),
+      Seq(beam))
   }
 
   // ---------------------------------------------------------------------
@@ -1168,16 +1209,73 @@ object Embeddings {
   // (ProbeNsw, sf0.1: build+persist 6.4 s ONCE, then 1.4–2.0 s per
   // query batch from the artifact, vs 7.4–12.6 s per batch when each
   // rebuilds — the build cost crosses over on the second batch).
-  def nswMvTopK(spark: SparkSession, dir: String): DataFrame = {
+  /** Index WRITERS serialize on nswBuilt's monitor (the buildIvfIndex /
+    * pair-graph contract): a refresh can never interleave its overwrite
+    * with another build, and the read path's double-check excludes a
+    * concurrent first-build of the same root.
+    */
+  private val nswBuilt = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private[graft] def nswRoot(dir: String): String =
+    graft.ops.ArtifactRoots.path("graft_ivf_mv_nsw", Some(dir))
+
+  /** Build + publish the NSW adjacency artifact for `dir`, releasing
+    * every build-side checkpoint before returning. Returns the root.
+    */
+  private[graft] def buildNswIndex(spark: SparkSession, dir: String): String =
+    nswBuilt.synchronized {
+      import spark.implicits._
+      val root = graft.ops.ArtifactRoots.register("graft_ivf_mv_nsw", Some(dir))
+      val (e, _) = nswFrames(spark, dir)
+      val adj = nswAdjacency(e)
+      // each NN-descent refresh publishes as the next S6v snapshot
+      // version — an E22 reader mid-scan is never yanked by an E20
+      // refresh's overwrite
+      graft.weather.Staging.publishSnapshot(spark, root) { p =>
+        adj.repartition(4, $"src").sortWithinPartitions($"src", $"dst")
+          .write.mode("overwrite").parquet(p)
+      }
+      graft.weather.Staging.gcSnapshots(spark, root, keep = 2)
+      graft.ops.Ckpt.free(e, adj)
+      nswBuilt.put(root, java.lang.Boolean.TRUE)
+      root
+    }
+
+  /** Answer the standard query batch from a persisted adjacency: the 4
+    * beam-search equi-joins against the artifact, nothing corpus-sized
+    * rebuilt. Shared by E20 (refresh + read) and E22 (read-only).
+    */
+  private[graft] def nswQueryFromIndex(spark: SparkSession, dir: String, root: String): DataFrame = {
     graft.GraftExtensions.ensure(spark)
-    import spark.implicits._
-    val root = graft.ops.ArtifactRoots.register("graft_ivf_mv_nsw", Some(dir))
     val (e, q) = nswFrames(spark, dir)
-    nswAdjacency(e)
-      .repartition(4, $"src").sortWithinPartitions($"src", $"dst")
-      .write.mode("overwrite").parquet(s"$root/adj")
-    val adj = spark.read.parquet(s"$root/adj").localCheckpoint()
-    nswBeamSearch(e, q, adj)
+    val adj = graft.weather.Staging.readSnapshot(spark, root).localCheckpoint()
+    val res = nswBeamSearch(e, q, adj)
+    graft.ops.Ckpt.free(e, adj)
+    res
+  }
+
+  def nswMvTopK(spark: SparkSession, dir: String): DataFrame =
+    nswQueryFromIndex(spark, dir, buildNswIndex(spark, dir))
+
+  /** E22 the PRODUCTION read path — the E21 (emb_ivf_read) convention
+    * applied to the graph-ANN index: the adjacency is built at most once
+    * per (process, dataset), and the registered query bills only what a
+    * batch against an already-maintained index costs. The billing
+    * convention now closes the same three ways as IVF's:
+    * emb_nsw_topk = inline (no artifact), emb_nsw_mv = refresh + read
+    * (bills the NN-descent build every run), emb_nsw_read = read-only.
+    * Result-identical to both by construction (same adjacency content —
+    * parquet round-trips the long edge list exactly — same beam
+    * search), so it shares nswTopKSql; the oracle match certifies the
+    * amortized artifact end-to-end.
+    */
+  def nswReadTopK(spark: SparkSession, dir: String): DataFrame = {
+    val root = nswRoot(dir)
+    // double-checked on the writer monitor, NOT computeIfAbsent (a
+    // same-map put inside the mapping function is an illegal recursive
+    // update; buildNswIndex marks its own root)
+    if (!nswBuilt.containsKey(root)) buildNswIndex(spark, dir)
+    nswQueryFromIndex(spark, dir, root)
   }
 
   private def nswRoundSql(r: Int): String = {
@@ -2089,6 +2187,7 @@ object Embeddings {
     "emb_knn_graph"   -> (knnGraph _),
     "emb_nsw_topk"    -> (nswTopK _),
     "emb_nsw_mv"      -> (nswMvTopK _),
+    "emb_nsw_read"    -> (nswReadTopK _),
     "emb_semdedup"    -> (semDedup _),
     "emb_quantize"    -> (quantize _),
     "emb_recall_eval" -> (recallEval _),
@@ -2112,6 +2211,7 @@ object Embeddings {
     "emb_knn_graph"   -> knnGraphSql,
     "emb_nsw_topk"    -> nswTopKSql,
     "emb_nsw_mv"      -> nswTopKSql,
+    "emb_nsw_read"    -> nswTopKSql,
     "emb_semdedup"    -> semDedupSql,
     "emb_quantize"    -> quantizeSql,
     "emb_recall_eval" -> recallEvalSql,

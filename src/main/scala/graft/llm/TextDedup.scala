@@ -473,11 +473,19 @@ object TextDedup {
         .repartition(4, $"doc_a").sortWithinPartitions($"doc_a", $"doc_b")
         .write.mode("overwrite").parquet(s"$root/pairs")
     } finally { sh.unpersist(false); () }
-    graft.ops.Graph.connectedComponents(
-        spark.read.parquet(s"$root/pairs").select($"doc_a", $"doc_b"))
-      .select($"node".as("doc_id"), $"component")
-      .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
-      .write.mode("overwrite").parquet(s"$root/labels")
+    // labels are the one layer a mutation OVERWRITES (append-only layers
+    // never yank files from a live scan), so they publish through the
+    // S6v commit-marker snapshot protocol: a reader holding version N is
+    // isolated from the writer publishing N+1, and a writer crash before
+    // the marker leaves the previous labels live
+    graft.weather.Staging.publishSnapshot(spark, s"$root/labels") { p =>
+      graft.ops.Graph.connectedComponents(
+          spark.read.parquet(s"$root/pairs").select($"doc_a", $"doc_b"))
+        .select($"node".as("doc_id"), $"component")
+        .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
+        .write.mode("overwrite").parquet(p)
+    }
+    graft.weather.Staging.gcSnapshots(spark, s"$root/labels", keep = 2)
     root
   }
 
@@ -508,6 +516,16 @@ object TextDedup {
     val root = pairGraphRoot(dir)
     require(pgBuilt.containsKey(root),
       s"appendPairGraphMv: no built pair-graph MV for $dir — refresh first")
+    // ingest-contract guard: a batch doc_id already resident would append
+    // duplicate /sizes and /sigs rows, multiplying rows through the
+    // verify size-join and silently corrupting pairs/labels. One
+    // batch-sized semi-join against the clustered /sizes index.
+    val dupIds = batch.select($"doc_id")
+      .join(spark.read.parquet(s"$root/sizes").select($"doc_id"), Seq("doc_id"), "left_semi")
+      .limit(1).count()
+    require(dupIds == 0,
+      s"appendPairGraphMv: batch re-ingests doc_ids already resident in $root — " +
+        "doc_ids must be disjoint (CDC ingest contract)")
     val bsh = shingles(batch).cache()
     try {
       val bsig = minhashBandSigs(bsh)
@@ -551,17 +569,34 @@ object TextDedup {
         .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
         .write.mode("append").parquet(s"$root/batchdocs")
       // relabel: old labels as star edges (root → member; roots reconnect
-      // through their members' edges) ∪ the new pairs. CC checkpoints its
-      // input up front, so overwriting /labels below never yanks files
-      // out from under a live scan.
-      val star = spark.read.parquet(s"$root/labels")
+      // through their members' edges) ∪ the new pairs. The new labels
+      // publish as the NEXT snapshot version (S6v commit-marker
+      // protocol) — a concurrent reader of the current labels version is
+      // never yanked mid-scan, and a crash here leaves the old version
+      // live (the append is then invalidated wholesale below).
+      val star = graft.weather.Staging.readSnapshot(spark, s"$root/labels")
         .filter($"component" =!= $"doc_id")
         .select($"component".as("doc_a"), $"doc_id".as("doc_b"))
-      graft.ops.Graph.connectedComponents(
-          star.unionByName(newPairs.select($"doc_a", $"doc_b")))
-        .select($"node".as("doc_id"), $"component")
-        .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
-        .write.mode("overwrite").parquet(s"$root/labels")
+      graft.weather.Staging.publishSnapshot(spark, s"$root/labels") { p =>
+        graft.ops.Graph.connectedComponents(
+            star.unionByName(newPairs.select($"doc_a", $"doc_b")))
+          .select($"node".as("doc_id"), $"component")
+          .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
+          .write.mode("overwrite").parquet(p)
+      }
+      graft.weather.Staging.gcSnapshots(spark, s"$root/labels", keep = 2)
+      graft.ops.Ckpt.free(newPairs)
+    } catch {
+      // the append mutates four append-layers plus the labels snapshot;
+      // a failure between them would leave the MV internally
+      // inconsistent while pgBuilt still marks it built (memoized
+      // readers silently serving labels that disagree with /pairs, a
+      // retried batch duplicating /pairs rows). Invalidate wholesale:
+      // the next consumer rebuilds from the corpus.
+      case scala.util.control.NonFatal(e) =>
+        pgBuilt.remove(root)
+        graft.ops.ArtifactRoots.delete(root)
+        throw e
     } finally { bsh.unpersist(false); () }
     root
   }
@@ -585,7 +620,7 @@ object TextDedup {
         pgBuilt.put(root, java.lang.Boolean.TRUE); ()
       }
     }
-    spark.read.parquet(s"$root/labels")
+    graft.weather.Staging.readSnapshot(spark, s"$root/labels")
   }
 
   val minhashLshSql: String =

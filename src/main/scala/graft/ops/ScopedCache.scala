@@ -73,15 +73,15 @@ object ScopedCache {
     * that DON'T (the scope was abandoned; see the val's scaladoc).
     */
   private def watchFragment(
-      cached: DataFrame,
-      fragment: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit = {
-    val spark = cached.sparkSession
+      spark: org.apache.spark.sql.SparkSession,
+      fragment: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)(
+      releaseFn: () => Unit): Unit = {
     val released = new AtomicBoolean(false)
     val foreignActions = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener: QueryExecutionListener = new QueryExecutionListener {
       private def release(): Unit =
         if (released.compareAndSet(false, true)) {
-          cached.unpersist(false)
+          releaseFn()
           spark.listenerManager.unregister(this)
         }
       private def maybeRelease(qe: QueryExecution): Unit = {
@@ -101,14 +101,36 @@ object ScopedCache {
 
   def untilResultConsumed(cached: DataFrame, result: DataFrame): DataFrame = {
     opened.incrementAndGet()
-    watchFragment(cached, result.queryExecution.analyzed.canonicalized)
+    watchFragment(cached.sparkSession,
+      result.queryExecution.analyzed.canonicalized)(() => cached.unpersist(false))
     result
   }
 
   def untilConsumed(df: DataFrame): DataFrame = {
     opened.incrementAndGet()
     val cached = df.cache()
-    watchFragment(cached, cached.queryExecution.analyzed.canonicalized)
+    watchFragment(cached.sparkSession,
+      cached.queryExecution.analyzed.canonicalized)(() => cached.unpersist(false))
     cached
+  }
+
+  /** Run `releaseFn` after the first completed action whose plan contains
+    * `result`'s analyzed fragment (or after the [[AbandonAfterActions]]
+    * TTL) — the cache-release listener generalized to arbitrary cleanup,
+    * used by [[Ckpt.freeOnConsumed]] to release localCheckpoint storage
+    * blocks that `spark.catalog.clearCache()` never touches. Same
+    * construct-then-execute-once contract as [[untilConsumed]]; the
+    * checkpoint flavor is stricter on violation (a freed checkpoint
+    * cannot recompute), so callers hand over only frames the executed
+    * result no longer needs.
+    */
+  def onConsumed(result: DataFrame)(releaseFn: () => Unit): DataFrame = {
+    // deliberately NOT counted in `opened`: the scope counter means
+    // "opened a CACHE scope" to its consumers (Round11Spec pins exact
+    // counts per operator); checkpoint scopes have their own counter in
+    // [[Ckpt]]
+    watchFragment(result.sparkSession,
+      result.queryExecution.analyzed.canonicalized)(releaseFn)
+    result
   }
 }

@@ -239,6 +239,10 @@ object EventStreams {
           .localCheckpoint(true)
         graft.weather.Staging.publishAtomic(s, path)(p =>
           merged.write.mode("overwrite").parquet(p))
+        // checkpointed RDD blocks are freed only when the frame is GC'd;
+        // a long-running stream would otherwise accumulate snapshot-sized
+        // storage per trigger (the Ckpt leak class) — release explicitly
+        graft.ops.Ckpt.free(merged)
         ()
       }
   }
@@ -307,7 +311,12 @@ object EventStreams {
           .select(cols: _*).localCheckpoint(true)
         graft.weather.Staging.publishSnapshot(s, root)(p =>
           merged.write.parquet(p))
+        graft.ops.Ckpt.free(merged)
         }
+        // release the feed checkpoint whether the batch was empty or not
+        // (ContextCleaner GC timing would otherwise hold feed-sized
+        // blocks per trigger for the stream's lifetime)
+        graft.ops.Ckpt.free(feed)
         ()
       }
   }

@@ -281,6 +281,17 @@ object Staging {
     } finally fs.delete(lock, false)
   }
 
+  /** Data dir of the current committed snapshot — for MV families whose
+    * snapshot holds MULTIPLE datasets as subdirs (the IVF cells +
+    * centroids pair must swap atomically: a reader pairing new cells
+    * with old centroids would score against the wrong quantizer).
+    */
+  def currentSnapshotDir(spark: SparkSession, root: String): String =
+    currentSnapshotVersion(spark, root) match {
+      case Some(v) => snapDir(root, v)
+      case None => throw new java.io.IOException(s"no committed snapshot under $root")
+    }
+
   /** Reads the table at its current committed snapshot. */
   def readSnapshot(spark: SparkSession, root: String): DataFrame =
     currentSnapshotVersion(spark, root) match {

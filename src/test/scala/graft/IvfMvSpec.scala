@@ -23,7 +23,8 @@ class IvfMvSpec extends SparkSpec {
   test("probed cells scan is partition-pruned to the probe list") {
     import spark.implicits._
     val root = Embeddings.buildIvfIndex(spark, sfDir, "spec_prune", identity)
-    val all = spark.read.parquet(s"$root/cells")
+    val snap = graft.weather.Staging.currentSnapshotDir(spark, root)
+    val all = spark.read.parquet(s"$snap/cells")
     val allCells = all.select($"cell").distinct().as[Int].collect().sorted.toSeq
     assert(allCells.size > 3, s"degenerate index: cells=$allCells")
     val probed = allCells.take(2)
@@ -50,27 +51,28 @@ class IvfMvSpec extends SparkSpec {
     import spark.implicits._
     val root = Embeddings.buildIvfIndex(spark, sfDir, "spec_append",
       _.filter($"vec_id" % 10 =!= 7))
-    val residentBefore = spark.read.parquet(s"$root/cells")
+    val snap = graft.weather.Staging.currentSnapshotDir(spark, root)
+    val residentBefore = spark.read.parquet(s"$snap/cells")
       .select($"vec_id", $"cell").collect().toSet
-    val centsBefore = spark.read.parquet(s"$root/centroids").collect().toSet
+    val centsBefore = spark.read.parquet(s"$snap/centroids").collect().toSet
     val batch = Tables.embeddings(spark, sfDir).filter($"vec_id" % 10 === 7)
       .select($"vec_id", $"embedding".as("v"))
       .withColumn("nrm", sqrt(call_function("graft_dot", $"v", $"v")))
     val nBatch = batch.count()
     assert(nBatch > 0)
     Embeddings.appendIvfIndex(spark, root, batch)
-    val after = spark.read.parquet(s"$root/cells").select($"vec_id", $"cell")
+    val after = spark.read.parquet(s"$snap/cells").select($"vec_id", $"cell")
     // resident rows are untouched (append-only), batch rows all arrived,
     // and the quantizer did not move
     val afterSet = after.collect().toSet
     assert(residentBefore.subsetOf(afterSet))
     assert(afterSet.size == residentBefore.size + nBatch)
-    assert(spark.read.parquet(s"$root/centroids").collect().toSet == centsBefore)
+    assert(spark.read.parquet(s"$snap/centroids").collect().toSet == centsBefore)
     // appended rows sit in the SAME cell a from-scratch assignment under
     // the frozen centroids would give them (parquet double round-trip is
     // bit-exact, so frozen-quantizer routing loses nothing)
     val expected = Embeddings.assignCells(
-        batch, spark.read.parquet(s"$root/centroids"))
+        batch, spark.read.parquet(s"$snap/centroids"))
       .select($"vec_id", $"cell").collect().toSet
     assert((afterSet -- residentBefore) == expected)
   }

@@ -106,11 +106,16 @@ class PlanAuditSpec extends SparkSpec {
     val constructionFailures = scala.collection.mutable.ListBuffer[String]()
     val derived = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val b = graft.ops.ScopedCache.scopesOpened
+      val bc = graft.ops.Ckpt.scopesOpened
       try { fn(spark, sfDir); () }
       catch { case scala.util.control.NonFatal(e) =>
         constructionFailures += s"$name: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(120)}"
       }
-      if (graft.ops.ScopedCache.scopesOpened > b) Some(name) else None
+      // a query is storage-relevant if it opened a CACHE scope or a
+      // CHECKPOINT scope (round 13: localCheckpoint blocks are the leak
+      // class clearCache can't fix — they must release on consume too)
+      if (graft.ops.ScopedCache.scopesOpened > b ||
+          graft.ops.Ckpt.scopesOpened > bc) Some(name) else None
     }
     // a query whose construction throws would otherwise be silently
     // classified as non-caching and vanish from the audit — surface it
@@ -118,7 +123,11 @@ class PlanAuditSpec extends SparkSpec {
       s"query construction failed during the derivation scan:\n${constructionFailures.mkString("\n")}")
     // the mechanism must actually fire — a broken counter would otherwise
     // make this test pass vacuously
-    val sentinel = Seq("llm_ngram_jaccard", "llm_minhash_lsh", "emb_pq_topk", "g1_pagerank")
+    val sentinel = Seq("llm_ngram_jaccard", "llm_minhash_lsh", "emb_pq_topk", "g1_pagerank",
+      // checkpoint-scope sentinels: NSW (beam loop) and SSSP (Bellman–Ford
+      // loop) must register with the Ckpt counter or the leak audit is
+      // blind to the whole localCheckpoint class
+      "emb_nsw_topk", "g8_sssp")
     assert(sentinel.forall(derived.contains),
       s"scope-counter derivation broke: derived=${derived.mkString(",")}")
     spark.catalog.clearCache()

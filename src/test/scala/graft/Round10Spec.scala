@@ -103,12 +103,16 @@ class Round10Spec extends SparkSpec {
       assert(plan.contains("graft_backbone_mv_"), plan.take(1500))
       assert(!plan.contains("lineitem"), "MV-mode plan still derives from base tables")
       // dataset guard: with the switch on for THIS dataset, a kernel
-      // asked about ANOTHER dataset must derive fresh — reading the
-      // materialized dataset's backbone would be silent wrong data
+      // asked about ANOTHER dataset must never read THIS dataset's
+      // backbone (silent wrong data). Since round 13 the default path
+      // memoized-builds the OTHER dataset's own MV — also correct — so
+      // the pin is root-exact, not substring
       val other = Graph.triangles(spark, "/root/testdata/sf0.01")
         .queryExecution.executedPlan.toString
-      assert(!other.contains("graft_backbone_mv_"),
+      assert(!other.contains(root),
         "different-dataset call read the materialized backbone")
+      assert(other.contains(Graph.backboneRoot("/root/testdata/sf0.01")),
+        "different-dataset call does not read its own backbone MV")
     } finally Graph.clearMaterializedBackbone()
   }
 

@@ -175,4 +175,131 @@ class Round13Spec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(math.abs(allndcg - wantAll) < 1e-9)
   }
+
+  test("E22 emb_nsw_read: equals the inline search and is a memoized read") {
+    val read = Embeddings.nswReadTopK(spark, sfDir).collect().map(_.toSeq)
+    val inline = Embeddings.nswTopK(spark, sfDir).collect().map(_.toSeq)
+    assert(read.toSeq === inline.toSeq)
+    assert(read.nonEmpty)
+    // second read must NOT rewrite the artifact (byte layout untouched)
+    val root = new java.io.File(Embeddings.nswRoot(sfDir))
+    def snapshot(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] = {
+        val cs = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        cs.flatMap(c => if (c.isDirectory) walk(c) else Seq(c))
+      }
+      walk(root).map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = snapshot()
+    assert(before.nonEmpty)
+    val again = Embeddings.nswReadTopK(spark, sfDir).collect().map(_.toSeq)
+    assert(again.toSeq === read.toSeq)
+    assert(snapshot() === before, "memoized NSW read rewrote the artifact")
+  }
+
+  test("backbone memo: no graph kernel plan re-derives from base tables") {
+    // the round-13 convention flip the verdict asked for: g0 bills the
+    // refresh, every kernel memoized-reads the endpoint-clustered MV —
+    // a kernel whose plan re-acquires the orders \u22c8 lineitem projection
+    // has silently reverted to derive-per-query
+    graft.ops.Graph.backboneEdges(spark, sfDir).count() // ensure built
+    for (name <- Seq("g2_triangles", "g3_kcore", "g4_concomp", "g5_hopdist",
+        "g6_linkpred", "g7_labelprop", "g8_sssp")) {
+      // a backbone DERIVATION opens exactly 2 cache scopes (the Round11
+      // pipeline pin) — a memoized-reading kernel construction opens 0,
+      // which also covers the eager kernels whose final plan is all
+      // checkpoint ExistingRDD scans
+      val before = graft.ops.ScopedCache.scopesOpened
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(graft.ops.ScopedCache.scopesOpened === before,
+        s"$name re-derived the backbone (opened a derive scope)")
+      assert(!plan.contains("lineitem") && !plan.contains("orders"),
+        s"$name re-derives the backbone from base tables:\n${plan.take(600)}")
+    }
+    // the lazily-planned kernels must show the artifact scan itself
+    for (name <- Seq("g2_triangles", "g6_linkpred", "g7_labelprop")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("graft_backbone_mv_"),
+        s"$name does not read the backbone MV:\n${plan.take(600)}")
+    }
+    // the refresh itself must keep deriving fresh (never its own output)
+    val refresh = SparkEntry.queries("g0_backbone_mv")(spark, sfDir)
+    assert(refresh.collect().nonEmpty)
+  }
+
+  test("checkpoint hygiene: consuming a checkpoint-heavy query releases its blocks") {
+    // the round-12 monotonic per-pass slowdown, pinned at the root: a
+    // localCheckpoint's storage must be gone once the query's consuming
+    // action completes (clearCache never touches these blocks)
+    for (name <- Seq("emb_nsw_topk", "g8_sssp", "g4_concomp", "g3_kcore", "g9_pipeline")) {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      assert(SparkEntry.queries(name)(spark, sfDir).count() > 0)
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(leaked.isEmpty, s"$name left checkpoint RDDs behind: $leaked")
+    }
+  }
+
+  test("pair-graph append: re-ingesting a resident doc_id is rejected, MV stays valid") {
+    import spark.implicits._
+    llm.TextDedup.componentLabels(spark, sfDir).count() // ensure built
+    val resident = Tables.documents(spark, sfDir).select($"doc_id", $"text").limit(1)
+    val e = intercept[IllegalArgumentException] {
+      llm.TextDedup.appendPairGraphMv(spark, sfDir, resident)
+    }
+    assert(e.getMessage.contains("disjoint"))
+    // the guard fires BEFORE any mutation: the MV is still readable
+    assert(llm.TextDedup.componentLabels(spark, sfDir).count() > 0)
+  }
+
+  test("pair-graph append: a mid-append failure invalidates the MV instead of half-committing") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_pg_atomic").toString
+    try {
+      docs.filter($"doc_id" % 5 =!= 0).write.mode("overwrite")
+        .parquet(s"$scratch/documents.parquet")
+      llm.TextDedup.refreshPairGraphMv(spark, scratch)
+      val root = llm.TextDedup.pairGraphRoot(scratch)
+      // poisoned batch: disjoint ids pass the guard, then the shingle
+      // evaluation throws inside the mutation window
+      val poison = docs.filter($"doc_id" % 5 === 0).limit(3)
+        .select($"doc_id", expr("""CASE WHEN doc_id >= 0 THEN raise_error('boom')
+          ELSE text END""").as("text"))
+      intercept[Exception] {
+        llm.TextDedup.appendPairGraphMv(spark, scratch, poison)
+      }
+      // wholesale invalidation: artifact gone, next consumer REBUILDS
+      assert(!new java.io.File(root).exists(),
+        "failed append left a half-mutated artifact on disk")
+      assert(llm.TextDedup.componentLabels(spark, scratch).count() > 0)
+    } finally graft.ops.ArtifactRoots.delete(scratch)
+  }
+
+  test("pair-graph labels: a reader holding version N is isolated from a relabel publishing N+1") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_pg_iso").toString
+    try {
+      docs.filter($"doc_id" % 5 =!= 0).write.mode("overwrite")
+        .parquet(s"$scratch/documents.parquet")
+      val root = llm.TextDedup.refreshPairGraphMv(spark, scratch)
+      val labelsRoot = s"$root/labels"
+      val v0 = graft.weather.Staging.currentSnapshotVersion(spark, labelsRoot).get
+      // reader pins version N (plans a scan over the immutable snap dir)
+      val held = graft.weather.Staging.readSnapshotAt(spark, labelsRoot, v0)
+      val baseline = held.collect().map(_.toSeq).toSet
+      // writer publishes N+1 through the append's relabel
+      llm.TextDedup.appendPairGraphMv(spark, scratch,
+        docs.filter($"doc_id" % 5 === 0).select($"doc_id", $"text"))
+      assert(graft.weather.Staging.currentSnapshotVersion(spark, labelsRoot).get > v0)
+      // the held reader still resolves its own version, byte-identical
+      assert(held.collect().map(_.toSeq).toSet === baseline)
+      // and new readers see the relabeled component set
+      assert(llm.TextDedup.componentLabels(spark, scratch).count() >= baseline.size)
+    } finally graft.ops.ArtifactRoots.delete(scratch)
+  }
 }

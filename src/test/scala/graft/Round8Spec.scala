@@ -542,12 +542,16 @@ class Round8Spec extends SparkSpec {
   }
 
   test("G3 k-core: degrees peel monotonically and in_core matches deg3") {
-    import spark.implicits._
-    val r = ops.Graph.kcore(spark, sfDir).cache()
-    assert(r.filter($"deg2" > $"deg0" || $"deg3" > $"deg2").isEmpty,
-      "peeling can only lower degrees")
-    assert(r.filter($"in_core" =!= ($"deg3" >= 5)).isEmpty)
-    r.unpersist()
+    // one collect, assertions driver-side: the kernel's checkpoints are
+    // released after the first consuming action (Ckpt discipline), so a
+    // partially-materialized cache probed by several actions could need
+    // a freed block
+    val rows = ops.Graph.kcore(spark, sfDir).collect()
+    assert(rows.forall { r =>
+      r.getAs[Long]("deg2") <= r.getAs[Long]("deg0") &&
+        r.getAs[Long]("deg3") <= r.getAs[Long]("deg2")
+    }, "peeling can only lower degrees")
+    assert(rows.forall(r => r.getAs[Boolean]("in_core") == (r.getAs[Long]("deg3") >= 5)))
   }
 
   test("W12 rolling median: first event per user is its own median") {

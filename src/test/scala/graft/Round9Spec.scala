@@ -178,9 +178,12 @@ class Round9Spec extends SparkSpec {
     // and communities can only refine connected components, never merge
     // them — so there are at least as many communities as components
     val nNodes = got.agg(sum($"n_nodes")).as[Long].head()
-    val components = ops.Graph.concomp(spark, sfDir)
-    assert(nNodes === components.count())
-    val nComponents = components.select($"component").distinct().count()
+    // ONE consuming collect: the CC kernel's checkpoints release after
+    // the first action (Ckpt discipline) — a second action on the same
+    // constructed frame would need freed blocks
+    val components = ops.Graph.concomp(spark, sfDir).collect()
+    assert(nNodes === components.length.toLong)
+    val nComponents = components.map(_.getAs[Long]("component")).distinct.length
     assert(got.count() >= nComponents,
       s"${got.count()} communities < $nComponents components")
   }
