@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharBigrams, DotProduct, TokenCounts, WinnowFps, WordShingles}
+import graft.functions.{CharBigrams, DotProduct, SrpProj, TokenCounts, WinnowFps, WordShingles}
 
 /** Engine extensions: registers the native expressions with Catalyst.
   * Production path: `.config("spark.sql.extensions", "graft.GraftExtensions")`
@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_winnow_fps"),
       new ExpressionInfo(classOf[WinnowFps].getName, "graft_winnow_fps"),
       (children: Seq[Expression]) => WinnowFps(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_srp_proj"),
+      new ExpressionInfo(classOf[SrpProj].getName, "graft_srp_proj"),
+      (children: Seq[Expression]) => SrpProj(children.head)))
     // whole-operator extension tier: the native as-of join, plus the
     // optimizer rule that narrows its children before their exchanges
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
@@ -63,6 +67,10 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_winnow_fps",
       (children: Seq[Expression]) => WinnowFps(children.head),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_srp_proj",
+      (children: Seq[Expression]) => SrpProj(children.head),
       "built-in")
   }
 }

@@ -798,31 +798,35 @@ object Embeddings {
   /** Per-(vector, plane) SRP projection and sign bit — the shared signal
     * behind E3/E8's signatures and E14's probe-bit margins.
     */
+  /** (vec_id, h, proj, bit) per plane, via the native graft_srp_proj
+    * expression (round 13): the declarative form posexploded every
+    * vector into 64 rows, broadcast-joined the 1024-row plane table and
+    * partially aggregated 16 groups per vector — a 64× row amplification
+    * into a shuffle, per SRP consumer. The planes are a 1 KB constant,
+    * so the projection is map-side by construction; the only remaining
+    * exchange in any SRP pipeline is the candidate join itself.
+    */
   private def srpBits(e: DataFrame): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    // hyperplane weights: w(h, d) = +1 if first hex digit of md5("h|d") < 8
-    val planes = broadcast(
-      spark.range(16).select($"id".cast("int").as("h"))
-        .crossJoin(spark.range(1, 65).select($"id".cast("int").as("d")))
-        .withColumn("w",
-          when(expr("instr('01234567', substr(md5(concat(cast(h as string), '|', cast(d as string))), 1, 1))") > 0,
-            lit(1.0)).otherwise(lit(-1.0))))
-    e.select($"vec_id", posexplode($"v").as(Seq("p", "x")))
-      .withColumn("d", $"p" + 1)
-      .join(planes, Seq("d"))
-      .groupBy($"vec_id", $"h").agg(sum($"w" * $"x").as("proj"))
+    graft.GraftExtensions.ensure(spark)
+    e.select($"vec_id",
+        posexplode(call_function("graft_srp_proj", $"v")).as(Seq("h", "proj")))
       .withColumn("bit", when($"proj" >= 0, lit("1")).otherwise(lit("0")))
   }
 
-  /** (vec_id, band, chunk) index entries from the 16-bit signature. */
-  private def srpBands(bits: DataFrame): DataFrame = {
-    val spark = bits.sparkSession
+  /** (vec_id, band, chunk) index entries, fully map-side: signature
+    * string straight from the projection array (transform preserves the
+    * plane order the old array_sort(collect_list) reconstructed), then
+    * the 4-band split. Zero exchanges before the candidate join.
+    */
+  private def srpSigs(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
     import spark.implicits._
-    bits.groupBy($"vec_id")
-      .agg(concat_ws("", transform(
-        array_sort(collect_list(struct($"h", $"bit"))),
-        s => s.getField("bit"))).as("bits"))
+    graft.GraftExtensions.ensure(spark)
+    e.select($"vec_id", call_function("graft_srp_proj", $"v").as("pr"))
+      .select($"vec_id", concat_ws("",
+        transform($"pr", p => when(p >= 0, lit("1")).otherwise(lit("0")))).as("bits"))
       .select($"vec_id", explode(sequence(lit(0), lit(3))).as("band"), $"bits")
       .withColumn("chunk", expr("substr(bits, band * 4 + 1, 4)"))
       .select($"vec_id", $"band", $"chunk")
@@ -831,7 +835,7 @@ object Embeddings {
   private def srpCandidates(e: DataFrame): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    val bands = srpBands(srpBits(e))
+    val bands = srpSigs(e)
     bands.as("a").join(bands.as("b"),
         $"a.band" === $"b.band" && $"a.chunk" === $"b.chunk" && $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("va"), $"b.vec_id".as("vb")).distinct()
@@ -859,9 +863,10 @@ object Embeddings {
     val e = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding".as("v"))
       .withColumn("nrm", norm($"v"))
-    // bits feed both the signature roll-up and the margin ranking
-    val bits = graft.ops.ScopedCache.untilConsumed(srpBits(e))
-    val bands = srpBands(bits)
+    // both legs are map-side off the native projection now — no shared
+    // shuffle worth caching (the old bits frame fed two aggregations)
+    val bits = srpBits(e)
+    val bands = srpSigs(e)
     val wFlip = Window.partitionBy($"vec_id", $"band")
       .orderBy(round(abs($"proj"), 6).asc, $"h".asc)
     val flip = bits

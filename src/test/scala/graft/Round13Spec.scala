@@ -302,4 +302,36 @@ class Round13Spec extends SparkSpec {
       assert(llm.TextDedup.componentLabels(spark, scratch).count() >= baseline.size)
     } finally graft.ops.ArtifactRoots.delete(scratch)
   }
+
+  test("graft_srp_proj: native projection == the declarative plane-table formulation") {
+    import spark.implicits._
+    graft.GraftExtensions.ensure(spark)
+    // the OLD pipeline, verbatim: posexplode x plane broadcast x groupBy
+    val e = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".as("v"))
+    val planes = broadcast(
+      spark.range(16).select($"id".cast("int").as("h"))
+        .crossJoin(spark.range(1, 65).select($"id".cast("int").as("d")))
+        .withColumn("w",
+          when(expr("instr('01234567', substr(md5(concat(cast(h as string), '|', cast(d as string))), 1, 1))") > 0,
+            lit(1.0)).otherwise(lit(-1.0))))
+    val declarative = e.select($"vec_id", posexplode($"v").as(Seq("p", "x")))
+      .withColumn("d", $"p" + 1)
+      .join(planes, Seq("d"))
+      .groupBy($"vec_id", $"h").agg(sum($"w" * $"x").as("proj"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val native = e.select($"vec_id",
+        posexplode(call_function("graft_srp_proj", $"v")).as(Seq("h", "proj")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(native.keySet === declarative.keySet)
+    assert(native.nonEmpty)
+    // values agree within float-sum reassociation tolerance, and no SIGN
+    // ever flips (signs are what the signatures quantize)
+    for ((k, nv) <- native) {
+      val dv = declarative(k)
+      assert(math.abs(nv - dv) <= 1e-9 * math.max(1.0, math.abs(dv)),
+        s"$k: native=$nv declarative=$dv")
+      assert((nv >= 0) === (dv >= 0), s"$k: sign flip native=$nv declarative=$dv")
+    }
+  }
 }
