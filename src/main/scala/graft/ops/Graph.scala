@@ -53,11 +53,17 @@ object Graph {
   private[graft] def pagerankGated(
       spark: SparkSession, dir: String, broadcastMaxNodes: Long): DataFrame = {
     import spark.implicits._
+    // node ids stay LONG through every iterative shuffle (c → 2·custkey,
+    // s → 2·suppkey+1 — injective): the distinct and the three rounds'
+    // exchanges move 8-byte keys instead of 'c|12345' strings; the
+    // display string derives once at output. Rank trajectories are
+    // identical — same graph, same damping — so the oracle (which keys
+    // on its own strings throughout) still hash-matches.
     val pairs = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
       .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
         $"o_orderkey" === $"l_orderkey")
-      .select(concat(lit("c|"), $"o_custkey".cast("string")).as("c"),
-        concat(lit("s|"), $"l_suppkey".cast("string")).as("s"))
+      .select(($"o_custkey".cast("long") * 2).as("c"),
+        ($"l_suppkey".cast("long") * 2 + 1).as("s"))
       .distinct()
     // plain cache for the eager phase: the node-count action below would
     // CONSUME an action-scoped cache and leave the three rounds
@@ -91,7 +97,12 @@ object Graph {
         .join(hint(out.select($"src".as("node"), $"outdeg")), Seq("node"))
         .select($"node", $"outdeg", $"pr")
     }
-    pr.select($"node", $"outdeg", round($"pr", 6).as("pagerank"))
+    pr.select(
+        // integer div, not float: exact at any key magnitude
+        when($"node" % 2 === 0, concat(lit("c|"), expr("CAST(node div 2 AS STRING)")))
+          .otherwise(concat(lit("s|"), expr("CAST((node - 1) div 2 AS STRING)")))
+          .as("node"),
+        $"outdeg", round($"pr", 6).as("pagerank"))
       .orderBy($"pagerank".desc, $"node".asc)
       .limit(25)
   }
