@@ -24,10 +24,15 @@ import org.apache.spark.sql.execution.LogicalRDD
   *    for checkpoints the RESULT's lazy plan still reads at action time.
   *    Contract: construct, then execute ONCE — a freed local checkpoint
   *    has no lineage to recompute, so re-executing the same constructed
-  *    frame after its consuming action fails. Every registry consumer
-  *    (Verify, Bench, the audits) constructs per execution, which
-  *    satisfies this; the abandonment TTL bounds the leak when a
-  *    constructed query is never executed.
+  *    frame after its consuming action fails with
+  *    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (the cache flavor merely
+  *    recomputed; the checkpoint flavor is strict). Every registry
+  *    consumer (Verify, Bench, the audits) constructs per execution,
+  *    which satisfies this; the abandonment TTL bounds the leak when a
+  *    constructed query is never executed, at the price of the same
+  *    strictness — a query constructed, abandoned past the TTL, and
+  *    THEN executed fails rather than silently rescanning. Reconstruct
+  *    instead of holding stale frames.
   *
   * Unpersisting targets the exact RDD behind the checkpoint: a
   * checkpointed Dataset's analyzed plan is a [[LogicalRDD]] leaf holding
