@@ -334,4 +334,34 @@ class Round13Spec extends SparkSpec {
       assert((nv >= 0) === (dv >= 0), s"$k: sign flip native=$nv declarative=$dv")
     }
   }
+
+  test("graft_srp_proj edges: short vectors, >64 dims ignored, double arrays, null") {
+    import spark.implicits._
+    graft.GraftExtensions.ensure(spark)
+    // a 3-dim float vector projects over its 3 dims only
+    val short3 = Seq((1L, Seq(1.0f, -2.0f, 0.5f)))
+      .toDF("id", "v")
+      .select(call_function("graft_srp_proj", $"v").as("pr"))
+      .head().getSeq[Double](0)
+    assert(short3.length === 16)
+    // dims beyond 64 are ignored: padding a 64-dim vector changes nothing
+    val base = Tables.embeddings(spark, sfDir).limit(1)
+      .select($"embedding".as("v"))
+    val p64 = base.select(call_function("graft_srp_proj", $"v").as("pr"))
+      .head().getSeq[Double](0)
+    val p70 = base
+      .select(concat($"v", array(lit(9f), lit(9f), lit(9f), lit(9f), lit(9f), lit(9f))).as("v"))
+      .select(call_function("graft_srp_proj", $"v").as("pr"))
+      .head().getSeq[Double](0)
+    assert(p70.toSeq === p64.toSeq)
+    // double arrays take the exact-double path
+    val pd = base.select(transform($"v", x => x.cast("double")).as("v"))
+      .select(call_function("graft_srp_proj", $"v").as("pr"))
+      .head().getSeq[Double](0)
+    assert(pd.zip(p64).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+    // null in -> null out
+    val nl = Seq((1L, null: Seq[Float])).toDF("id", "v")
+      .select(call_function("graft_srp_proj", $"v").as("pr")).head()
+    assert(nl.isNullAt(0))
+  }
 }
