@@ -68,8 +68,17 @@ object Bench {
       spark.catalog.clearCache()
       dt
     }
-    val passes = ordered.map { case (name, fn) =>
-      name -> Seq.fill(3)(timeOnce(fn))
+    // Passes are scheduled ROUND-ROBIN across queries (all pass-1s in
+    // query order, then all pass-2s, then all pass-3s) instead of three
+    // consecutive passes per query: a transient box-contention window —
+    // round 13's driver run had a multi-minute one — then poisons at most
+    // ONE pass of each affected query instead of all three of a few, so
+    // min-of-3 actually recovers the clean number. The per-query work and
+    // the min-of-3 semantics are unchanged; only the schedule moves.
+    val passRounds: Seq[Seq[Double]] =
+      (1 to 3).map(_ => ordered.map { case (_, fn) => timeOnce(fn) })
+    val passes = ordered.zipWithIndex.map { case ((name, _), i) =>
+      name -> passRounds.map(_(i))
     }
     val results = passes.map { case (name, ts) => name -> ts.min }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -912,7 +912,7 @@ object Curation {
   def nearDedupMv(spark: SparkSession, dir: String): DataFrame = {
     val root = TextDedup.refreshPairGraphMv(spark, dir)
     nearDedupReport(qualityFrame(spark, dir),
-      graft.weather.Staging.readSnapshot(spark, s"$root/labels"))
+      graft.weather.Staging.readChainLatest(spark, root, "labels"))
   }
 
   // lazy: nearDedupBestSql is declared further down the object body — an

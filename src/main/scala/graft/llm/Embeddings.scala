@@ -437,16 +437,19 @@ object Embeddings {
       // cells + centroids swap ATOMICALLY as one S6v snapshot version: a
       // refresh overwriting them in place could otherwise be observed
       // mid-swap by a concurrent E21 reader (new cells scored against
-      // the old quantizer — wrong data, no error). E17 appends land in
-      // the CURRENT version's cells dir — additive files never yank a
-      // live scan's file list, the documented append exception.
+      // the old quantizer — wrong data, no error). E17 appends publish
+      // batch-sized DELTA versions on the same chain (never files into a
+      // committed dir), so every committed version is immutable — time
+      // travel to N reproduces N — and GC is chain-aware: a rebuild
+      // starts a new chain, the previous chain (full + its deltas) is
+      // retained for live readers.
       graft.weather.Staging.publishSnapshot(spark, root) { p =>
         assignCells(e, cents).select($"vec_id", $"v", $"nrm", $"cell")
           .repartition($"cell")
           .write.mode("overwrite").partitionBy("cell").parquet(s"$p/cells")
         cents.repartition(1).write.mode("overwrite").parquet(s"$p/centroids")
       }
-      graft.weather.Staging.gcSnapshots(spark, root, keep = 2)
+      graft.weather.Staging.gcChains(spark, root, keepChains = 2)
     } finally { e.unpersist(false); () }
     ivfBuilt.put(root, java.lang.Boolean.TRUE)
     root
@@ -462,14 +465,27 @@ object Embeddings {
     * bit-exactly, so frozen-centroid assignment matches what training-
     * time assignment of the same rows would produce (IvfMvSpec pins it).
     */
-  private[graft] def appendIvfIndex(spark: SparkSession, root: String, batch: DataFrame): Unit = {
-    import spark.implicits._
-    val snap = graft.weather.Staging.currentSnapshotDir(spark, root)
-    val cents = spark.read.parquet(s"$snap/centroids")
-    assignCells(batch, cents).select($"vec_id", $"v", $"nrm", $"cell")
-      .repartition($"cell")
-      .write.mode("append").partitionBy("cell").parquet(s"$snap/cells")
-  }
+  private[graft] def appendIvfIndex(spark: SparkSession, root: String, batch: DataFrame): Unit =
+    // serialized with rebuilds on the writers' monitor: an append racing
+    // a concurrent rebuild could otherwise assign against a quantizer
+    // the rebuild is about to retire (and land its delta on the new
+    // chain); under the monitor the chain it resolves is the chain it
+    // extends
+    ivfBuilt.synchronized {
+      import spark.implicits._
+      // frozen quantizer = the chain's committed centroids; the batch
+      // publishes as a DELTA version carrying only its own cell rows —
+      // committed versions stay immutable, a crash before the marker
+      // leaves the index at its previous version, and readers union
+      // cells across the chain
+      val cents = graft.weather.Staging.readChainLatest(spark, root, "centroids")
+      graft.weather.Staging.publishSnapshotDelta(spark, root) { p =>
+        assignCells(batch, cents).select($"vec_id", $"v", $"nrm", $"cell")
+          .repartition($"cell")
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$p/cells")
+      }
+      ()
+    }
 
   /** Answer the standard query set (vec_id < 5, top-3 probes, top-3
     * hits) from a persisted index. The probe list is resolved DRIVER-
@@ -488,17 +504,18 @@ object Embeddings {
     val q = Tables.embeddings(spark, dir).filter($"vec_id" < 5)
       .select($"vec_id", $"embedding".as("v"))
       .withColumn("nrm", norm($"v"))
-    // pin the snapshot version ONCE: cells and centroids must come from
-    // the same committed version, or a concurrent refresh could pair a
+    // pin the CHAIN once: centroids come from the chain's full version,
+    // cells are the union of the full base + every committed append
+    // delta — all resolved against the same committed marker set, so a
+    // concurrent rebuild (which starts a new chain) can never pair a
     // new quantizer with old cell assignments
-    val snap = graft.weather.Staging.currentSnapshotDir(spark, root)
-    val cents = spark.read.parquet(s"$snap/centroids")
+    val cents = graft.weather.Staging.readChainLatest(spark, root, "centroids")
     val probes = probeCells(q, cents, nprobe = 3)
       .as[(Long, Seq[Float], Double, Int)].collect().toSeq.sortBy(r => (r._1, r._4))
     val probedCells = probes.map(_._4).distinct.sorted
     val probesDf = broadcast(
       spark.createDataset(probes).toDF("qid", "qv", "qn", "cell"))
-    val cells = spark.read.parquet(s"$snap/cells")
+    val cells = graft.weather.Staging.readChain(spark, root, "cells")
       .filter($"cell".isin(probedCells: _*))
     val wTop = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id".asc)
     probesDf.join(cells.filter($"vec_id" >= 5), Seq("cell"))
@@ -1278,8 +1295,13 @@ object Embeddings {
     val root = nswRoot(dir)
     // double-checked on the writer monitor, NOT computeIfAbsent (a
     // same-map put inside the mapping function is an illegal recursive
-    // update; buildNswIndex marks its own root)
-    if (!nswBuilt.containsKey(root)) buildNswIndex(spark, dir)
+    // update; buildNswIndex marks its own root). The inner re-check is
+    // load-bearing: without it two concurrent first readers would each
+    // run a full NN-descent build back to back (correct via the
+    // snapshot publish, but one whole build wasted).
+    if (!nswBuilt.containsKey(root)) nswBuilt.synchronized {
+      if (!nswBuilt.containsKey(root)) { buildNswIndex(spark, dir); () }
+    }
     nswQueryFromIndex(spark, dir, root)
   }
 

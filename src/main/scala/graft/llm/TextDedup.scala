@@ -420,15 +420,14 @@ object TextDedup {
     * localCheckpoints never re-plan the shingle pipeline. Returns the
     * root.
     */
-  /** Concurrency contract (all three mutators — refresh, append, the
-    * build-on-first-read — serialize on pgBuilt's monitor): at most one
-    * WRITER per (process, dataset) at a time. Readers concurrent with a
-    * refresh/append can still observe the overwrite mid-scan (plain
-    * parquet has no snapshot isolation — that is the S6v machinery's
-    * job, deliberately not paid here); the engine's query-per-action
-    * registry (Verify, Bench, the audits) is single-threaded per
-    * dataset, which satisfies the constraint trivially. A multi-tenant
-    * deployment schedules refreshes the way it schedules compactions.
+  /** Concurrency contract: all three mutators — refresh, append, the
+    * build-on-first-read — serialize on pgBuilt's monitor (at most one
+    * WRITER per process and dataset at a time), and every mutation
+    * publishes through the S6v chain protocol, so readers concurrent
+    * with a refresh or append only ever observe complete committed
+    * versions — committed snap dirs are immutable and chain GC retains
+    * the previous chain for readers that resolved it (the VACUUM
+    * retention contract).
     */
   private[graft] def refreshPairGraphMv(spark: SparkSession, dir: String): String =
     pgBuilt.synchronized {
@@ -437,57 +436,74 @@ object TextDedup {
       root
     }
 
+  /** Every mutation of the MV is one ATOMIC commit since round 14: the
+    * refresh publishes all four layers (sigs, sizes, pairs, labels) as
+    * one S6v FULL snapshot version, an append publishes its batch-sized
+    * increments plus the relabel as one DELTA version on the same chain
+    * (Staging.publishSnapshotDelta). Readers resolve the chain — latest
+    * full + committed deltas — so a reader holding a version is isolated
+    * from any concurrent refresh or append (committed dirs are
+    * immutable), and a crash ANYWHERE inside a mutation leaves no
+    * marker: the MV stays at its previous committed version, internally
+    * consistent, no wholesale invalidation needed (the round-13 catch
+    * block that deleted the root out from under pinned readers is gone
+    * with the hazard it patched).
+    */
   private def doRefreshPairGraph(spark: SparkSession, dir: String): String = {
     import spark.implicits._
     val root = graft.ops.ArtifactRoots.register("graft_pairgraph_mv", Some(dir))
-    // a refresh re-derives from the CORPUS alone: drop any previously
-    // appended batch archive so a later append's resident side matches
-    // the rebuilt index (stale /batchdocs rows would be harmless — their
-    // sigs are gone from /sigs, so they can never become candidate
-    // partners — but hygiene beats reasoning about harmlessness)
-    graft.ops.ArtifactRoots.delete(s"$root/batchdocs")
     // plain cache + explicit release (not ScopedCache): the shingle frame
     // is consumed by THREE write actions here, and the scoped form would
     // release it after the first
     val sh = shingles(Tables.documents(spark, dir)).cache()
     try {
-      // sig deliberately NOT cached despite three consumers: the
-      // candidate self-join's two sides share one ReusedExchange when
-      // the plan stays lazy, and an A/B showed caching it doubles the
-      // refresh (4.4 s → 8.8 s at sf0.1) by materializing the frame and
-      // severing that reuse
-      val sig = minhashBandSigs(sh)
-      val szs = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      // the signature index and set sizes ARE part of the artifact: they
-      // are what appendPairGraphMv probes, so an append never re-shingles
-      // the resident corpus (the L8 asymmetric-index discipline). The
-      // index is (band, sig)-clustered — the probe join's key.
-      sig.repartition(4, $"band", $"sig").sortWithinPartitions($"band", $"sig")
-        .write.mode("overwrite").parquet(s"$root/sigs")
-      szs.repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
-        .write.mode("overwrite").parquet(s"$root/sizes")
-      val cand = sig.as("a").join(sig.as("b"),
-          $"a.band" === $"b.band" && $"a.sig" === $"b.sig" && $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("da"), $"b.doc_id".as("db")).distinct()
-      verifiedPairs(cand, sh, sh, szs, szs)
-        .repartition(4, $"doc_a").sortWithinPartitions($"doc_a", $"doc_b")
-        .write.mode("overwrite").parquet(s"$root/pairs")
+      graft.weather.Staging.publishSnapshot(spark, root) { p =>
+        // sig deliberately NOT cached despite three consumers: the
+        // candidate self-join's two sides share one ReusedExchange when
+        // the plan stays lazy, and an A/B showed caching it doubles the
+        // refresh (4.4 s → 8.8 s at sf0.1) by materializing the frame and
+        // severing that reuse
+        val sig = minhashBandSigs(sh)
+        val szs = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        // the signature index and set sizes ARE part of the artifact: they
+        // are what appendPairGraphMv probes, so an append never re-shingles
+        // the resident corpus (the L8 asymmetric-index discipline). The
+        // index is (band, sig)-clustered — the probe join's key.
+        sig.repartition(4, $"band", $"sig").sortWithinPartitions($"band", $"sig")
+          .write.mode("overwrite").parquet(s"$p/sigs")
+        szs.repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
+          .write.mode("overwrite").parquet(s"$p/sizes")
+        val cand = sig.as("a").join(sig.as("b"),
+            $"a.band" === $"b.band" && $"a.sig" === $"b.sig" && $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("da"), $"b.doc_id".as("db")).distinct()
+        verifiedPairs(cand, sh, sh, szs, szs)
+          .repartition(4, $"doc_a").sortWithinPartitions($"doc_a", $"doc_b")
+          .write.mode("overwrite").parquet(s"$p/pairs")
+        // labels run CC over the READ-BACK pairs (still uncommitted at
+        // this point — read by direct path), so their lineage roots at
+        // the artifact and the iteration's localCheckpoints never
+        // re-plan the shingle pipeline; committing them in the SAME
+        // version makes labels-vs-pairs consistency a single-marker fact
+        graft.ops.Graph.connectedComponents(
+            spark.read.parquet(s"$p/pairs").select($"doc_a", $"doc_b"))
+          .select($"node".as("doc_id"), $"component")
+          .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
+          .write.mode("overwrite").parquet(s"$p/labels")
+      }
     } finally { sh.unpersist(false); () }
-    // labels are the one layer a mutation OVERWRITES (append-only layers
-    // never yank files from a live scan), so they publish through the
-    // S6v commit-marker snapshot protocol: a reader holding version N is
-    // isolated from the writer publishing N+1, and a writer crash before
-    // the marker leaves the previous labels live
-    graft.weather.Staging.publishSnapshot(spark, s"$root/labels") { p =>
-      graft.ops.Graph.connectedComponents(
-          spark.read.parquet(s"$root/pairs").select($"doc_a", $"doc_b"))
-        .select($"node".as("doc_id"), $"component")
-        .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
-        .write.mode("overwrite").parquet(p)
-    }
-    graft.weather.Staging.gcSnapshots(spark, s"$root/labels", keep = 2)
+    // a refresh starts a NEW chain; retain the previous chain for its
+    // readers, drop anything older (the VACUUM contract — retention must
+    // exceed the longest-running reader)
+    graft.weather.Staging.gcChains(spark, root, keepChains = 2)
     root
   }
+
+  /** The verified near-dup pair layer across the current chain (full
+    * refresh + every committed append batch) — the artifact C12's oracle
+    * certifies; layer-level reader for consumers and specs.
+    */
+  private[graft] def pairGraphPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.weather.Staging.readChain(spark, pairGraphRoot(dir), "pairs")
 
   /** Incremental batch ingest into a BUILT pair-graph MV — the per-day
     * path of the 100 TB daily-crawl shape (the full refresh becomes a
@@ -516,12 +532,13 @@ object TextDedup {
     val root = pairGraphRoot(dir)
     require(pgBuilt.containsKey(root),
       s"appendPairGraphMv: no built pair-graph MV for $dir — refresh first")
-    // ingest-contract guard: a batch doc_id already resident would append
-    // duplicate /sizes and /sigs rows, multiplying rows through the
+    // ingest-contract guard: a batch doc_id already resident would land
+    // duplicate sizes and sigs rows, multiplying rows through the
     // verify size-join and silently corrupting pairs/labels. One
-    // batch-sized semi-join against the clustered /sizes index.
+    // batch-sized semi-join against the clustered sizes layer.
     val dupIds = batch.select($"doc_id")
-      .join(spark.read.parquet(s"$root/sizes").select($"doc_id"), Seq("doc_id"), "left_semi")
+      .join(graft.weather.Staging.readChain(spark, root, "sizes").select($"doc_id"),
+        Seq("doc_id"), "left_semi")
       .limit(1).count()
     require(dupIds == 0,
       s"appendPairGraphMv: batch re-ingests doc_ids already resident in $root — " +
@@ -530,8 +547,8 @@ object TextDedup {
     try {
       val bsig = minhashBandSigs(bsh)
       val bszs = bsh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val esig = spark.read.parquet(s"$root/sigs")
-      val eszs = spark.read.parquet(s"$root/sizes")
+      val esig = graft.weather.Staging.readChain(spark, root, "sigs")
+      val eszs = graft.weather.Staging.readChain(spark, root, "sizes")
       // asymmetric probe: batch → resident index (da = batch, db = resident)
       val candBE = bsig.as("a").join(esig.as("b"),
           $"a.band" === $"b.band" && $"a.sig" === $"b.sig")
@@ -545,58 +562,48 @@ object TextDedup {
       // corpus table alone would silently drop any cross-batch pair on
       // the second and later appends (partner shingles would be absent,
       // the verify intersection empty, the component merge lost); each
-      // append therefore also archives its batch text under /batchdocs,
-      // batch-sized per append
-      val batchDocsPath = new java.io.File(s"$root/batchdocs")
+      // append therefore also archives its batch text in its delta's
+      // batchdocs layer, batch-sized per append
       val residentDocs =
-        if (batchDocsPath.isDirectory)
+        if (graft.weather.Staging.chainHasLayer(spark, root, "batchdocs"))
           Tables.documents(spark, dir).select($"doc_id", $"text")
-            .unionByName(spark.read.parquet(s"$root/batchdocs"))
+            .unionByName(graft.weather.Staging.readChain(spark, root, "batchdocs"))
         else Tables.documents(spark, dir).select($"doc_id", $"text")
       val partners = candBE.select($"db".as("doc_id")).distinct()
       val esh = shingles(
         residentDocs.join(partners, Seq("doc_id"), "left_semi"))
       val newPairs = verifiedPairs(candBE, bsh, esh, bszs, eszs)
         .unionByName(verifiedPairs(candBB, bsh, bsh, bszs, bszs))
-        .localCheckpoint() // consumed by the pairs append AND the relabel CC
-      newPairs.repartition(4, $"doc_a").sortWithinPartitions($"doc_a", $"doc_b")
-        .write.mode("append").parquet(s"$root/pairs")
-      bsig.repartition(4, $"band", $"sig").sortWithinPartitions($"band", $"sig")
-        .write.mode("append").parquet(s"$root/sigs")
-      bszs.repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
-        .write.mode("append").parquet(s"$root/sizes")
-      batch.select($"doc_id", $"text")
-        .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
-        .write.mode("append").parquet(s"$root/batchdocs")
-      // relabel: old labels as star edges (root → member; roots reconnect
-      // through their members' edges) ∪ the new pairs. The new labels
-      // publish as the NEXT snapshot version (S6v commit-marker
-      // protocol) — a concurrent reader of the current labels version is
-      // never yanked mid-scan, and a crash here leaves the old version
-      // live (the append is then invalidated wholesale below).
-      val star = graft.weather.Staging.readSnapshot(spark, s"$root/labels")
+        .localCheckpoint() // consumed by the pairs write AND the relabel CC
+      // relabel input: old labels as star edges (root → member; roots
+      // reconnect through their members' edges) ∪ the new pairs —
+      // iteration state is (labels + new-pairs)-sized, and existing
+      // components merge correctly when a batch doc bridges them
+      val star = graft.weather.Staging.readChainLatest(spark, root, "labels")
         .filter($"component" =!= $"doc_id")
         .select($"component".as("doc_a"), $"doc_id".as("doc_b"))
-      graft.weather.Staging.publishSnapshot(spark, s"$root/labels") { p =>
+      // ONE delta version carries the batch's sigs/sizes/pairs/batchdocs
+      // increments plus the full relabel; the commit marker is the
+      // atomic point — a failure anywhere in here leaves no marker, the
+      // MV stays at its previous committed version (still internally
+      // consistent), and the batch can simply be retried
+      graft.weather.Staging.publishSnapshotDelta(spark, root) { p =>
+        newPairs.repartition(4, $"doc_a").sortWithinPartitions($"doc_a", $"doc_b")
+          .write.mode("overwrite").parquet(s"$p/pairs")
+        bsig.repartition(4, $"band", $"sig").sortWithinPartitions($"band", $"sig")
+          .write.mode("overwrite").parquet(s"$p/sigs")
+        bszs.repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
+          .write.mode("overwrite").parquet(s"$p/sizes")
+        batch.select($"doc_id", $"text")
+          .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
+          .write.mode("overwrite").parquet(s"$p/batchdocs")
         graft.ops.Graph.connectedComponents(
             star.unionByName(newPairs.select($"doc_a", $"doc_b")))
           .select($"node".as("doc_id"), $"component")
           .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
-          .write.mode("overwrite").parquet(p)
+          .write.mode("overwrite").parquet(s"$p/labels")
       }
-      graft.weather.Staging.gcSnapshots(spark, s"$root/labels", keep = 2)
       graft.ops.Ckpt.free(newPairs)
-    } catch {
-      // the append mutates four append-layers plus the labels snapshot;
-      // a failure between them would leave the MV internally
-      // inconsistent while pgBuilt still marks it built (memoized
-      // readers silently serving labels that disagree with /pairs, a
-      // retried batch duplicating /pairs rows). Invalidate wholesale:
-      // the next consumer rebuilds from the corpus.
-      case scala.util.control.NonFatal(e) =>
-        pgBuilt.remove(root)
-        graft.ops.ArtifactRoots.delete(root)
-        throw e
     } finally { bsh.unpersist(false); () }
     root
   }
@@ -620,7 +627,9 @@ object TextDedup {
         pgBuilt.put(root, java.lang.Boolean.TRUE); ()
       }
     }
-    graft.weather.Staging.readSnapshot(spark, s"$root/labels")
+    // labels are rewrite-shaped (every version carries the full table):
+    // read from the newest committed chain version
+    graft.weather.Staging.readChainLatest(spark, root, "labels")
   }
 
   val minhashLshSql: String =

@@ -66,9 +66,23 @@ object Ckpt {
     * state a top-k/orderBy result is derived from, the read-back MV a
     * multi-kernel summary aggregates at action time.
     */
+  /** Abandonment TTL for CHECKPOINT scopes, deliberately much larger
+    * than the cache flavor's 64: releasing an abandoned CACHE early
+    * costs a benign recompute, but releasing an abandoned CHECKPOINT
+    * makes a later execution of that constructed frame a hard
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND error (no lineage). The TTL
+    * exists only to bound a true leak — a frame constructed and never
+    * executed — so it can afford to be generous: 4096 foreign actions
+    * is far past any construct-to-execute gap a real caller has (the
+    * full 221-query bench pass completes within it), while still
+    * capping the listener registry and pinned blocks in a service that
+    * constructs-and-drops frames forever.
+    */
+  private[graft] val AbandonAfterActions = 4096
+
   def freeOnConsumed(result: DataFrame, ckpts: Seq[DataFrame]): DataFrame = {
     opened.incrementAndGet()
     val frames = ckpts.toIndexedSeq
-    ScopedCache.onConsumed(result)(() => free(frames: _*))
+    ScopedCache.onConsumed(result, AbandonAfterActions)(() => free(frames: _*))
   }
 }

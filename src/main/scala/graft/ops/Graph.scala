@@ -204,7 +204,7 @@ object Graph {
     if (!bbBuilt.containsKey(root)) bbBuilt.synchronized {
       if (!bbBuilt.containsKey(root)) { refreshBackboneMv(spark, dir); () }
     }
-    spark.read.parquet(root)
+    graft.weather.Staging.readSnapshot(spark, root)
   }
 
   private[graft] def backboneEdges(spark: SparkSession, dir: String): DataFrame =
@@ -214,7 +214,7 @@ object Graph {
       // the switch is on must derive fresh, never silently read the
       // materialized dataset's backbone (wrong data, no error)
       case Some(p) if p == backboneRoot(dir) =>
-        spark.read.parquet(p).select(col("u"), col("v"))
+        graft.weather.Staging.readSnapshot(spark, p).select(col("u"), col("v"))
       case _ => memoBackbone(spark, dir).select(col("u"), col("v"))
     }
 
@@ -225,7 +225,7 @@ object Graph {
   private[graft] def backboneWeighted(spark: SparkSession, dir: String): DataFrame =
     mvSource match {
       case Some(p) if p == backboneRoot(dir) =>
-        spark.read.parquet(p).select(col("u"), col("v"), col("shared"))
+        graft.weather.Staging.readSnapshot(spark, p).select(col("u"), col("v"), col("shared"))
       case _ => memoBackbone(spark, dir).select(col("u"), col("v"), col("shared"))
     }
 
@@ -476,12 +476,22 @@ object Graph {
   private[graft] def refreshBackboneMv(spark: SparkSession, dir: String): DataFrame =
     bbBuilt.synchronized {
       import spark.implicits._
-      ArtifactRoots.register("graft_backbone_mv", Some(dir))
-      deriveBackboneWeighted(spark, dir)
-        .repartition(4, $"u").sortWithinPartitions($"u", $"v")
-        .write.mode("overwrite").parquet(backboneRoot(dir))
-      bbBuilt.put(backboneRoot(dir), java.lang.Boolean.TRUE)
-      spark.read.parquet(backboneRoot(dir))
+      val root = ArtifactRoots.register("graft_backbone_mv", Some(dir))
+      // S6v snapshot publish, not an in-place overwrite: g2–g8 are
+      // CONCURRENT readers of this path since the round-13 memoization,
+      // so a refresh racing a kernel's scan must never yank its files —
+      // the reader's resolved snap dir stays immutable, the commit
+      // marker is the swap, and keep=2 retains the previous version for
+      // readers that resolved it (the same protocol as the NSW
+      // adjacency and IVF cells+centroids artifacts)
+      graft.weather.Staging.publishSnapshot(spark, root) { p =>
+        deriveBackboneWeighted(spark, dir)
+          .repartition(4, $"u").sortWithinPartitions($"u", $"v")
+          .write.mode("overwrite").parquet(p)
+      }
+      graft.weather.Staging.gcSnapshots(spark, root, keep = 2)
+      bbBuilt.put(root, java.lang.Boolean.TRUE)
+      graft.weather.Staging.readSnapshot(spark, root)
     }
 
   def backboneMaterialize(spark: SparkSession, dir: String): DataFrame = {

@@ -74,7 +74,8 @@ object ScopedCache {
     */
   private def watchFragment(
       spark: org.apache.spark.sql.SparkSession,
-      fragment: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)(
+      fragment: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      ttlActions: Int = AbandonAfterActions)(
       releaseFn: () => Unit): Unit = {
     val released = new AtomicBoolean(false)
     val foreignActions = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -88,7 +89,7 @@ object ScopedCache {
         val consumed =
           try qe.analyzed.find(_.canonicalized == fragment).isDefined
           catch { case scala.util.control.NonFatal(_) => false }
-        if (consumed || foreignActions.incrementAndGet() >= AbandonAfterActions)
+        if (consumed || foreignActions.incrementAndGet() >= ttlActions)
           release()
       }
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
@@ -124,13 +125,14 @@ object ScopedCache {
     * cannot recompute), so callers hand over only frames the executed
     * result no longer needs.
     */
-  def onConsumed(result: DataFrame)(releaseFn: () => Unit): DataFrame = {
+  def onConsumed(result: DataFrame, ttlActions: Int = AbandonAfterActions)(
+      releaseFn: () => Unit): DataFrame = {
     // deliberately NOT counted in `opened`: the scope counter means
     // "opened a CACHE scope" to its consumers (Round11Spec pins exact
     // counts per operator); checkpoint scopes have their own counter in
     // [[Ckpt]]
     watchFragment(result.sparkSession,
-      result.queryExecution.analyzed.canonicalized)(releaseFn)
+      result.queryExecution.analyzed.canonicalized, ttlActions)(releaseFn)
     result
   }
 }

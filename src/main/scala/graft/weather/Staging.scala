@@ -337,6 +337,147 @@ object Staging {
     old
   }
 
+  // -----------------------------------------------------------------
+  // S6v delta chains — the append story for snapshot-versioned MVs,
+  // closing the round-13 carve-out ("appends mutate the current
+  // version's dir"): an append now publishes a batch-sized DELTA
+  // version instead of writing files into a committed snapshot, so
+  // every committed version is truly immutable (time travel to N always
+  // reproduces N) and a multi-layer append commits atomically with one
+  // marker. Layout: each version dir holds named LAYER subdirs
+  // (`snap_N/cells`, `snap_N/pairs`, …); a delta version carries a
+  // `_delta` tag file inside its dir. Readers resolve the CHAIN — the
+  // latest committed FULL version plus every committed delta after
+  // it — and union a layer across the chain dirs that carry it
+  // (append-shaped layers) or read it from the newest dir that does
+  // (rewrite-shaped layers like CC labels, which every version rewrites
+  // in full). This is the Delta-Lake full+delta file story with the
+  // commit log spelled as one marker file per version; at 100 TB a
+  // daily append stays batch-sized and the full refresh is the periodic
+  // compaction that starts a new chain. GC is chain-aware
+  // ([[gcChains]]): dropping an old delta would silently lose rows, so
+  // retention is counted in whole chains, never raw versions.
+
+  private def deltaTag(root: String, v: Long) =
+    new org.apache.hadoop.fs.Path(s"${snapDir(root, v)}/_delta")
+
+  private def isDeltaVersion(spark: SparkSession, root: String, v: Long): Boolean =
+    fsOf(spark, root).exists(deltaTag(root, v))
+
+  /** Publishes `write`'s output as a DELTA version on the current chain.
+    * Same lock + next-version + commit-marker protocol as
+    * [[publishSnapshot]]; the `_delta` tag lands inside the data dir
+    * before the marker, so a crash anywhere leaves only an uncommitted
+    * orphan the next publish of that version overwrites. Requires an
+    * existing committed version to extend.
+    */
+  def publishSnapshotDelta(spark: SparkSession, root: String)(write: String => Unit): Long = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsOf(spark, root)
+    val lock = new Path(root + "__lock")
+    val acquired =
+      try { fs.create(lock, /* overwrite = */ false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!acquired)
+      throw new java.io.IOException(
+        s"another snapshot publish to $root is in progress ($lock exists); " +
+          "if its writer is dead, call breakPublishLock first")
+    try {
+      val cur = currentSnapshotVersion(spark, root).getOrElse(
+        throw new java.io.IOException(s"no committed snapshot under $root to extend with a delta"))
+      val next = cur + 1
+      val data = new Path(snapDir(root, next))
+      fs.delete(data, true) // orphan from a pre-commit crash of this version
+      write(data.toString)
+      fs.create(deltaTag(root, next), false).close()
+      fs.create(commitMarker(root, next), false).close()
+      next
+    } finally fs.delete(lock, false)
+  }
+
+  /** The current chain: the latest committed FULL version and every
+    * committed delta after it, oldest first. Throws on an empty table or
+    * a corrupt one (deltas with no full base — only possible by deleting
+    * markers by hand; gcChains never strands a delta).
+    */
+  def chainVersions(spark: SparkSession, root: String): Seq[Long] = {
+    val vs = committedVersions(spark, root)
+    if (vs.isEmpty) throw new java.io.IOException(s"no committed snapshot under $root")
+    val lastFull = vs.lastIndexWhere(v => !isDeltaVersion(spark, root, v))
+    if (lastFull < 0)
+      throw new java.io.IOException(s"no committed FULL snapshot under $root (orphan deltas)")
+    vs.drop(lastFull)
+  }
+
+  /** Validated data dir of a specific committed version (for layer-level
+    * readers and tests; [[readSnapshotAt]] reads the dir as one dataset,
+    * which multi-layer roots can't).
+    */
+  def snapshotDirAt(spark: SparkSession, root: String, v: Long): String = {
+    if (!fsOf(spark, root).exists(commitMarker(root, v)))
+      throw new java.io.IOException(s"snapshot $v of $root is not committed (or was GC'd)")
+    snapDir(root, v)
+  }
+
+  private def chainDirsWith(spark: SparkSession, root: String, layer: String): Seq[String] = {
+    val fs = fsOf(spark, root)
+    val dirs = chainVersions(spark, root).map(v => s"${snapDir(root, v)}/$layer")
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+    if (dirs.isEmpty)
+      throw new java.io.IOException(s"no committed version under $root carries layer $layer")
+    dirs
+  }
+
+  /** True when at least one chain dir carries `layer` — for layers that
+    * only appear once the first append lands (a fresh full refresh has
+    * no batch archive yet).
+    */
+  def chainHasLayer(spark: SparkSession, root: String, layer: String): Boolean = {
+    val fs = fsOf(spark, root)
+    chainVersions(spark, root)
+      .exists(v => fs.exists(new org.apache.hadoop.fs.Path(s"${snapDir(root, v)}/$layer")))
+  }
+
+  /** Append-shaped layer read: the union of `layer` across every chain
+    * dir that carries it (the full base + each delta batch). Dirs are
+    * read separately and unioned by name — hive-partitioned layers keep
+    * per-scan partition pruning, and no common basePath is required.
+    */
+  def readChain(spark: SparkSession, root: String, layer: String): DataFrame =
+    chainDirsWith(spark, root, layer).map(spark.read.parquet(_)).reduce(_ unionByName _)
+
+  /** Rewrite-shaped layer read: `layer` from the NEWEST chain dir that
+    * carries it (every mutation rewrites such layers in full — CC
+    * labels, centroid tables).
+    */
+  def readChainLatest(spark: SparkSession, root: String, layer: String): DataFrame =
+    spark.read.parquet(chainDirsWith(spark, root, layer).last)
+
+  /** Chain-aware GC: retains the newest `keepChains` whole chains (a
+    * full version plus its deltas) and deletes everything older —
+    * markers first, then data. Counting retention in chains is what
+    * keeps every retained read correct: dropping one old delta under
+    * raw-version retention would silently lose that batch's rows from
+    * chain reads.
+    */
+  def gcChains(spark: SparkSession, root: String, keepChains: Int = 2): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    require(keepChains >= 1, "must retain at least the current chain")
+    val vs = committedVersions(spark, root)
+    val fullIdxs = vs.zipWithIndex.collect {
+      case (v, i) if !isDeltaVersion(spark, root, v) => i
+    }
+    if (fullIdxs.length <= keepChains) return Seq.empty
+    val cutoff = fullIdxs(fullIdxs.length - keepChains) // first retained version index
+    val fs = fsOf(spark, root)
+    val doomed = vs.take(cutoff)
+    doomed.foreach { v =>
+      fs.delete(commitMarker(root, v), false)
+      fs.delete(new Path(snapDir(root, v)), true)
+    }
+    doomed
+  }
+
   /** V1 schema gate, FAILFAST flavor: any malformed document raises and
     * halts the load — the pydantic behavior (reference
     * helper_validate_response.py:36-43).

@@ -61,13 +61,17 @@ class IvfMvSpec extends SparkSpec {
     val nBatch = batch.count()
     assert(nBatch > 0)
     Embeddings.appendIvfIndex(spark, root, batch)
-    val after = spark.read.parquet(s"$snap/cells").select($"vec_id", $"cell")
-    // resident rows are untouched (append-only), batch rows all arrived,
-    // and the quantizer did not move
-    val afterSet = after.collect().toSet
+    // the append publishes a DELTA version: the committed base version
+    // is byte-untouched (immutability — time travel to it reproduces
+    // its results), the quantizer did not move, and the CHAIN read is
+    // resident ∪ batch
+    assert(spark.read.parquet(s"$snap/cells").select($"vec_id", $"cell")
+      .collect().toSet == residentBefore, "append mutated a committed version's cells")
+    assert(spark.read.parquet(s"$snap/centroids").collect().toSet == centsBefore)
+    val afterSet = graft.weather.Staging.readChain(spark, root, "cells")
+      .select($"vec_id", $"cell").collect().toSet
     assert(residentBefore.subsetOf(afterSet))
     assert(afterSet.size == residentBefore.size + nBatch)
-    assert(spark.read.parquet(s"$snap/centroids").collect().toSet == centsBefore)
     // appended rows sit in the SAME cell a from-scratch assignment under
     // the frozen centroids would give them (parquet double round-trip is
     // bit-exact, so frozen-quantizer routing loses nothing)

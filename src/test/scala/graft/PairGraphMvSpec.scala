@@ -68,16 +68,14 @@ class PairGraphMvSpec extends SparkSpec {
       assert(incremental === rebuilt)
       // the pin must be binding: the batches actually contributed pairs,
       // including at least one CROSS-BATCH pair (both endpoints appended)
-      val basePairs = spark.read.parquet(
-        s"${llm.TextDedup.pairGraphRoot(baseDir)}/pairs")
+      val basePairs = llm.TextDedup.pairGraphPairs(spark, baseDir)
       assert(basePairs.filter($"doc_a" % 5 === 0 || $"doc_b" % 5 === 0).count() > 0,
         "no batch-side pairs at this SF — append test is vacuous")
       assert(basePairs.filter($"doc_a" % 5 === 0 && $"doc_b" % 5 === 0
           && ($"doc_a" % 10 === 0) =!= ($"doc_b" % 10 === 0)).count() > 0,
         "no cross-batch pairs at this SF — the second-append path is vacuous")
       // and the appended pair SET matches the full rebuild's
-      val fullPairs = spark.read.parquet(
-        s"${llm.TextDedup.pairGraphRoot(fullDir)}/pairs")
+      val fullPairs = llm.TextDedup.pairGraphPairs(spark, fullDir)
       def pairSet(df: org.apache.spark.sql.DataFrame) =
         df.select($"doc_a", $"doc_b", $"n_common", $"n_a", $"n_b")
           .collect().map(_.toSeq).toSet

@@ -255,7 +255,7 @@ class Round13Spec extends SparkSpec {
     assert(llm.TextDedup.componentLabels(spark, sfDir).count() > 0)
   }
 
-  test("pair-graph append: a mid-append failure invalidates the MV instead of half-committing") {
+  test("pair-graph append: a mid-append failure commits NOTHING — MV stays at its previous version") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
     val scratch = java.nio.file.Files.createTempDirectory("graft_pg_atomic").toString
@@ -264,6 +264,9 @@ class Round13Spec extends SparkSpec {
         .parquet(s"$scratch/documents.parquet")
       llm.TextDedup.refreshPairGraphMv(spark, scratch)
       val root = llm.TextDedup.pairGraphRoot(scratch)
+      val v0 = graft.weather.Staging.currentSnapshotVersion(spark, root).get
+      val labelsBefore = llm.TextDedup.componentLabels(spark, scratch)
+        .collect().map(_.toSeq).toSet
       // poisoned batch: disjoint ids pass the guard, then the shingle
       // evaluation throws inside the mutation window
       val poison = docs.filter($"doc_id" % 5 === 0).limit(3)
@@ -272,10 +275,22 @@ class Round13Spec extends SparkSpec {
       intercept[Exception] {
         llm.TextDedup.appendPairGraphMv(spark, scratch, poison)
       }
-      // wholesale invalidation: artifact gone, next consumer REBUILDS
-      assert(!new java.io.File(root).exists(),
-        "failed append left a half-mutated artifact on disk")
-      assert(llm.TextDedup.componentLabels(spark, scratch).count() > 0)
+      // the round-14 atomic-commit semantics (stronger than the round-13
+      // wholesale invalidation this replaced): the delta never got its
+      // commit marker, so the MV is STILL the previous committed version —
+      // internally consistent, readable, no rebuild forced on the next
+      // consumer and no committed files yanked from pinned readers
+      assert(graft.weather.Staging.currentSnapshotVersion(spark, root).get === v0,
+        "failed append committed a version")
+      assert(llm.TextDedup.componentLabels(spark, scratch)
+        .collect().map(_.toSeq).toSet === labelsBefore)
+      // and the failed batch can simply be RETRIED (same ids, good text)
+      llm.TextDedup.appendPairGraphMv(spark, scratch,
+        docs.filter($"doc_id" % 5 === 0).limit(3).select($"doc_id", $"text"))
+      assert(graft.weather.Staging.currentSnapshotVersion(spark, root).get === v0 + 1)
+      // a 3-doc batch may legitimately add no pairs; the relabel must
+      // still carry every previously labeled doc
+      assert(llm.TextDedup.componentLabels(spark, scratch).count() >= labelsBefore.size)
     } finally graft.ops.ArtifactRoots.delete(scratch)
   }
 
@@ -287,15 +302,15 @@ class Round13Spec extends SparkSpec {
       docs.filter($"doc_id" % 5 =!= 0).write.mode("overwrite")
         .parquet(s"$scratch/documents.parquet")
       val root = llm.TextDedup.refreshPairGraphMv(spark, scratch)
-      val labelsRoot = s"$root/labels"
-      val v0 = graft.weather.Staging.currentSnapshotVersion(spark, labelsRoot).get
-      // reader pins version N (plans a scan over the immutable snap dir)
-      val held = graft.weather.Staging.readSnapshotAt(spark, labelsRoot, v0)
+      val v0 = graft.weather.Staging.currentSnapshotVersion(spark, root).get
+      // reader pins version N's labels (a scan over the immutable snap dir)
+      val held = spark.read.parquet(
+        s"${graft.weather.Staging.snapshotDirAt(spark, root, v0)}/labels")
       val baseline = held.collect().map(_.toSeq).toSet
-      // writer publishes N+1 through the append's relabel
+      // writer publishes N+1 (the append's delta) on the same chain
       llm.TextDedup.appendPairGraphMv(spark, scratch,
         docs.filter($"doc_id" % 5 === 0).select($"doc_id", $"text"))
-      assert(graft.weather.Staging.currentSnapshotVersion(spark, labelsRoot).get > v0)
+      assert(graft.weather.Staging.currentSnapshotVersion(spark, root).get > v0)
       // the held reader still resolves its own version, byte-identical
       assert(held.collect().map(_.toSeq).toSet === baseline)
       // and new readers see the relabeled component set
