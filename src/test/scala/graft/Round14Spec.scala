@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.weather.Staging
+
+/** Round-14 pins: the S6v delta-chain protocol (atomic multi-layer
+  * refresh + batch-sized append versions), concurrent-reader isolation
+  * for the two MV refreshes that round 13 left as in-place overwrites
+  * (backbone, pair-graph), and long-session flatness as a TEST (the
+  * ProbeFlat measurement wired into the suite so the Ckpt release
+  * discipline can't silently rot).
+  */
+class Round14Spec extends SparkSpec {
+
+  test("delta chains: full + deltas union, rewrite layers read latest, crash commits nothing") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_chain_").toString + "/mv"
+    // full v0: append-shaped layer `rows`, rewrite-shaped layer `state`
+    assert(Staging.publishSnapshot(spark, root) { p =>
+      spark.range(10).select($"id", lit(0L).as("src")).write.parquet(s"$p/rows")
+      Seq((0L, 10L)).toDF("v", "n").write.parquet(s"$p/state")
+    } === 0L)
+    // delta v1 extends the chain with a batch
+    assert(Staging.publishSnapshotDelta(spark, root) { p =>
+      spark.range(10, 15).select($"id", lit(1L).as("src")).write.parquet(s"$p/rows")
+      Seq((1L, 15L)).toDF("v", "n").write.parquet(s"$p/state")
+    } === 1L)
+    assert(Staging.chainVersions(spark, root) === Seq(0L, 1L))
+    assert(Staging.readChain(spark, root, "rows").count() === 15)
+    assert(Staging.readChainLatest(spark, root, "state").head().getLong(1) === 15L)
+    // a failed delta (crash before the marker) commits NOTHING ...
+    intercept[RuntimeException] {
+      Staging.publishSnapshotDelta(spark, root) { p =>
+        spark.range(15, 18).select($"id", lit(2L).as("src")).write.parquet(s"$p/rows")
+        throw new RuntimeException("writer died mid-append")
+      }
+    }
+    assert(Staging.currentSnapshotVersion(spark, root) === Some(1L))
+    assert(Staging.readChain(spark, root, "rows").count() === 15,
+      "uncommitted delta rows leaked into the chain read")
+    // ... and the retry reuses the version slot (orphan dir overwritten)
+    assert(Staging.publishSnapshotDelta(spark, root) { p =>
+      spark.range(15, 18).select($"id", lit(2L).as("src")).write.parquet(s"$p/rows")
+    } === 2L)
+    assert(Staging.readChain(spark, root, "rows").count() === 18)
+    // v2 carries no `state`: the rewrite-shaped read falls back to the
+    // newest chain dir that HAS the layer
+    assert(Staging.readChainLatest(spark, root, "state").head().getLong(1) === 15L)
+    assert(Staging.chainHasLayer(spark, root, "rows"))
+    assert(!Staging.chainHasLayer(spark, root, "absent"))
+    // a new FULL version starts a new chain: chain reads see only it
+    Staging.publishSnapshot(spark, root) { p =>
+      spark.range(100).select($"id", lit(3L).as("src")).write.parquet(s"$p/rows")
+    }
+    assert(Staging.chainVersions(spark, root) === Seq(3L))
+    assert(Staging.readChain(spark, root, "rows").count() === 100)
+    // chain-aware GC: 2 chains retained -> nothing deleted; a third
+    // chain retires the FIRST chain wholesale (full + its deltas —
+    // dropping a delta alone would silently lose appended rows)
+    assert(Staging.gcChains(spark, root, keepChains = 2) === Seq.empty)
+    Staging.publishSnapshot(spark, root) { p =>
+      spark.range(7).select($"id", lit(4L).as("src")).write.parquet(s"$p/rows")
+    }
+    assert(Staging.gcChains(spark, root, keepChains = 2) === Seq(0L, 1L, 2L))
+    assert(Staging.readChain(spark, root, "rows").count() === 7)
+    // time travel inside the retained previous chain still works
+    assert(spark.read.parquet(s"${Staging.snapshotDirAt(spark, root, 3L)}/rows").count() === 100)
+    // a delta can never be the first version of a table
+    val empty = java.nio.file.Files.createTempDirectory("graft_chain_").toString + "/e"
+    intercept[java.io.IOException] {
+      Staging.publishSnapshotDelta(spark, empty)(_ => ())
+    }
+  }
+
+  test("backbone MV: a concurrent reader across refreshes observes only complete committed versions") {
+    import spark.implicits._
+    // first refresh establishes the expected (deterministic) content
+    val first = graft.ops.Graph.backboneMaterialize(spark, sfDir).head()
+    val (nEdges, sumShared) = (first.getLong(0), first.getLong(4))
+    val root = graft.ops.Graph.backboneRoot(sfDir)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reads = new java.util.concurrent.atomic.AtomicLong(0)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val r = Staging.readSnapshot(spark, root)
+            .agg(count(lit(1)), sum($"shared")).head()
+          if (r.getLong(0) != nEdges || r.getLong(1) != sumShared)
+            errs.add(s"inconsistent backbone read: n=${r.getLong(0)} sum=${r.getLong(1)}")
+          reads.incrementAndGet()
+        } catch {
+          case e: Throwable => errs.add(s"backbone read failed: ${e.getMessage}")
+        }
+      }
+    }, "backbone-reader")
+    reader.start()
+    try {
+      // the exact round-13 hazard: g0 refreshes while a kernel-shaped
+      // reader scans the artifact (the refresh used to yank its files)
+      for (_ <- 1 to 2) graft.ops.Graph.backboneMaterialize(spark, sfDir).count()
+    } finally { stop.set(true); reader.join() }
+    assert(errs.isEmpty, errs.toArray.mkString("\n"))
+    assert(reads.get() > 0, "reader never got a scan in — test proves nothing")
+  }
+
+  test("pair-graph MV: a concurrent labels reader across appends observes only committed versions") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_pg_conc").toString
+    try {
+      docs.filter($"doc_id" % 5 =!= 0).write.mode("overwrite")
+        .parquet(s"$scratch/documents.parquet")
+      val root = llm.TextDedup.refreshPairGraphMv(spark, scratch)
+      val base = llm.TextDedup.componentLabels(spark, scratch).count()
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val reads = new java.util.concurrent.atomic.AtomicLong(0)
+      val reader = new Thread(() => {
+        while (!stop.get()) {
+          try {
+            // labels are full rewrites per version and components only
+            // merge on append, so doc count is monotone non-decreasing —
+            // a torn read (half a version's files) breaks this or throws
+            val n = Staging.readChainLatest(spark, root, "labels").count()
+            if (n < base) errs.add(s"labels shrank: $n < $base")
+            reads.incrementAndGet()
+          } catch {
+            case e: Throwable => errs.add(s"labels read failed: ${e.getMessage}")
+          }
+        }
+      }, "labels-reader")
+      reader.start()
+      try {
+        llm.TextDedup.appendPairGraphMv(spark, scratch,
+          docs.filter($"doc_id" % 10 === 0).select($"doc_id", $"text"))
+        llm.TextDedup.appendPairGraphMv(spark, scratch,
+          docs.filter($"doc_id" % 10 === 5).select($"doc_id", $"text"))
+      } finally { stop.set(true); reader.join() }
+      assert(errs.isEmpty, errs.toArray.mkString("\n"))
+      assert(reads.get() > 0, "reader never got a scan in — test proves nothing")
+    } finally graft.ops.ArtifactRoots.delete(scratch)
+  }
+
+  test("long-session flatness: 5 passes of checkpoint-heavy queries stay flat, zero leaked blocks") {
+    // the ProbeFlat measurement as a suite pin (round-13 verdict item):
+    // the r12 leak made consecutive passes of the SAME query slow
+    // monotonically (emb_rproj_topk 1.75 -> 6.41 -> 10.09 s at sf0.1,
+    // ratio 5.8x) because localCheckpoint blocks survive clearCache. A
+    // regression of the Ckpt release discipline reproduces that shape;
+    // honest pass-to-pass noise at this SF stays well under the bound.
+    for (q <- Seq("emb_rproj_topk", "g8_sssp")) {
+      // warm-up pass: JIT/codegen/IO ramp is not the leak signal
+      SparkEntry.queries(q)(spark, sfDir).count()
+      spark.catalog.clearCache()
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val ts = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
+      }
+      // listener delivery is async — poll for the releases to land
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(leaked.isEmpty, s"$q leaked storage across passes: $leaked")
+      // flatness: the last pass must not show the monotonic-growth shape.
+      // Bound = 2.5x the best pass with a 0.5 s absolute floor (sub-second
+      // queries at this SF jitter on GC; the leak signature was >5x)
+      val bound = math.max(2.5 * ts.min, ts.min + 0.5)
+      assert(ts.last <= bound,
+        f"$q%s passes not flat: ${ts.map(t => f"$t%.2f").mkString(",")}%s (bound $bound%.2f)")
+    }
+  }
+}
