@@ -323,13 +323,20 @@ object Staging {
 
   /** Deletes all but the latest `keep` snapshots (markers first, then
     * data) and returns the GC'd versions. Retention must exceed the
-    * longest-running reader — the VACUUM contract.
+    * longest-running reader — the VACUUM contract. FULL-version tables
+    * only: on a table with delta versions, raw-version retention could
+    * retire a delta's base full version while keeping the delta (whose
+    * rows would silently vanish from chain reads) — use [[gcChains]]
+    * there; this guard turns that misuse into an error.
     */
   def gcSnapshots(spark: SparkSession, root: String, keep: Int = 2): Seq[Long] = {
     import org.apache.hadoop.fs.Path
     require(keep >= 1, "must retain at least the current snapshot")
+    val vs = committedVersions(spark, root)
+    require(!vs.exists(v => isDeltaVersion(spark, root, v)),
+      s"$root has delta versions — raw-version retention would strand them; use gcChains")
     val fs = fsOf(spark, root)
-    val old = committedVersions(spark, root).dropRight(keep)
+    val old = vs.dropRight(keep)
     old.foreach { v =>
       fs.delete(commitMarker(root, v), false)
       fs.delete(new Path(snapDir(root, v)), true)

@@ -44,6 +44,9 @@ class Round14Spec extends SparkSpec {
       spark.range(15, 18).select($"id", lit(2L).as("src")).write.parquet(s"$p/rows")
     } === 2L)
     assert(Staging.readChain(spark, root, "rows").count() === 18)
+    // raw-version GC on a chained table is a guarded misuse: it could
+    // retire a delta's base while keeping the delta
+    intercept[IllegalArgumentException](Staging.gcSnapshots(spark, root, keep = 1))
     // v2 carries no `state`: the rewrite-shaped read falls back to the
     // newest chain dir that HAS the layer
     assert(Staging.readChainLatest(spark, root, "state").head().getLong(1) === 15L)
