@@ -473,18 +473,24 @@ object Embeddings {
     // extends
     ivfBuilt.synchronized {
       import spark.implicits._
-      // frozen quantizer = the chain's committed centroids; the batch
-      // publishes as a DELTA version carrying only its own cell rows —
-      // committed versions stay immutable, a crash before the marker
-      // leaves the index at its previous version, and readers union
-      // cells across the chain
-      val cents = graft.weather.Staging.readChainLatest(spark, root, "centroids")
-      graft.weather.Staging.publishSnapshotDelta(spark, root) { p =>
-        assignCells(batch, cents).select($"vec_id", $"v", $"nrm", $"cell")
-          .repartition($"cell")
-          .write.mode("overwrite").partitionBy("cell").parquet(s"$p/cells")
+      // an EMPTY batch publishes nothing (the streaming-sink contract):
+      // a hive-partitioned write of zero rows leaves only _SUCCESS in
+      // the cells dir, which would poison every later chain read with
+      // an unreadable layer
+      if (!batch.isEmpty) {
+        // frozen quantizer = the chain's committed centroids; the batch
+        // publishes as a DELTA version carrying only its own cell rows —
+        // committed versions stay immutable, a crash before the marker
+        // leaves the index at its previous version, and readers union
+        // cells across the chain
+        val cents = graft.weather.Staging.readChainLatest(spark, root, "centroids")
+        graft.weather.Staging.publishSnapshotDelta(spark, root) { p =>
+          assignCells(batch, cents).select($"vec_id", $"v", $"nrm", $"cell")
+            .repartition($"cell")
+            .write.mode("overwrite").partitionBy("cell").parquet(s"$p/cells")
+        }
+        ()
       }
-      ()
     }
 
   /** Answer the standard query set (vec_id < 5, top-3 probes, top-3

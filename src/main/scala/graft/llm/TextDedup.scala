@@ -543,6 +543,15 @@ object TextDedup {
     require(dupIds == 0,
       s"appendPairGraphMv: batch re-ingests doc_ids already resident in $root — " +
         "doc_ids must be disjoint (CDC ingest contract)")
+    // an EMPTY batch publishes nothing (the streaming-sink contract):
+    // no no-op delta versions accumulating on the chain
+    if (!batch.isEmpty) appendNonEmpty(spark, root, dir, batch)
+    root
+  }
+
+  private def appendNonEmpty(spark: SparkSession, root: String, dir: String,
+                             batch: DataFrame): Unit = {
+    import spark.implicits._
     val bsh = shingles(batch).cache()
     try {
       val bsig = minhashBandSigs(bsh)
@@ -605,7 +614,6 @@ object TextDedup {
       }
       graft.ops.Ckpt.free(newPairs)
     } finally { bsh.unpersist(false); () }
-    root
   }
 
   /** Component labels (doc_id, component) of the near-dup pair graph,

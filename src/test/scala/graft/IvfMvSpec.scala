@@ -79,6 +79,26 @@ class IvfMvSpec extends SparkSpec {
         batch, spark.read.parquet(s"$snap/centroids"))
       .select($"vec_id", $"cell").collect().toSet
     assert((afterSet -- residentBefore) == expected)
+    // the cell predicate still prunes at the DIRECTORY level through the
+    // chain union — every FileSourceScan under the union carries the
+    // partition filter (reading all cells of either dir would defeat the
+    // layout at scale)
+    val pruned = graft.weather.Staging.readChain(spark, root, "cells")
+      .filter($"cell".isin(0, 1))
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.size >= 2, "chain read collapsed to one scan — test is vacuous")
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      "cell predicate not pushed to every chain scan as a PartitionFilter")
+    // an EMPTY batch publishes nothing: no new version, and the chain
+    // stays readable (a zero-row hive-partitioned write would leave an
+    // unreadable cells layer)
+    val vBefore = graft.weather.Staging.currentSnapshotVersion(spark, root)
+    Embeddings.appendIvfIndex(spark, root, batch.limit(0))
+    assert(graft.weather.Staging.currentSnapshotVersion(spark, root) === vBefore)
+    assert(graft.weather.Staging.readChain(spark, root, "cells")
+      .select($"vec_id", $"cell").collect().toSet == afterSet)
   }
 
   test("registered append query retrieves across resident and appended vectors") {

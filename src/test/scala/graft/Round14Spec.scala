@@ -143,6 +143,11 @@ class Round14Spec extends SparkSpec {
       } finally { stop.set(true); reader.join() }
       assert(errs.isEmpty, errs.toArray.mkString("\n"))
       assert(reads.get() > 0, "reader never got a scan in — test proves nothing")
+      // an EMPTY batch publishes nothing — no no-op delta versions
+      val vBefore = Staging.currentSnapshotVersion(spark, root)
+      llm.TextDedup.appendPairGraphMv(spark, scratch,
+        docs.select($"doc_id" + 1000000L as "doc_id", $"text").limit(0))
+      assert(Staging.currentSnapshotVersion(spark, root) === vBefore)
     } finally graft.ops.ArtifactRoots.delete(scratch)
   }
 
