@@ -56,6 +56,16 @@ object ProbeAppend {
           f"labelsRead=$tLabels%.2fs (n=$nLabels) sigsChainRead=$tSigs%.2fs (n=$nSigs) " +
           f"chainDirs=$versions")
       }
+      // compaction: the maintenance op the slope above prices — a pure
+      // artifact rewrite (no re-derivation) that resets the chain to one
+      // dir; contrast tCompact with tRefresh and the post-compaction
+      // sigs read with the 9-dir one
+      val (_, tCompact) = t(llm.TextDedup.compactPairGraphMv(spark, scratch))
+      val (nSigsC, tSigsC) = t(
+        graft.weather.Staging.readChain(spark, root, "sigs").count())
+      val versionsC = graft.weather.Staging.chainVersions(spark, root).size
+      println(f"PROBEAPPEND compact=$tCompact%.2fs (refresh was $tRefresh%.2fs) " +
+        f"sigsChainRead=$tSigsC%.2fs (n=$nSigsC) chainDirs=$versionsC")
     } finally graft.ops.ArtifactRoots.delete(scratch)
     spark.stop()
   }

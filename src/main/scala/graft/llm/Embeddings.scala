@@ -493,6 +493,39 @@ object Embeddings {
       }
     }
 
+  /** Compact the index chain (full version + N append deltas) into ONE
+    * new full version: cells = the chain union rewritten with the
+    * standard hive-partitioned-by-cell layout, centroids carried forward
+    * bit-exactly (parquet double round-trip is exact, so the quantizer
+    * stays FROZEN across compactions — later appends and queries score
+    * against the identical quantizer). A pure artifact rewrite, no
+    * retraining and no touch of the base vectors: cost ∝ index size,
+    * where a rebuild is corpus-sized (Lloyd rounds over every vector).
+    * Resets the per-delta chain-read overhead that accumulates under a
+    * streaming ingest — each retained delta adds one FileSourceScan to
+    * every probed read (still pruned, but per-scan setup is real).
+    * Publishes through the S6v protocol on the writers' monitor: one
+    * commit marker, previous chain retained for live readers, a crash
+    * commits nothing. A delta-less chain is a no-op.
+    */
+  private[graft] def compactIvfIndex(spark: SparkSession, root: String): Unit =
+    ivfBuilt.synchronized {
+      import spark.implicits._
+      val S = graft.weather.Staging
+      if (S.chainVersions(spark, root).size > 1) {
+        val cells = S.readChain(spark, root, "cells")
+        val cents = S.readChainLatest(spark, root, "centroids")
+        S.publishSnapshot(spark, root) { p =>
+          cells.select($"vec_id", $"v", $"nrm", $"cell")
+            .repartition($"cell")
+            .write.mode("overwrite").partitionBy("cell").parquet(s"$p/cells")
+          cents.repartition(1).write.mode("overwrite").parquet(s"$p/centroids")
+        }
+        S.gcChains(spark, root, keepChains = 2)
+        ()
+      }
+    }
+
   /** Answer the standard query set (vec_id < 5, top-3 probes, top-3
     * hits) from a persisted index. The probe list is resolved DRIVER-
     * side — centroids are k×dim rounded doubles, so ranking 5 queries

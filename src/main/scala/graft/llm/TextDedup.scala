@@ -616,6 +616,64 @@ object TextDedup {
     } finally { bsh.unpersist(false); () }
   }
 
+  /** Compact the MV's current chain (full version + N append deltas)
+    * into ONE new full version — a pure artifact rewrite, NO
+    * re-derivation: the append-shaped layers (sigs, sizes, pairs,
+    * batchdocs) are each the chain union rewritten with their standard
+    * clustering, labels come from the newest version (every mutation
+    * rewrites them in full). Read-equivalent to the chain it replaces by
+    * construction, so every consumer and every later append sees
+    * identical data — including cross-batch pair verification, because
+    * the archived batchdocs ride along into the compacted version.
+    *
+    * This is the maintenance op ProbeAppend's measured slope prices:
+    * each retained delta adds ~one small scan to every chain read
+    * (~0.06 s/dir at sf0.1), so a long-running ingest compacts when
+    * Σ per-read delta overhead approaches the compaction bill. Unlike a
+    * [[refreshPairGraphMv]] (which re-shingles and re-verifies the whole
+    * corpus — derivation-sized), compaction costs one artifact
+    * read+write — at 100 TB that is the difference between rewriting the
+    * index files and re-running LSH over the corpus. Publishes through
+    * the same S6v protocol as every other mutation: one commit marker,
+    * concurrent readers keep their resolved chain (previous chain
+    * retained by the VACUUM contract), a crash commits nothing. A
+    * delta-less chain is a no-op.
+    */
+  private[graft] def compactPairGraphMv(spark: SparkSession, dir: String): String =
+    pgBuilt.synchronized {
+      import spark.implicits._
+      val S = graft.weather.Staging
+      val root = pairGraphRoot(dir)
+      require(pgBuilt.containsKey(root),
+        s"compactPairGraphMv: no built pair-graph MV for $dir — refresh first")
+      if (S.chainVersions(spark, root).size > 1) {
+        S.publishSnapshot(spark, root) { p =>
+          S.readChain(spark, root, "sigs")
+            .repartition(4, $"band", $"sig").sortWithinPartitions($"band", $"sig")
+            .write.mode("overwrite").parquet(s"$p/sigs")
+          S.readChain(spark, root, "sizes")
+            .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
+            .write.mode("overwrite").parquet(s"$p/sizes")
+          S.readChain(spark, root, "pairs")
+            .repartition(4, $"doc_a").sortWithinPartitions($"doc_a", $"doc_b")
+            .write.mode("overwrite").parquet(s"$p/pairs")
+          // appended batch text must survive compaction: later appends
+          // re-shingle resident candidate PARTNERS from corpus ∪ batchdocs,
+          // and a prior batch's docs are not in the corpus table
+          if (S.chainHasLayer(spark, root, "batchdocs"))
+            S.readChain(spark, root, "batchdocs")
+              .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
+              .write.mode("overwrite").parquet(s"$p/batchdocs")
+          S.readChainLatest(spark, root, "labels")
+            .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
+            .write.mode("overwrite").parquet(s"$p/labels")
+        }
+        S.gcChains(spark, root, keepChains = 2)
+        ()
+      }
+      root
+    }
+
   /** Component labels (doc_id, component) of the near-dup pair graph,
     * build-once per (process, dataset): the first consumer pays the
     * refresh, every later call reads the clustered artifact. Contract:

@@ -151,6 +151,93 @@ class Round14Spec extends SparkSpec {
     } finally graft.ops.ArtifactRoots.delete(scratch)
   }
 
+  test("pair-graph MV compaction: chain collapses to one full version; reads and later appends unchanged") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val baseDir = java.nio.file.Files.createTempDirectory("graft_pg_cmp_base").toString
+    val fullDir = java.nio.file.Files.createTempDirectory("graft_pg_cmp_full").toString
+    try {
+      docs.filter($"doc_id" % 5 =!= 0).write.mode("overwrite")
+        .parquet(s"$baseDir/documents.parquet")
+      docs.write.mode("overwrite").parquet(s"$fullDir/documents.parquet")
+      val root = llm.TextDedup.refreshPairGraphMv(spark, baseDir)
+      // compaction of a delta-less chain is a no-op (no new version)
+      val v0 = Staging.currentSnapshotVersion(spark, root)
+      llm.TextDedup.compactPairGraphMv(spark, baseDir)
+      assert(Staging.currentSnapshotVersion(spark, root) === v0)
+      llm.TextDedup.appendPairGraphMv(spark, baseDir,
+        docs.filter($"doc_id" % 10 === 0).select($"doc_id", $"text"))
+      assert(Staging.chainVersions(spark, root).size === 2)
+      def pairSet(dir: String) = llm.TextDedup.pairGraphPairs(spark, dir)
+        .select($"doc_a", $"doc_b", $"n_common", $"n_a", $"n_b")
+        .collect().map(_.toSeq).toSet
+      def labelSet(dir: String) = llm.TextDedup.componentLabels(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val (pairsBefore, labelsBefore) = (pairSet(baseDir), labelSet(baseDir))
+      // compaction is a pure rewrite: one full version, identical reads
+      llm.TextDedup.compactPairGraphMv(spark, baseDir)
+      assert(Staging.chainVersions(spark, root).size === 1)
+      assert(pairSet(baseDir) === pairsBefore)
+      assert(labelSet(baseDir) === labelsBefore)
+      // an append AFTER compaction still verifies cross-batch pairs
+      // against the PRE-compaction batch (batchdocs carried forward) —
+      // the end state must equal a from-scratch rebuild on the full corpus
+      llm.TextDedup.appendPairGraphMv(spark, baseDir,
+        docs.filter($"doc_id" % 10 === 5).select($"doc_id", $"text"))
+      assert(labelSet(baseDir) === labelSet(fullDir))
+      assert(pairSet(baseDir) === pairSet(fullDir))
+      // binding: at least one cross-batch pair SPANS the compaction
+      // boundary (one endpoint per batch) — without the batchdocs
+      // carry-forward its verification would silently come back empty
+      assert(llm.TextDedup.pairGraphPairs(spark, baseDir)
+        .filter($"doc_a" % 5 === 0 && $"doc_b" % 5 === 0
+          && ($"doc_a" % 10 === 0) =!= ($"doc_b" % 10 === 0)).count() > 0,
+        "no pair spans the compaction boundary at this SF — test is vacuous")
+    } finally {
+      graft.ops.ArtifactRoots.delete(baseDir)
+      graft.ops.ArtifactRoots.delete(fullDir)
+    }
+  }
+
+  test("IVF MV compaction: one full version, frozen quantizer bit-exact, pruning preserved") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val S = Staging
+    val root = llm.Embeddings.buildIvfIndex(spark, sfDir, "spec_compact",
+      _.filter($"vec_id" % 10 =!= 6 && $"vec_id" % 10 =!= 7))
+    def batch(m: Int) = Tables.embeddings(spark, sfDir).filter($"vec_id" % 10 === m)
+      .select($"vec_id", $"embedding".as("v"))
+      .withColumn("nrm", sqrt(call_function("graft_dot", $"v", $"v")))
+    llm.Embeddings.appendIvfIndex(spark, root, batch(6))
+    assert(S.chainVersions(spark, root).size === 2)
+    val setBefore = S.readChain(spark, root, "cells")
+      .select($"vec_id", $"cell").collect().toSet
+    val centsBefore = S.readChainLatest(spark, root, "centroids").collect().toSet
+    llm.Embeddings.compactIvfIndex(spark, root)
+    // one full version; identical rows; the quantizer did not move
+    assert(S.chainVersions(spark, root).size === 1)
+    assert(S.readChain(spark, root, "cells")
+      .select($"vec_id", $"cell").collect().toSet === setBefore)
+    assert(S.readChainLatest(spark, root, "centroids").collect().toSet === centsBefore)
+    // the compacted layer still prunes at the directory level
+    val pruned = S.readChain(spark, root, "cells").filter($"cell".isin(0, 1))
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }.get
+    assert(scan.partitionFilters.nonEmpty,
+      s"cell predicate not a PartitionFilter on the compacted scan:\n${scan.metadata}")
+    // an append after compaction extends the new chain under the SAME
+    // frozen quantizer (routing identical to a from-scratch assignment)
+    llm.Embeddings.appendIvfIndex(spark, root, batch(7))
+    assert(S.chainVersions(spark, root).size === 2)
+    val finalSet = S.readChain(spark, root, "cells")
+      .select($"vec_id", $"cell").collect().toSet
+    val expected = llm.Embeddings.assignCells(
+        batch(7), S.readChainLatest(spark, root, "centroids"))
+      .select($"vec_id", $"cell").collect().toSet
+    assert((finalSet -- setBefore) === expected)
+  }
+
   test("long-session flatness: 5 passes of checkpoint-heavy queries stay flat, zero leaked blocks") {
     // the ProbeFlat measurement as a suite pin (round-13 verdict item):
     // the r12 leak made consecutive passes of the SAME query slow
