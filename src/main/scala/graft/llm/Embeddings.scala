@@ -966,26 +966,40 @@ object Embeddings {
       .orderBy($"va", $"vb")
   }
 
-  /** Oracle CTE chain producing the same (va, vb) SRP candidate pairs. */
-  private val srpCandSql: String =
+  /** The shared SRP hyperplane table (the native expression's exact
+    * md5-seeded weights) — declared once per oracle, consumed by every
+    * [[srpCandCtesOn]] instantiation in the same query.
+    */
+  private val srpPlanesSql: String =
     """planes AS (
       |  SELECT h.h, d.d,
       |    CASE WHEN strpos('01234567', substr(md5(h.h::VARCHAR || '|' || d.d::VARCHAR), 1, 1)) > 0
       |         THEN 1.0 ELSE -1.0 END AS w
-      |  FROM generate_series(0, 15) h(h) CROSS JOIN generate_series(1, 64) d(d)),
-      |bits AS (
-      |  SELECT ev.vec_id, p.h,
-      |    CASE WHEN SUM(p.w * ev.v[p.d]) >= 0 THEN '1' ELSE '0' END AS bit
-      |  FROM ev JOIN planes p ON TRUE
-      |  GROUP BY 1, 2),
-      |sig AS (SELECT vec_id, string_agg(bit, '' ORDER BY h) AS bits FROM bits GROUP BY 1),
-      |bands AS (
-      |  SELECT vec_id, band, substr(bits, band * 4 + 1, 4) AS chunk
-      |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)),
-      |cand AS (
-      |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-      |  FROM bands a JOIN bands b
-      |    ON a.band = b.band AND a.chunk = b.chunk AND a.vec_id < b.vec_id)""".stripMargin
+      |  FROM generate_series(0, 15) h(h) CROSS JOIN generate_series(1, 64) d(d))""".stripMargin
+
+  /** SRP candidate CTEs over source table `src`, CTE names prefixed with
+    * `pfx` so one oracle can band two different vector sets (E23 bands
+    * the resident corpus for the seed graph AND the batch for its
+    * internal edges). `pfx` = "" reproduces the historical names.
+    */
+  private def srpCandCtesOn(src: String, pfx: String): String =
+    s"""${pfx}bits AS (
+       |  SELECT $src.vec_id, p.h,
+       |    CASE WHEN SUM(p.w * $src.v[p.d]) >= 0 THEN '1' ELSE '0' END AS bit
+       |  FROM $src JOIN planes p ON TRUE
+       |  GROUP BY 1, 2),
+       |${pfx}sig AS (SELECT vec_id, string_agg(bit, '' ORDER BY h) AS bits FROM ${pfx}bits GROUP BY 1),
+       |${pfx}bands AS (
+       |  SELECT vec_id, band, substr(bits, band * 4 + 1, 4) AS chunk
+       |  FROM ${pfx}sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)),
+       |${pfx}cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |  FROM ${pfx}bands a JOIN ${pfx}bands b
+       |    ON a.band = b.band AND a.chunk = b.chunk AND a.vec_id < b.vec_id)""".stripMargin
+
+  /** Oracle CTE chain producing the same (va, vb) SRP candidate pairs. */
+  private val srpCandSql: String =
+    srpPlanesSql + ",\n" + srpCandCtesOn("ev", "")
 
   val lshNearDupSql: String =
     embCte + ",\n" + srpCandSql + """
@@ -1212,9 +1226,12 @@ object Embeddings {
   }
 
   /** The fixed-round batched beam search over a materialized adjacency —
-    * shared by E18 (fresh build) and E20 (artifact read-back).
+    * shared by E18 (fresh build), E20/E22 (artifact read-back), and E23
+    * (insert-time neighbor search, which takes the final top-`finalK`
+    * from the same width-8 beam instead of the query path's top-3).
     */
-  private[graft] def nswBeamSearch(e: DataFrame, q: DataFrame, adj: DataFrame): DataFrame = {
+  private[graft] def nswBeamSearch(e: DataFrame, q: DataFrame, adj: DataFrame,
+                                   finalK: Int = 3): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
     val seeds = e.orderBy($"vec_id".asc).limit(4)
@@ -1249,7 +1266,7 @@ object Embeddings {
     graft.ops.Ckpt.freeOnConsumed(
       beam
         .withColumn("rnk", row_number().over(wBeam))
-        .filter($"rnk" <= 3)
+        .filter($"rnk" <= finalK)
         .select($"qid", $"rnk", $"cid", $"sim")
         .orderBy($"qid", $"rnk"),
       Seq(beam))
@@ -1277,27 +1294,37 @@ object Embeddings {
     */
   private val nswBuilt = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
-  private[graft] def nswRoot(dir: String): String =
-    graft.ops.ArtifactRoots.path("graft_ivf_mv_nsw", Some(dir))
+  private[graft] def nswRoot(dir: String, tag: String = ""): String =
+    graft.ops.ArtifactRoots.path(s"graft_ivf_mv_nsw$tag", Some(dir))
 
   /** Build + publish the NSW adjacency artifact for `dir`, releasing
     * every build-side checkpoint before returning. Returns the root.
+    * `tag`/`pred` parameterize a variant index over a corpus subset (the
+    * buildIvfIndex convention — E23's registered query builds its
+    * resident index on 90% of the corpus and appends the rest).
     */
-  private[graft] def buildNswIndex(spark: SparkSession, dir: String): String =
+  private[graft] def buildNswIndex(spark: SparkSession, dir: String, tag: String = "",
+                                   pred: DataFrame => DataFrame = identity): String =
     nswBuilt.synchronized {
       import spark.implicits._
-      val root = graft.ops.ArtifactRoots.register("graft_ivf_mv_nsw", Some(dir))
-      val (e, _) = nswFrames(spark, dir)
+      val root = graft.ops.ArtifactRoots.register(s"graft_ivf_mv_nsw$tag", Some(dir))
+      val (e0, _) = nswFrames(spark, dir)
+      val e = pred(e0)
       val adj = nswAdjacency(e)
       // each NN-descent refresh publishes as the next S6v snapshot
       // version — an E22 reader mid-scan is never yanked by an E20
-      // refresh's overwrite
+      // refresh's overwrite. The adjacency lives in a named `adj` layer
+      // (E23 appends publish batch deltas carrying `adj` increments plus
+      // a `vecs` archive on the same chain); a refresh derives from the
+      // BASE corpus table only and starts a new chain — appended vectors
+      // not yet merged into the corpus are superseded by it, the same
+      // refresh-owns-the-corpus contract as the pair-graph MV.
       graft.weather.Staging.publishSnapshot(spark, root) { p =>
         adj.repartition(4, $"src").sortWithinPartitions($"src", $"dst")
-          .write.mode("overwrite").parquet(p)
+          .write.mode("overwrite").parquet(s"$p/adj")
       }
-      graft.weather.Staging.gcSnapshots(spark, root, keep = 2)
-      graft.ops.Ckpt.free(e, adj)
+      graft.weather.Staging.gcChains(spark, root, keepChains = 2)
+      graft.ops.Ckpt.free(e0, adj)
       nswBuilt.put(root, java.lang.Boolean.TRUE)
       root
     }
@@ -1306,12 +1333,25 @@ object Embeddings {
     * beam-search equi-joins against the artifact, nothing corpus-sized
     * rebuilt. Shared by E20 (refresh + read) and E22 (read-only).
     */
-  private[graft] def nswQueryFromIndex(spark: SparkSession, dir: String, root: String): DataFrame = {
+  private[graft] def nswQueryFromIndex(spark: SparkSession, dir: String, root: String,
+                                       pred: DataFrame => DataFrame = identity): DataFrame = {
     graft.GraftExtensions.ensure(spark)
-    val (e, q) = nswFrames(spark, dir)
-    val adj = graft.weather.Staging.readSnapshot(spark, root).localCheckpoint()
+    val S = graft.weather.Staging
+    val (e0, q) = nswFrames(spark, dir)
+    // corpus = (pred-filtered) base table ∪ vectors appended since the
+    // last refresh (archived per-batch in the chain's `vecs` layer —
+    // absent on a fresh chain, so the common path pays no union)
+    // (eCk, e): the checkpoint to free vs the corpus view over it — a
+    // pred filter is a view on e0's checkpoint, not its own storage
+    val (eCk, e) =
+      if (S.chainHasLayer(spark, root, "vecs")) {
+        val u = pred(e0).unionByName(S.readChain(spark, root, "vecs")).localCheckpoint()
+        graft.ops.Ckpt.free(e0)
+        (u, u)
+      } else (e0, pred(e0))
+    val adj = S.readChain(spark, root, "adj").localCheckpoint()
     val res = nswBeamSearch(e, q, adj)
-    graft.ops.Ckpt.free(e, adj)
+    graft.ops.Ckpt.free(eCk, adj)
     res
   }
 
@@ -1344,21 +1384,270 @@ object Embeddings {
     nswQueryFromIndex(spark, dir, root)
   }
 
-  private def nswRoundSql(r: Int): String = {
-    val prev = if (r == 1) "beam0" else s"beam${r - 1}"
-    s"""cand$r AS (
-       |  SELECT DISTINCT b.qid, a.dst AS cid FROM $prev b JOIN adj a ON a.src = b.cid),
-       |s$r AS (
+  /** E23 incremental NSW insert — the HNSW insert algorithm (Malkov &
+    * Yashunin 2018 §4, base layer) in the same set-oriented form as the
+    * E18 search, completing the graph-ANN family's ingest story the way
+    * E17 did IVF's and `appendPairGraphMv` did the pair graph's: a NEW
+    * batch of vectors (vec_id, v, nrm — ids disjoint from the resident
+    * corpus, the CDC ingest contract) is connected into a BUILT index
+    * without touching the resident build. Per-batch cost is
+    * batch-bounded:
+    *  - each batch vector BEAM-SEARCHES its top-5 resident neighbors
+    *    over the existing adjacency (the E18 search with the batch as
+    *    the query set — 4 equi-joins, beam state batch×8);
+    *  - new edges = batch→neighbors ∪ neighbors→batch (the back-edges
+    *    are what make inserted nodes REACHABLE by later searches —
+    *    HNSW's bidirectional connect) ∪ batch-internal SRP-seeded 5-NN
+    *    edges (a batch can carry its own near-dups; batch²-bounded via
+    *    the LSH bands, never all-pairs);
+    *  - ONE delta version carries the edge increments (`adj` layer) and
+    *    the batch's vectors (`vecs` archive — later searches and appends
+    *    score against corpus ∪ vecs, the pair-graph batchdocs pattern).
+    * Resident out-edge lists are never rewritten (append-shaped chain
+    * layers): a resident node's degree can exceed the build's cap by
+    * its back-edges, which only ADDS beam candidates — recall never
+    * drops, and the periodic NN-descent refresh re-normalizes degrees
+    * (insert-then-rebuild is exactly the production HNSW maintenance
+    * story). A crash anywhere commits nothing; an empty batch publishes
+    * nothing; writers serialize on the index monitor.
+    */
+  private[graft] def appendNswIndex(spark: SparkSession, dir: String,
+                                    batch: DataFrame, tag: String = "",
+                                    pred: DataFrame => DataFrame = identity): Unit =
+      nswBuilt.synchronized {
+    graft.GraftExtensions.ensure(spark)
+    import spark.implicits._
+    val S = graft.weather.Staging
+    val root = nswRoot(dir, tag)
+    require(nswBuilt.containsKey(root),
+      s"appendNswIndex: no built NSW index for $dir — refresh first")
+    if (!batch.isEmpty) {
+      val b = batch.select($"vec_id", $"v", $"nrm").localCheckpoint()
+      val (e0, _) = nswFrames(spark, dir)
+      val (eCk, e) =
+        if (S.chainHasLayer(spark, root, "vecs")) {
+          val u = pred(e0).unionByName(S.readChain(spark, root, "vecs")).localCheckpoint()
+          graft.ops.Ckpt.free(e0)
+          (u, u)
+        } else (e0, pred(e0))
+      // ingest-contract guard: a resident vec_id re-ingested would land
+      // duplicate vecs rows and double-score every beam candidate
+      val dup = b.select($"vec_id")
+        .join(e.select($"vec_id"), Seq("vec_id"), "left_semi")
+        .limit(1).count()
+      require(dup == 0,
+        s"appendNswIndex: batch re-ingests vec_ids already resident in $root — " +
+          "vec_ids must be disjoint (CDC ingest contract)")
+      val adj = S.readChain(spark, root, "adj").localCheckpoint()
+      // neighbor search: batch vectors as the query set, final top-5 of
+      // the width-8 beam (the insert's M, matching the build's degree)
+      val qb = broadcast(b.select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn")))
+      val found = nswBeamSearch(e, qb, adj, finalK = 5)
+        .select($"qid".as("src"), $"cid".as("dst"))
+        .localCheckpoint()
+      // batch-internal 5-NN edges from the SRP seed recipe (adj0's shape)
+      val candBB = srpCandidates(b)
+      val scoredBB = candBB
+        .join(b.select($"vec_id".as("va"), $"v".as("av"), $"nrm".as("an")), Seq("va"))
+        .join(b.select($"vec_id".as("vb"), $"v".as("bv"), $"nrm".as("bn")), Seq("vb"))
+        .withColumn("sim", round(dot($"av", $"bv") / ($"an" * $"bn"), 6))
+        .select($"va", $"vb", $"sim")
+      val dirBB = scoredBB.select($"va".as("src"), $"vb".as("dst"), $"sim")
+        .unionByName(scoredBB.select($"vb".as("src"), $"va".as("dst"), $"sim"))
+      val wDeg = Window.partitionBy($"src").orderBy($"sim".desc, $"dst".asc)
+      val bbEdges = dirBB.withColumn("rk", row_number().over(wDeg))
+        .filter($"rk" <= 5).select($"src", $"dst")
+      val delta = found
+        .unionByName(found.select($"dst".as("src"), $"src".as("dst")))
+        .unionByName(bbEdges)
+        .distinct()
+      S.publishSnapshotDelta(spark, root) { p =>
+        delta.repartition(4, $"src").sortWithinPartitions($"src", $"dst")
+          .write.mode("overwrite").parquet(s"$p/adj")
+        b.repartition(4, $"vec_id").sortWithinPartitions($"vec_id")
+          .write.mode("overwrite").parquet(s"$p/vecs")
+      }
+      graft.ops.Ckpt.free(b, eCk, adj, found)
+    }
+  }
+
+  /** E23 registered form — the emb_ivf_append convention applied to the
+    * graph index: the resident index is built on 90% of the corpus
+    * (vec_id % 10 <> 7), the held-out 10% arrives as a batch routed in by
+    * [[appendNswIndex]], and the standard query batch runs over the
+    * UNION index (union corpus, union adjacency — including the batch's
+    * back-edges, so inserted vectors are reachable). `is_new` marks hits
+    * that exist only because of the insert. The oracle replays the whole
+    * pipeline — resident NN-descent adjacency, batch insert beam, edge
+    * union, final query beam — so incremental ingest is certified
+    * end-to-end, not just protocol-tested.
+    */
+  def nswAppendTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.ensure(spark)
+    import spark.implicits._
+    val pred: DataFrame => DataFrame = _.filter($"vec_id" % 10 =!= 7)
+    val root = buildNswIndex(spark, dir, "incr", pred)
+    val batch = Tables.embeddings(spark, dir)
+      .filter($"vec_id" >= 5 && $"vec_id" % 10 === 7)
+      .select($"vec_id", $"embedding".as("v"))
+      .withColumn("nrm", norm($"v"))
+    appendNswIndex(spark, dir, batch, "incr", pred)
+    nswQueryFromIndex(spark, dir, root, pred)
+      .withColumn("is_new", ($"cid" % 10 === 7).cast("int"))
+  }
+
+  /** Compact the NSW chain (full build + N insert deltas) into ONE new
+    * full version: adj = the chain union rewritten src-clustered, vecs =
+    * the appended-vector archive unioned (it must survive — searches and
+    * later appends score against corpus ∪ vecs). A pure artifact
+    * rewrite, no NN-descent; the [[compactIvfIndex]] contract applied to
+    * the graph index. Delta-less chain = no-op.
+    */
+  private[graft] def compactNswIndex(spark: SparkSession, root: String): Unit =
+    nswBuilt.synchronized {
+      import spark.implicits._
+      val S = graft.weather.Staging
+      if (S.chainVersions(spark, root).size > 1) {
+        val adj = S.readChain(spark, root, "adj")
+        val vecs =
+          if (S.chainHasLayer(spark, root, "vecs")) Some(S.readChain(spark, root, "vecs"))
+          else None
+        S.publishSnapshot(spark, root) { p =>
+          adj.repartition(4, $"src").sortWithinPartitions($"src", $"dst")
+            .write.mode("overwrite").parquet(s"$p/adj")
+          vecs.foreach(_.repartition(4, $"vec_id").sortWithinPartitions($"vec_id")
+            .write.mode("overwrite").parquet(s"$p/vecs"))
+        }
+        S.gcChains(spark, root, keepChains = 2)
+        ()
+      }
+    }
+
+  /** One beam-search round's CTEs, parameterized by adjacency / corpus /
+    * query table names and a CTE-name prefix — E23's oracle runs TWO
+    * beam searches in one query (the batch's insert search over the
+    * resident graph, then the standard query batch over the union).
+    */
+  private def nswRoundSqlOn(r: Int, pfx: String, adjT: String, evT: String, qT: String): String = {
+    val prev = if (r == 1) s"${pfx}beam0" else s"${pfx}beam${r - 1}"
+    s"""${pfx}cand$r AS (
+       |  SELECT DISTINCT b.qid, a.dst AS cid FROM $prev b JOIN $adjT a ON a.src = b.cid),
+       |${pfx}s$r AS (
        |  SELECT c.qid, c.cid,
        |    round(list_sum(list_transform(list_zip(q.qv, x.v), t -> t[1] * t[2])) / (q.qn * x.nrm), 6) AS sim
-       |  FROM cand$r c JOIN ev x ON x.vec_id = c.cid JOIN q ON q.qid = c.qid),
-       |beam$r AS (
+       |  FROM ${pfx}cand$r c JOIN $evT x ON x.vec_id = c.cid JOIN $qT q ON q.qid = c.qid),
+       |${pfx}beam$r AS MATERIALIZED (
        |  SELECT qid, cid, sim FROM (
        |    SELECT qid, cid, sim,
        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rk
-       |    FROM (SELECT * FROM $prev UNION SELECT * FROM s$r))
+       |    FROM (SELECT * FROM $prev UNION SELECT * FROM ${pfx}s$r))
        |  WHERE rk <= 8)""".stripMargin
   }
+
+  private def nswRoundSql(r: Int): String = nswRoundSqlOn(r, "", "adj", "ev", "q")
+
+  /** The NN-descent-densified adjacency CTE block over source table
+    * `src` (the nswTopKSql index block, names prefixed) — emits
+    * `${pfx}adj` = directed edge list.
+    */
+  private def nswAdjCtesOn(src: String, pfx: String): String =
+    srpCandCtesOn(src, pfx) + s""",
+       |${pfx}spairs0 AS (
+       |  SELECT va, vb,
+       |    round(list_sum(list_transform(list_zip(x.v, y.v), t -> t[1] * t[2])) / (x.nrm * y.nrm), 6) AS sim
+       |  FROM ${pfx}cand JOIN $src x ON x.vec_id = va JOIN $src y ON y.vec_id = vb),
+       |${pfx}directed0 AS (
+       |  SELECT va AS src, vb AS dst, sim FROM ${pfx}spairs0
+       |  UNION ALL
+       |  SELECT vb AS src, va AS dst, sim FROM ${pfx}spairs0),
+       |${pfx}adj0 AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rk
+       |    FROM ${pfx}directed0) WHERE rk <= 5),
+       |${pfx}nondesc AS (
+       |  SELECT DISTINCT least(a.src, b.dst) AS va, greatest(a.src, b.dst) AS vb
+       |  FROM ${pfx}adj0 a JOIN ${pfx}adj0 b ON a.dst = b.src AND a.src <> b.dst),
+       |${pfx}candall AS (SELECT va, vb FROM ${pfx}cand UNION SELECT va, vb FROM ${pfx}nondesc),
+       |${pfx}spairs AS (
+       |  SELECT va, vb,
+       |    round(list_sum(list_transform(list_zip(x.v, y.v), t -> t[1] * t[2])) / (x.nrm * y.nrm), 6) AS sim
+       |  FROM ${pfx}candall JOIN $src x ON x.vec_id = va JOIN $src y ON y.vec_id = vb),
+       |${pfx}directed AS (
+       |  SELECT va AS src, vb AS dst, sim FROM ${pfx}spairs
+       |  UNION ALL
+       |  SELECT vb AS src, va AS dst, sim FROM ${pfx}spairs),
+       |${pfx}adjref AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rk
+       |    FROM ${pfx}directed) WHERE rk <= 5),
+       |${pfx}adj AS MATERIALIZED (SELECT src, dst FROM ${pfx}adjref UNION SELECT src, dst FROM ${pfx}adj0)""".stripMargin
+
+  /** E23 oracle: replay the full incremental-insert pipeline — resident
+    * adjacency over the 90% corpus, the batch's insert beam search over
+    * it, new edges (found ∪ back-edges ∪ batch-internal SRP 5-NN), then
+    * the standard query beam over the union corpus and union adjacency.
+    */
+  val nswAppendTopKSql: String =
+    // the base CTEs are MATERIALIZED: this oracle references the corpus
+    // ~20× (two beam searches + two SRP bandings + an NN-descent block),
+    // and DuckDB's default CTE inlining re-opens the parquet per
+    // reference — past the process fd limit on the driver box
+    """WITH evall AS MATERIALIZED (
+      |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v,
+      |         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x))) AS nrm
+      |  FROM embeddings),
+      |ev AS MATERIALIZED (SELECT * FROM evall WHERE vec_id >= 5),
+      |res AS MATERIALIZED (SELECT * FROM ev WHERE vec_id % 10 <> 7),
+      |bat AS MATERIALIZED (SELECT * FROM ev WHERE vec_id % 10 = 7),
+      |""".stripMargin + srpPlanesSql + ",\n" +
+      nswAdjCtesOn("res", "r") + """,
+      |qb AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM bat),
+      |bseeds AS (SELECT vec_id, v, nrm FROM res ORDER BY vec_id ASC LIMIT 4),
+      |bbeam0 AS MATERIALIZED (
+      |  SELECT q.qid, s.vec_id AS cid,
+      |    round(list_sum(list_transform(list_zip(q.qv, s.v), t -> t[1] * t[2])) / (q.qn * s.nrm), 6) AS sim
+      |  FROM bseeds s CROSS JOIN qb q),
+      |""".stripMargin +
+      (1 to 4).map(nswRoundSqlOn(_, "b", "radj", "res", "qb")).mkString(",\n") + """,
+      |found AS MATERIALIZED (
+      |  SELECT qid, cid FROM (
+      |    SELECT qid, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rk
+      |    FROM bbeam4) WHERE rk <= 5),
+      |""".stripMargin + srpCandCtesOn("bat", "i") + """,
+      |ispairs AS (
+      |  SELECT va, vb,
+      |    round(list_sum(list_transform(list_zip(x.v, y.v), t -> t[1] * t[2])) / (x.nrm * y.nrm), 6) AS sim
+      |  FROM icand JOIN bat x ON x.vec_id = va JOIN bat y ON y.vec_id = vb),
+      |idirected AS (
+      |  SELECT va AS src, vb AS dst, sim FROM ispairs
+      |  UNION ALL
+      |  SELECT vb AS src, va AS dst, sim FROM ispairs),
+      |iedges AS (
+      |  SELECT src, dst FROM (
+      |    SELECT src, dst,
+      |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rk
+      |    FROM idirected) WHERE rk <= 5),
+      |adj AS MATERIALIZED (
+      |  SELECT src, dst FROM radj
+      |  UNION SELECT qid AS src, cid AS dst FROM found
+      |  UNION SELECT cid AS src, qid AS dst FROM found
+      |  UNION SELECT src, dst FROM iedges),
+      |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM evall WHERE vec_id < 5),
+      |seeds AS (SELECT vec_id, v, nrm FROM ev ORDER BY vec_id ASC LIMIT 4),
+      |beam0 AS MATERIALIZED (
+      |  SELECT q.qid, s.vec_id AS cid,
+      |    round(list_sum(list_transform(list_zip(q.qv, s.v), t -> t[1] * t[2])) / (q.qn * s.nrm), 6) AS sim
+      |  FROM seeds s CROSS JOIN q),
+      |""".stripMargin +
+      (1 to 4).map(nswRoundSql).mkString(",\n") + """
+      |SELECT qid, rnk, cid, sim, CAST(cid % 10 = 7 AS INT) AS is_new FROM (
+      |  SELECT qid, cid, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+      |  FROM beam4) WHERE rnk <= 3
+      |ORDER BY qid, rnk""".stripMargin
 
   val nswTopKSql: String =
     """WITH evall AS (
@@ -1397,10 +1686,10 @@ object Embeddings {
       |    SELECT src, dst,
       |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rk
       |    FROM directed) WHERE rk <= 5),
-      |adj AS (SELECT src, dst FROM adjref UNION SELECT src, dst FROM adj0),
+      |adj AS MATERIALIZED (SELECT src, dst FROM adjref UNION SELECT src, dst FROM adj0),
       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM evall WHERE vec_id < 5),
       |seeds AS (SELECT vec_id, v, nrm FROM ev ORDER BY vec_id ASC LIMIT 4),
-      |beam0 AS (
+      |beam0 AS MATERIALIZED (
       |  SELECT q.qid, s.vec_id AS cid,
       |    round(list_sum(list_transform(list_zip(q.qv, s.v), t -> t[1] * t[2])) / (q.qn * s.nrm), 6) AS sim
       |  FROM seeds s CROSS JOIN q),
@@ -2254,6 +2543,7 @@ object Embeddings {
     "emb_nsw_topk"    -> (nswTopK _),
     "emb_nsw_mv"      -> (nswMvTopK _),
     "emb_nsw_read"    -> (nswReadTopK _),
+    "emb_nsw_append"  -> (nswAppendTopK _),
     "emb_semdedup"    -> (semDedup _),
     "emb_quantize"    -> (quantize _),
     "emb_recall_eval" -> (recallEval _),
@@ -2278,6 +2568,7 @@ object Embeddings {
     "emb_nsw_topk"    -> nswTopKSql,
     "emb_nsw_mv"      -> nswTopKSql,
     "emb_nsw_read"    -> nswTopKSql,
+    "emb_nsw_append"  -> nswAppendTopKSql,
     "emb_semdedup"    -> semDedupSql,
     "emb_quantize"    -> quantizeSql,
     "emb_recall_eval" -> recallEvalSql,

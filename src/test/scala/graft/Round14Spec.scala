@@ -238,6 +238,69 @@ class Round14Spec extends SparkSpec {
     assert((finalSet -- setBefore) === expected)
   }
 
+  test("NSW append: inserted vectors become beam-reachable at rank 1; compaction and refresh honor the contract") {
+    import spark.implicits._
+    graft.GraftExtensions.ensure(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_nsw_app").toString
+    try {
+      emb.write.mode("overwrite").parquet(s"$scratch/embeddings.parquet")
+      // batch = CLONES of the 5 query vectors under fresh ids: after the
+      // insert each query's true nearest neighbor is its clone (sim 1.0),
+      // so "the beam search returns it at rank 1" is a binding, exact
+      // reachability pin — it fails unless the insert wired back-edges
+      // (resident → clone) the search can traverse
+      def clones(off: Long) = emb.filter($"vec_id" < 5)
+        .select(($"vec_id" + off).as("vec_id"), $"embedding".as("v"))
+        .withColumn("nrm", sqrt(call_function("graft_dot", $"v", $"v")))
+      val root = llm.Embeddings.buildNswIndex(spark, scratch)
+      val before = llm.Embeddings.nswReadTopK(spark, scratch).collect().map(_.toSeq)
+      val baseSnap = Staging.currentSnapshotDir(spark, root)
+      val baseBytes = spark.read.parquet(s"$baseSnap/adj").count()
+      llm.Embeddings.appendNswIndex(spark, scratch, clones(1000000L))
+      assert(Staging.chainVersions(spark, root).size === 2)
+      // committed base version untouched (immutability)
+      assert(spark.read.parquet(s"$baseSnap/adj").count() === baseBytes)
+      // every query now finds its clone at rank 1 with sim 1.0
+      val after = llm.Embeddings.nswReadTopK(spark, scratch).collect()
+      for (qid <- 0L to 4L) {
+        val r1 = after.find(r => r.getLong(0) == qid && r.getInt(1) == 1).get
+        assert(r1.getLong(2) === qid + 1000000L,
+          s"query $qid rank-1 is ${r1.getLong(2)}, not its inserted clone")
+        assert(r1.getDouble(3) === 1.0)
+      }
+      // re-ingesting a resident id violates the CDC contract
+      intercept[IllegalArgumentException] {
+        llm.Embeddings.appendNswIndex(spark, scratch, clones(1000000L))
+      }
+      // empty batch publishes nothing
+      val vBefore = Staging.currentSnapshotVersion(spark, root)
+      llm.Embeddings.appendNswIndex(spark, scratch, clones(3000000L).limit(0))
+      assert(Staging.currentSnapshotVersion(spark, root) === vBefore)
+      // compaction: one full version, identical results, appends continue
+      llm.Embeddings.compactNswIndex(spark, root)
+      assert(Staging.chainVersions(spark, root).size === 1)
+      val compacted = llm.Embeddings.nswReadTopK(spark, scratch).collect().map(_.toSeq)
+      assert(compacted.toSeq === after.map(_.toSeq).toSeq)
+      llm.Embeddings.appendNswIndex(spark, scratch, clones(2000000L))
+      val second = llm.Embeddings.nswReadTopK(spark, scratch).collect()
+      for (qid <- 0L to 4L) {
+        val r1 = second.find(r => r.getLong(0) == qid && r.getInt(1) == 1).get
+        // two sim-1.0 clones now; ties break by cid asc
+        assert(r1.getLong(2) === qid + 1000000L && r1.getDouble(3) === 1.0)
+        val r2 = second.find(r => r.getLong(0) == qid && r.getInt(1) == 2).get
+        assert(r2.getLong(2) === qid + 2000000L && r2.getDouble(3) === 1.0)
+      }
+      // a refresh derives from the BASE corpus only: appended vectors are
+      // superseded (the refresh-owns-the-corpus contract) and results
+      // return to the pre-append answer on a fresh single-version chain
+      llm.Embeddings.buildNswIndex(spark, scratch)
+      assert(Staging.chainVersions(spark, root).size === 1)
+      val refreshed = llm.Embeddings.nswReadTopK(spark, scratch).collect().map(_.toSeq)
+      assert(refreshed.toSeq === before.toSeq)
+    } finally graft.ops.ArtifactRoots.delete(scratch)
+  }
+
   test("long-session flatness: 5 passes of checkpoint-heavy queries stay flat, zero leaked blocks") {
     // the ProbeFlat measurement as a suite pin (round-13 verdict item):
     // the r12 leak made consecutive passes of the SAME query slow
