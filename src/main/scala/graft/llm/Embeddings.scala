@@ -465,7 +465,15 @@ object Embeddings {
     * bit-exactly, so frozen-centroid assignment matches what training-
     * time assignment of the same rows would produce (IvfMvSpec pins it).
     */
-  private[graft] def appendIvfIndex(spark: SparkSession, root: String, batch: DataFrame): Unit =
+  /** `compactAfterDeltas` > 0 opts into auto-compaction: after the
+    * append commits, if the chain holds MORE than that many delta
+    * versions, [[compactIvfIndex]] collapses it (the measured trigger —
+    * compact when Σ per-read delta overhead approaches the compaction
+    * bill; both writers hold the same monitor, so the pair is atomic
+    * w.r.t. other writers and readers keep the previous chain).
+    */
+  private[graft] def appendIvfIndex(spark: SparkSession, root: String, batch: DataFrame,
+                                    compactAfterDeltas: Int = 0): Unit =
     // serialized with rebuilds on the writers' monitor: an append racing
     // a concurrent rebuild could otherwise assign against a quantizer
     // the rebuild is about to retire (and land its delta on the new
@@ -489,7 +497,9 @@ object Embeddings {
             .repartition($"cell")
             .write.mode("overwrite").partitionBy("cell").parquet(s"$p/cells")
         }
-        ()
+        if (compactAfterDeltas > 0 &&
+            graft.weather.Staging.chainVersions(spark, root).size - 1 > compactAfterDeltas)
+          compactIvfIndex(spark, root)
       }
     }
 
@@ -1413,7 +1423,8 @@ object Embeddings {
     */
   private[graft] def appendNswIndex(spark: SparkSession, dir: String,
                                     batch: DataFrame, tag: String = "",
-                                    pred: DataFrame => DataFrame = identity): Unit =
+                                    pred: DataFrame => DataFrame = identity,
+                                    compactAfterDeltas: Int = 0): Unit =
       nswBuilt.synchronized {
     graft.GraftExtensions.ensure(spark)
     import spark.implicits._
@@ -1468,6 +1479,9 @@ object Embeddings {
           .write.mode("overwrite").parquet(s"$p/vecs")
       }
       graft.ops.Ckpt.free(b, eCk, adj, found)
+      if (compactAfterDeltas > 0 &&
+          S.chainVersions(spark, root).size - 1 > compactAfterDeltas)
+        compactNswIndex(spark, root)
     }
   }
 

@@ -526,8 +526,14 @@ object TextDedup {
     * The batch frame must carry (doc_id, text) with doc_ids disjoint from
     * the resident corpus (CDC-style ingest contract).
     */
+  /** `compactAfterDeltas` > 0 opts into auto-compaction: when the chain
+    * holds more than that many delta versions after this append,
+    * [[compactPairGraphMv]] collapses it under the same writer monitor —
+    * the operational form of ProbeAppend's measured trigger.
+    */
   private[graft] def appendPairGraphMv(spark: SparkSession, dir: String,
-                                       batch: DataFrame): String = pgBuilt.synchronized {
+                                       batch: DataFrame,
+                                       compactAfterDeltas: Int = 0): String = pgBuilt.synchronized {
     import spark.implicits._
     val root = pairGraphRoot(dir)
     require(pgBuilt.containsKey(root),
@@ -545,7 +551,12 @@ object TextDedup {
         "doc_ids must be disjoint (CDC ingest contract)")
     // an EMPTY batch publishes nothing (the streaming-sink contract):
     // no no-op delta versions accumulating on the chain
-    if (!batch.isEmpty) appendNonEmpty(spark, root, dir, batch)
+    if (!batch.isEmpty) {
+      appendNonEmpty(spark, root, dir, batch)
+      if (compactAfterDeltas > 0 &&
+          graft.weather.Staging.chainVersions(spark, root).size - 1 > compactAfterDeltas)
+        compactPairGraphMv(spark, dir): Unit
+    }
     root
   }
 

@@ -238,6 +238,25 @@ class Round14Spec extends SparkSpec {
     assert((finalSet -- setBefore) === expected)
   }
 
+  test("auto-compaction: an append past the delta threshold collapses the chain, losing nothing") {
+    import spark.implicits._
+    val S = Staging
+    val root = llm.Embeddings.buildIvfIndex(spark, sfDir, "spec_autocmp",
+      _.filter($"vec_id" % 10 =!= 6 && $"vec_id" % 10 =!= 7))
+    def batch(m: Int) = Tables.embeddings(spark, sfDir).filter($"vec_id" % 10 === m)
+      .select($"vec_id", $"embedding".as("v"))
+      .withColumn("nrm", sqrt(call_function("graft_dot", $"v", $"v")))
+    // first append: 1 delta, not past the threshold — no compaction
+    llm.Embeddings.appendIvfIndex(spark, root, batch(6), compactAfterDeltas = 1)
+    assert(S.chainVersions(spark, root).size === 2)
+    val mid = S.readChain(spark, root, "cells").select($"vec_id", $"cell").collect().toSet
+    // second append: 2 deltas > 1 — auto-compacts to one full version
+    llm.Embeddings.appendIvfIndex(spark, root, batch(7), compactAfterDeltas = 1)
+    assert(S.chainVersions(spark, root).size === 1)
+    val fin = S.readChain(spark, root, "cells").select($"vec_id", $"cell").collect().toSet
+    assert(mid.subsetOf(fin) && fin.size > mid.size, "auto-compaction lost or froze rows")
+  }
+
   test("NSW append: inserted vectors become beam-reachable at rank 1; compaction and refresh honor the contract") {
     import spark.implicits._
     graft.GraftExtensions.ensure(spark)
