@@ -486,12 +486,24 @@ object Embeddings {
       // the cells dir, which would poison every later chain read with
       // an unreadable layer
       if (!batch.isEmpty) {
+        val dirs = graft.weather.Staging.chainDirs(spark, root)
+        // ingest-contract guard (parity with the NSW and pair-graph
+        // appends): a re-ingested vec_id — e.g. a batch retried after a
+        // failure PAST the commit marker — would land duplicate cells
+        // rows and rank the same cid into two top-k slots, silently
+        val dup = batch.select($"vec_id")
+          .join(graft.weather.Staging.readChainIn(spark, dirs, "cells").select($"vec_id"),
+            Seq("vec_id"), "left_semi")
+          .limit(1).count()
+        require(dup == 0,
+          s"appendIvfIndex: batch re-ingests vec_ids already resident in $root — " +
+            "vec_ids must be disjoint (CDC ingest contract)")
         // frozen quantizer = the chain's committed centroids; the batch
         // publishes as a DELTA version carrying only its own cell rows —
         // committed versions stay immutable, a crash before the marker
         // leaves the index at its previous version, and readers union
         // cells across the chain
-        val cents = graft.weather.Staging.readChainLatest(spark, root, "centroids")
+        val cents = graft.weather.Staging.readChainLatestIn(spark, dirs, "centroids")
         graft.weather.Staging.publishSnapshotDelta(spark, root) { p =>
           assignCells(batch, cents).select($"vec_id", $"v", $"nrm", $"cell")
             .repartition($"cell")
@@ -553,18 +565,21 @@ object Embeddings {
     val q = Tables.embeddings(spark, dir).filter($"vec_id" < 5)
       .select($"vec_id", $"embedding".as("v"))
       .withColumn("nrm", norm($"v"))
-    // pin the CHAIN once: centroids come from the chain's full version,
-    // cells are the union of the full base + every committed append
-    // delta — all resolved against the same committed marker set, so a
-    // concurrent rebuild (which starts a new chain) can never pair a
-    // new quantizer with old cell assignments
-    val cents = graft.weather.Staging.readChainLatest(spark, root, "centroids")
+    // pin the CHAIN once (Staging.chainDirs — ONE marker-set listing),
+    // then derive BOTH layers from the pinned dirs: centroids from the
+    // chain's newest carrier, cells as the union of the full base +
+    // every committed append delta. Two independent readChain calls
+    // could straddle a concurrent rebuild's publish and pair the new
+    // quantizer with the old chain's assignments (wrong cells probed,
+    // no error) — the pin makes that impossible by construction.
+    val dirs = graft.weather.Staging.chainDirs(spark, root)
+    val cents = graft.weather.Staging.readChainLatestIn(spark, dirs, "centroids")
     val probes = probeCells(q, cents, nprobe = 3)
       .as[(Long, Seq[Float], Double, Int)].collect().toSeq.sortBy(r => (r._1, r._4))
     val probedCells = probes.map(_._4).distinct.sorted
     val probesDf = broadcast(
       spark.createDataset(probes).toDF("qid", "qv", "qn", "cell"))
-    val cells = graft.weather.Staging.readChain(spark, root, "cells")
+    val cells = graft.weather.Staging.readChainIn(spark, dirs, "cells")
       .filter($"cell".isin(probedCells: _*))
     val wTop = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id".asc)
     probesDf.join(cells.filter($"vec_id" >= 5), Seq("cell"))
@@ -1187,22 +1202,42 @@ object Embeddings {
     * scores feeds the final top-out over the IDENTICAL scored set
     * (cand0 ∪ non = cand0 ∪ (non \ cand0), both sides distinct).
     */
-  private[graft] def nswAdjacency(e: DataFrame): DataFrame = {
+  /** Exact-cosine scoring of candidate pairs against corpus `e` — the
+    * oracle-certified expression (round to 6dp), shared by the build's
+    * seed/NN-descent scoring and E23's batch-internal edges.
+    */
+  private def nswScorePairs(e: DataFrame, cand: DataFrame): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    val topk = udaf(new graft.functions.TopKAggregator(5),
-      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
-    def scorePairs(cand: DataFrame): DataFrame = cand
+    cand
       .join(e.select($"vec_id".as("va"), $"v".as("av"), $"nrm".as("an")), Seq("va"))
       .join(e.select($"vec_id".as("vb"), $"v".as("bv"), $"nrm".as("bn")), Seq("vb"))
       .withColumn("sim", round(dot($"av", $"bv") / ($"an" * $"bn"), 6))
       .select($"va", $"vb", $"sim")
-    def topOut(scored: DataFrame): DataFrame = scored
+  }
+
+  /** Directed 5-NN out-edges from scored pairs: symmetrize, keep each
+    * src's top-5 by (sim desc, dst asc) — the oracle-certified tie
+    * order, via the bounded TopKAggregator (never a full sort).
+    */
+  private def nswTopOut(scored: DataFrame): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val topk = udaf(new graft.functions.TopKAggregator(5),
+      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+    scored
       .select($"va".as("src"), $"vb".as("dst"), $"sim")
       .unionByName(scored.select($"vb".as("src"), $"va".as("dst"), $"sim"))
       .groupBy($"src").agg(topk($"dst", $"sim").as("top"))
       .select($"src", explode($"top").as("s"))
       .select($"src", $"s.cid".as("dst"))
+  }
+
+  private[graft] def nswAdjacency(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    def scorePairs(cand: DataFrame): DataFrame = nswScorePairs(e, cand)
+    def topOut(scored: DataFrame): DataFrame = nswTopOut(scored)
     // cand0 feeds the seed scoring + the anti-join, scored0 feeds adj0's
     // top-out + the final top-out (the memoized seed scores), adj0 feeds
     // three consumers (both sides of the NN-descent self-join + the
@@ -1343,23 +1378,33 @@ object Embeddings {
     * beam-search equi-joins against the artifact, nothing corpus-sized
     * rebuilt. Shared by E20 (refresh + read) and E22 (read-only).
     */
+  /** Pinned-chain corpus: (checkpoint-to-free, corpus view) = the
+    * (pred-filtered) base table unioned with the chain's appended-vector
+    * archive when the pinned dirs carry one. The pin (`dirs`) comes from
+    * ONE Staging.chainDirs resolution shared with the adjacency read, so
+    * vecs and adj can never come from different chains. The pair
+    * distinguishes the checkpoint to FREE from the view over it (a pred
+    * filter is a view on e0's checkpoint, not its own storage).
+    */
+  private def corpusWithVecs(spark: SparkSession, dirs: Seq[String], e0: DataFrame,
+                             pred: DataFrame => DataFrame): (DataFrame, DataFrame) = {
+    val S = graft.weather.Staging
+    if (S.chainHasLayerIn(spark, dirs, "vecs")) {
+      val u = pred(e0).unionByName(S.readChainIn(spark, dirs, "vecs")).localCheckpoint()
+      graft.ops.Ckpt.free(e0)
+      (u, u)
+    } else (e0, pred(e0))
+  }
+
   private[graft] def nswQueryFromIndex(spark: SparkSession, dir: String, root: String,
                                        pred: DataFrame => DataFrame = identity): DataFrame = {
     graft.GraftExtensions.ensure(spark)
     val S = graft.weather.Staging
     val (e0, q) = nswFrames(spark, dir)
-    // corpus = (pred-filtered) base table ∪ vectors appended since the
-    // last refresh (archived per-batch in the chain's `vecs` layer —
-    // absent on a fresh chain, so the common path pays no union)
-    // (eCk, e): the checkpoint to free vs the corpus view over it — a
-    // pred filter is a view on e0's checkpoint, not its own storage
-    val (eCk, e) =
-      if (S.chainHasLayer(spark, root, "vecs")) {
-        val u = pred(e0).unionByName(S.readChain(spark, root, "vecs")).localCheckpoint()
-        graft.ops.Ckpt.free(e0)
-        (u, u)
-      } else (e0, pred(e0))
-    val adj = S.readChain(spark, root, "adj").localCheckpoint()
+    // ONE chain pin for both layers (the ivfQueryFromIndex discipline)
+    val dirs = S.chainDirs(spark, root)
+    val (eCk, e) = corpusWithVecs(spark, dirs, e0, pred)
+    val adj = S.readChainIn(spark, dirs, "adj").localCheckpoint()
     val res = nswBeamSearch(e, q, adj)
     graft.ops.Ckpt.free(eCk, adj)
     res
@@ -1435,12 +1480,9 @@ object Embeddings {
     if (!batch.isEmpty) {
       val b = batch.select($"vec_id", $"v", $"nrm").localCheckpoint()
       val (e0, _) = nswFrames(spark, dir)
-      val (eCk, e) =
-        if (S.chainHasLayer(spark, root, "vecs")) {
-          val u = pred(e0).unionByName(S.readChain(spark, root, "vecs")).localCheckpoint()
-          graft.ops.Ckpt.free(e0)
-          (u, u)
-        } else (e0, pred(e0))
+      // ONE chain pin shared by the vecs union and the adjacency read
+      val dirs = S.chainDirs(spark, root)
+      val (eCk, e) = corpusWithVecs(spark, dirs, e0, pred)
       // ingest-contract guard: a resident vec_id re-ingested would land
       // duplicate vecs rows and double-score every beam candidate
       val dup = b.select($"vec_id")
@@ -1449,25 +1491,17 @@ object Embeddings {
       require(dup == 0,
         s"appendNswIndex: batch re-ingests vec_ids already resident in $root — " +
           "vec_ids must be disjoint (CDC ingest contract)")
-      val adj = S.readChain(spark, root, "adj").localCheckpoint()
+      val adj = S.readChainIn(spark, dirs, "adj").localCheckpoint()
       // neighbor search: batch vectors as the query set, final top-5 of
       // the width-8 beam (the insert's M, matching the build's degree)
       val qb = broadcast(b.select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn")))
       val found = nswBeamSearch(e, qb, adj, finalK = 5)
         .select($"qid".as("src"), $"cid".as("dst"))
         .localCheckpoint()
-      // batch-internal 5-NN edges from the SRP seed recipe (adj0's shape)
-      val candBB = srpCandidates(b)
-      val scoredBB = candBB
-        .join(b.select($"vec_id".as("va"), $"v".as("av"), $"nrm".as("an")), Seq("va"))
-        .join(b.select($"vec_id".as("vb"), $"v".as("bv"), $"nrm".as("bn")), Seq("vb"))
-        .withColumn("sim", round(dot($"av", $"bv") / ($"an" * $"bn"), 6))
-        .select($"va", $"vb", $"sim")
-      val dirBB = scoredBB.select($"va".as("src"), $"vb".as("dst"), $"sim")
-        .unionByName(scoredBB.select($"vb".as("src"), $"va".as("dst"), $"sim"))
-      val wDeg = Window.partitionBy($"src").orderBy($"sim".desc, $"dst".asc)
-      val bbEdges = dirBB.withColumn("rk", row_number().over(wDeg))
-        .filter($"rk" <= 5).select($"src", $"dst")
+      // batch-internal 5-NN edges: the build's exact seed-graph recipe
+      // (SRP candidates → certified scoring → bounded top-out) over the
+      // batch alone
+      val bbEdges = nswTopOut(nswScorePairs(b, srpCandidates(b)))
       val delta = found
         .unionByName(found.select($"dst".as("src"), $"src".as("dst")))
         .unionByName(bbEdges)

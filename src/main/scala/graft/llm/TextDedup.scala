@@ -538,20 +538,21 @@ object TextDedup {
     val root = pairGraphRoot(dir)
     require(pgBuilt.containsKey(root),
       s"appendPairGraphMv: no built pair-graph MV for $dir — refresh first")
-    // ingest-contract guard: a batch doc_id already resident would land
-    // duplicate sizes and sigs rows, multiplying rows through the
-    // verify size-join and silently corrupting pairs/labels. One
-    // batch-sized semi-join against the clustered sizes layer.
-    val dupIds = batch.select($"doc_id")
-      .join(graft.weather.Staging.readChain(spark, root, "sizes").select($"doc_id"),
-        Seq("doc_id"), "left_semi")
-      .limit(1).count()
-    require(dupIds == 0,
-      s"appendPairGraphMv: batch re-ingests doc_ids already resident in $root — " +
-        "doc_ids must be disjoint (CDC ingest contract)")
-    // an EMPTY batch publishes nothing (the streaming-sink contract):
-    // no no-op delta versions accumulating on the chain
+    // an EMPTY batch publishes nothing (the streaming-sink contract) and
+    // pays nothing: the short-circuit runs BEFORE the dup guard's chain
+    // scan, so routinely-empty micro-batches cost one isEmpty probe
     if (!batch.isEmpty) {
+      // ingest-contract guard: a batch doc_id already resident would land
+      // duplicate sizes and sigs rows, multiplying rows through the
+      // verify size-join and silently corrupting pairs/labels. One
+      // batch-sized semi-join against the clustered sizes layer.
+      val dupIds = batch.select($"doc_id")
+        .join(graft.weather.Staging.readChain(spark, root, "sizes").select($"doc_id"),
+          Seq("doc_id"), "left_semi")
+        .limit(1).count()
+      require(dupIds == 0,
+        s"appendPairGraphMv: batch re-ingests doc_ids already resident in $root — " +
+          "doc_ids must be disjoint (CDC ingest contract)")
       appendNonEmpty(spark, root, dir, batch)
       if (compactAfterDeltas > 0 &&
           graft.weather.Staging.chainVersions(spark, root).size - 1 > compactAfterDeltas)

@@ -445,6 +445,44 @@ object Staging {
       .exists(v => fs.exists(new org.apache.hadoop.fs.Path(s"${snapDir(root, v)}/$layer")))
   }
 
+  // Pinned chain resolution: a reader that needs MULTIPLE layers of the
+  // same chain (IVF centroids + cells, NSW adj + vecs) must resolve the
+  // committed marker set ONCE and derive every layer from it — two
+  // separate readChain calls can straddle a concurrent publish and pair
+  // one chain's quantizer with another chain's assignments (wrong data,
+  // no error). `chainDirs` is the pin; the *In readers consume it.
+
+  /** The current chain's data dirs, oldest first — ONE marker-set
+    * resolution to derive every layer read from.
+    */
+  def chainDirs(spark: SparkSession, root: String): Seq[String] =
+    chainVersions(spark, root).map(v => snapDir(root, v))
+
+  private def layerDirsIn(spark: SparkSession, dirs: Seq[String], layer: String): Seq[String] = {
+    require(dirs.nonEmpty, "empty pinned chain")
+    val fs = fsOf(spark, dirs.head)
+    val ds = dirs.map(d => s"$d/$layer")
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+    if (ds.isEmpty)
+      throw new java.io.IOException(s"no pinned chain dir carries layer $layer")
+    ds
+  }
+
+  /** [[chainHasLayer]] against a pinned dir list. */
+  def chainHasLayerIn(spark: SparkSession, dirs: Seq[String], layer: String): Boolean = {
+    require(dirs.nonEmpty, "empty pinned chain")
+    val fs = fsOf(spark, dirs.head)
+    dirs.exists(d => fs.exists(new org.apache.hadoop.fs.Path(s"$d/$layer")))
+  }
+
+  /** [[readChain]] against a pinned dir list. */
+  def readChainIn(spark: SparkSession, dirs: Seq[String], layer: String): DataFrame =
+    layerDirsIn(spark, dirs, layer).map(spark.read.parquet(_)).reduce(_ unionByName _)
+
+  /** [[readChainLatest]] against a pinned dir list. */
+  def readChainLatestIn(spark: SparkSession, dirs: Seq[String], layer: String): DataFrame =
+    spark.read.parquet(layerDirsIn(spark, dirs, layer).last)
+
   /** Append-shaped layer read: the union of `layer` across every chain
     * dir that carries it (the full base + each delta batch). Dirs are
     * read separately and unioned by name — hive-partitioned layers keep

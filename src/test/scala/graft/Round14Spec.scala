@@ -344,11 +344,16 @@ class Round14Spec extends SparkSpec {
       def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
       while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(100)
       assert(leaked.isEmpty, s"$q leaked storage across passes: $leaked")
-      // flatness: the last pass must not show the monotonic-growth shape.
+      // flatness: the tail must not show the monotonic-growth shape.
       // Bound = 2.5x the best pass with a 0.5 s absolute floor (sub-second
-      // queries at this SF jitter on GC; the leak signature was >5x)
+      // queries at this SF jitter on GC; the leak signature was >5x).
+      // Gate on the BETTER of the last two passes: a real leak grows
+      // monotonically so both are high, while a single transient
+      // contention spike (the round-robin-Bench rationale) landing on
+      // one final pass can't flake the suite
       val bound = math.max(2.5 * ts.min, ts.min + 0.5)
-      assert(ts.last <= bound,
+      val tail = math.min(ts(ts.length - 1), ts(ts.length - 2))
+      assert(tail <= bound,
         f"$q%s passes not flat: ${ts.map(t => f"$t%.2f").mkString(",")}%s (bound $bound%.2f)")
     }
   }
