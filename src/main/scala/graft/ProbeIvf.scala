@@ -37,8 +37,11 @@ object ProbeIvf {
     }
     // E16 amortization: the persisted index pays the build once; each
     // subsequent query batch is router-collect + pruned-cells scan only.
+    // Built WITHOUT the % 10 === 7 slice so the E17 step below appends a
+    // genuinely new batch — the ingest guard rejects resident vec_ids.
     val root = time("e16_build_index") {
-      Embeddings.buildIvfIndex(spark, sfDir, "probe", identity)
+      import spark.implicits._
+      Embeddings.buildIvfIndex(spark, sfDir, "probe", _.filter($"vec_id" % 10 =!= 7))
     }
     for (_ <- 1 to 3) {
       time("e16_query_from_index") {

@@ -486,12 +486,16 @@ object Embeddings {
       // the cells dir, which would poison every later chain read with
       // an unreadable layer
       if (!batch.isEmpty) {
+        // checkpoint the batch once (the appendNswIndex discipline): it
+        // feeds the dup-guard action AND the delta write — a lazy source
+        // would re-derive per consumer
+        val b = batch.select($"vec_id", $"v", $"nrm").localCheckpoint()
         val dirs = graft.weather.Staging.chainDirs(spark, root)
         // ingest-contract guard (parity with the NSW and pair-graph
         // appends): a re-ingested vec_id — e.g. a batch retried after a
         // failure PAST the commit marker — would land duplicate cells
         // rows and rank the same cid into two top-k slots, silently
-        val dup = batch.select($"vec_id")
+        val dup = b.select($"vec_id")
           .join(graft.weather.Staging.readChainIn(spark, dirs, "cells").select($"vec_id"),
             Seq("vec_id"), "left_semi")
           .limit(1).count()
@@ -505,10 +509,11 @@ object Embeddings {
         // cells across the chain
         val cents = graft.weather.Staging.readChainLatestIn(spark, dirs, "centroids")
         graft.weather.Staging.publishSnapshotDelta(spark, root) { p =>
-          assignCells(batch, cents).select($"vec_id", $"v", $"nrm", $"cell")
+          assignCells(b, cents).select($"vec_id", $"v", $"nrm", $"cell")
             .repartition($"cell")
             .write.mode("overwrite").partitionBy("cell").parquet(s"$p/cells")
         }
+        graft.ops.Ckpt.free(b)
         if (compactAfterDeltas > 0 &&
             graft.weather.Staging.chainVersions(spark, root).size - 1 > compactAfterDeltas)
           compactIvfIndex(spark, root)

@@ -426,24 +426,12 @@ object Staging {
     snapDir(root, v)
   }
 
-  private def chainDirsWith(spark: SparkSession, root: String, layer: String): Seq[String] = {
-    val fs = fsOf(spark, root)
-    val dirs = chainVersions(spark, root).map(v => s"${snapDir(root, v)}/$layer")
-      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
-    if (dirs.isEmpty)
-      throw new java.io.IOException(s"no committed version under $root carries layer $layer")
-    dirs
-  }
-
   /** True when at least one chain dir carries `layer` — for layers that
     * only appear once the first append lands (a fresh full refresh has
     * no batch archive yet).
     */
-  def chainHasLayer(spark: SparkSession, root: String, layer: String): Boolean = {
-    val fs = fsOf(spark, root)
-    chainVersions(spark, root)
-      .exists(v => fs.exists(new org.apache.hadoop.fs.Path(s"${snapDir(root, v)}/$layer")))
-  }
+  def chainHasLayer(spark: SparkSession, root: String, layer: String): Boolean =
+    chainHasLayerIn(spark, chainDirs(spark, root), layer)
 
   // Pinned chain resolution: a reader that needs MULTIPLE layers of the
   // same chain (IVF centroids + cells, NSW adj + vecs) must resolve the
@@ -458,13 +446,28 @@ object Staging {
   def chainDirs(spark: SparkSession, root: String): Seq[String] =
     chainVersions(spark, root).map(v => snapDir(root, v))
 
+  /** A pinned version dir that disappeared was GC'd AFTER the pin —
+    * silently skipping it would drop that version's rows from chain
+    * reads with no error (the one silent-loss mode pinning could
+    * introduce vs marker re-resolution). Fail loudly instead: this is a
+    * retention-contract violation (retention must exceed the longest
+    * reader), same as a GC yanking a live scan, but caught at resolution.
+    */
+  private def requirePinnedLive(fs: org.apache.hadoop.fs.FileSystem, dirs: Seq[String]): Unit =
+    dirs.foreach { d =>
+      if (!fs.exists(new org.apache.hadoop.fs.Path(d)))
+        throw new java.io.IOException(
+          s"pinned chain dir $d was GC'd after the pin — retention must exceed the longest reader")
+    }
+
   private def layerDirsIn(spark: SparkSession, dirs: Seq[String], layer: String): Seq[String] = {
     require(dirs.nonEmpty, "empty pinned chain")
     val fs = fsOf(spark, dirs.head)
+    requirePinnedLive(fs, dirs)
     val ds = dirs.map(d => s"$d/$layer")
       .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
     if (ds.isEmpty)
-      throw new java.io.IOException(s"no pinned chain dir carries layer $layer")
+      throw new java.io.IOException(s"no committed chain version carries layer $layer")
     ds
   }
 
@@ -472,6 +475,7 @@ object Staging {
   def chainHasLayerIn(spark: SparkSession, dirs: Seq[String], layer: String): Boolean = {
     require(dirs.nonEmpty, "empty pinned chain")
     val fs = fsOf(spark, dirs.head)
+    requirePinnedLive(fs, dirs)
     dirs.exists(d => fs.exists(new org.apache.hadoop.fs.Path(s"$d/$layer")))
   }
 
@@ -489,14 +493,14 @@ object Staging {
     * per-scan partition pruning, and no common basePath is required.
     */
   def readChain(spark: SparkSession, root: String, layer: String): DataFrame =
-    chainDirsWith(spark, root, layer).map(spark.read.parquet(_)).reduce(_ unionByName _)
+    readChainIn(spark, chainDirs(spark, root), layer)
 
   /** Rewrite-shaped layer read: `layer` from the NEWEST chain dir that
     * carries it (every mutation rewrites such layers in full — CC
     * labels, centroid tables).
     */
   def readChainLatest(spark: SparkSession, root: String, layer: String): DataFrame =
-    spark.read.parquet(chainDirsWith(spark, root, layer).last)
+    readChainLatestIn(spark, chainDirs(spark, root), layer)
 
   /** Chain-aware GC: retains the newest `keepChains` whole chains (a
     * full version plus its deltas) and deletes everything older —

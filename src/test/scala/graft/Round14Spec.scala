@@ -193,6 +193,17 @@ class Round14Spec extends SparkSpec {
         .filter($"doc_a" % 5 === 0 && $"doc_b" % 5 === 0
           && ($"doc_a" % 10 === 0) =!= ($"doc_b" % 10 === 0)).count() > 0,
         "no pair spans the compaction boundary at this SF — test is vacuous")
+      // auto-compaction branch: re-keyed clone docs as a disjoint third
+      // batch push the chain past the threshold (2 deltas > 1) — the
+      // append must collapse it and keep every label
+      val labelsBefore3 = llm.TextDedup.componentLabels(spark, baseDir).count()
+      llm.TextDedup.appendPairGraphMv(spark, baseDir,
+        docs.filter($"doc_id" % 10 === 3)
+          .select(($"doc_id" + 1000000L).as("doc_id"), $"text"),
+        compactAfterDeltas = 1)
+      assert(Staging.chainVersions(spark, root).size === 1,
+        "pair-graph auto-compaction did not fire past the delta threshold")
+      assert(llm.TextDedup.componentLabels(spark, baseDir).count() > labelsBefore3)
     } finally {
       graft.ops.ArtifactRoots.delete(baseDir)
       graft.ops.ArtifactRoots.delete(fullDir)
@@ -309,6 +320,19 @@ class Round14Spec extends SparkSpec {
         assert(r1.getLong(2) === qid + 1000000L && r1.getDouble(3) === 1.0)
         val r2 = second.find(r => r.getLong(0) == qid && r.getInt(1) == 2).get
         assert(r2.getLong(2) === qid + 2000000L && r2.getDouble(3) === 1.0)
+      }
+      // auto-compaction branch: a third append pushes the chain past the
+      // threshold (2 deltas > 1) and must collapse it WITHOUT losing any
+      // clone generation's reachability (the vecs archive rides through)
+      llm.Embeddings.appendNswIndex(spark, scratch, clones(3000000L),
+        compactAfterDeltas = 1)
+      assert(Staging.chainVersions(spark, root).size === 1,
+        "NSW auto-compaction did not fire past the delta threshold")
+      val third = llm.Embeddings.nswReadTopK(spark, scratch).collect()
+      for (qid <- 0L to 4L; (rnk, off) <- Seq((1, 1000000L), (2, 2000000L), (3, 3000000L))) {
+        val r = third.find(r => r.getLong(0) == qid && r.getInt(1) == rnk).get
+        assert(r.getLong(2) === qid + off && r.getDouble(3) === 1.0,
+          s"query $qid rank $rnk lost a clone generation through auto-compaction")
       }
       // a refresh derives from the BASE corpus only: appended vectors are
       // superseded (the refresh-owns-the-corpus contract) and results
