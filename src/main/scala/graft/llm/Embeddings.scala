@@ -50,7 +50,10 @@ object Embeddings {
     * cast-copy of the vector.
     */
   private def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
-  private def norm(c: Column): Column = sqrt(dot(c, c))
+  // private[graft]: the streaming ingest sinks (streaming/EventStreams)
+  // compute the stored norm with the exact same expression as every
+  // batch path, so streamed and batch-built index rows are bit-identical
+  private[graft] def norm(c: Column): Column = sqrt(dot(c, c))
 
   /** Shared oracle CTE: vectors with double view + norm. */
   private val embCte: String =
@@ -471,6 +474,17 @@ object Embeddings {
     * compact when Σ per-read delta overhead approaches the compaction
     * bill; both writers hold the same monitor, so the pair is atomic
     * w.r.t. other writers and readers keep the previous chain).
+    *
+    * Ingest-guard cost, honestly: the dup guard semi-joins the batch's
+    * ids against the chained cells layer, so each append pays one
+    * column-pruned scan of the index's `vec_id` column (narrow,
+    * clustered, short-circuited by the `.limit(1)`) — O(index ids), NOT
+    * O(batch), on top of the batch-sized delta work. That is the
+    * documented price of catching a replayed batch before it corrupts
+    * top-k results; if the id scan ever dominates at 100 TB, the upgrade
+    * is a dedicated clustered id layer per delta (the pair-graph `sizes`
+    * pattern) or a bloom filter over resident ids — both keep the guard
+    * while shrinking the probe to metadata size.
     */
   private[graft] def appendIvfIndex(spark: SparkSession, root: String, batch: DataFrame,
                                     compactAfterDeltas: Int = 0): Unit =
@@ -488,32 +502,36 @@ object Embeddings {
       if (!batch.isEmpty) {
         // checkpoint the batch once (the appendNswIndex discipline): it
         // feeds the dup-guard action AND the delta write — a lazy source
-        // would re-derive per consumer
+        // would re-derive per consumer. Freed in the finally: the guard's
+        // require and the publish are exactly the retry-after-failure
+        // paths, and a long-lived ingest driver retrying a poisoned batch
+        // must not leak a checkpoint per attempt.
         val b = batch.select($"vec_id", $"v", $"nrm").localCheckpoint()
-        val dirs = graft.weather.Staging.chainDirs(spark, root)
-        // ingest-contract guard (parity with the NSW and pair-graph
-        // appends): a re-ingested vec_id — e.g. a batch retried after a
-        // failure PAST the commit marker — would land duplicate cells
-        // rows and rank the same cid into two top-k slots, silently
-        val dup = b.select($"vec_id")
-          .join(graft.weather.Staging.readChainIn(spark, dirs, "cells").select($"vec_id"),
-            Seq("vec_id"), "left_semi")
-          .limit(1).count()
-        require(dup == 0,
-          s"appendIvfIndex: batch re-ingests vec_ids already resident in $root — " +
-            "vec_ids must be disjoint (CDC ingest contract)")
-        // frozen quantizer = the chain's committed centroids; the batch
-        // publishes as a DELTA version carrying only its own cell rows —
-        // committed versions stay immutable, a crash before the marker
-        // leaves the index at its previous version, and readers union
-        // cells across the chain
-        val cents = graft.weather.Staging.readChainLatestIn(spark, dirs, "centroids")
-        graft.weather.Staging.publishSnapshotDelta(spark, root) { p =>
-          assignCells(b, cents).select($"vec_id", $"v", $"nrm", $"cell")
-            .repartition($"cell")
-            .write.mode("overwrite").partitionBy("cell").parquet(s"$p/cells")
-        }
-        graft.ops.Ckpt.free(b)
+        try {
+          val dirs = graft.weather.Staging.chainDirs(spark, root)
+          // ingest-contract guard (parity with the NSW and pair-graph
+          // appends): a re-ingested vec_id — e.g. a batch retried after a
+          // failure PAST the commit marker — would land duplicate cells
+          // rows and rank the same cid into two top-k slots, silently
+          val dup = b.select($"vec_id")
+            .join(graft.weather.Staging.readChainIn(spark, dirs, "cells").select($"vec_id"),
+              Seq("vec_id"), "left_semi")
+            .limit(1).count()
+          require(dup == 0,
+            s"appendIvfIndex: batch re-ingests vec_ids already resident in $root — " +
+              "vec_ids must be disjoint (CDC ingest contract)")
+          // frozen quantizer = the chain's committed centroids; the batch
+          // publishes as a DELTA version carrying only its own cell rows —
+          // committed versions stay immutable, a crash before the marker
+          // leaves the index at its previous version, and readers union
+          // cells across the chain
+          val cents = graft.weather.Staging.readChainLatestIn(spark, dirs, "centroids")
+          graft.weather.Staging.publishSnapshotDelta(spark, root) { p =>
+            assignCells(b, cents).select($"vec_id", $"v", $"nrm", $"cell")
+              .repartition($"cell")
+              .write.mode("overwrite").partitionBy("cell").parquet(s"$p/cells")
+          }
+        } finally graft.ops.Ckpt.free(b)
         if (compactAfterDeltas > 0 &&
             graft.weather.Staging.chainVersions(spark, root).size - 1 > compactAfterDeltas)
           compactIvfIndex(spark, root)
@@ -539,9 +557,16 @@ object Embeddings {
     ivfBuilt.synchronized {
       import spark.implicits._
       val S = graft.weather.Staging
-      if (S.chainVersions(spark, root).size > 1) {
-        val cells = S.readChain(spark, root, "cells")
-        val cents = S.readChainLatest(spark, root, "centroids")
+      // ONE pinned chain resolution for both layers (the readers'
+      // chainDirs discipline): in-process writers share this monitor, but
+      // a writer or gcChains in ANOTHER process between two independent
+      // readChain calls could pair centroids and cells from different
+      // chains — the pin makes the compacted version self-consistent by
+      // construction
+      val dirs = S.chainDirs(spark, root)
+      if (dirs.size > 1) {
+        val cells = S.readChainIn(spark, dirs, "cells")
+        val cents = S.readChainLatestIn(spark, dirs, "centroids")
         S.publishSnapshot(spark, root) { p =>
           cells.select($"vec_id", $"v", $"nrm", $"cell")
             .repartition($"cell")
@@ -664,6 +689,40 @@ object Embeddings {
       |SELECT qid, rnk, cid, cell, sim, CAST(cid % 10 = 7 AS INT) AS is_new
       |FROM ranked WHERE rnk <= 3
       |ORDER BY qid, rnk""".stripMargin
+
+  /** E24 compaction as a REGISTERED, oracle-checked query — the
+    * maintenance op itself carries an end-to-end correctness gate, not
+    * just protocol pins: the resident index is built on 90% of the
+    * corpus (the E17 split), the held-out 10% arrives as TWO sub-batches
+    * (vec_id % 20 == 7 / == 17) appended with compactAfterDeltas = 1, so
+    * the second append TRIPS auto-compaction and the chain collapses to
+    * ONE full version before the query runs. The standard query batch
+    * then reads the COMPACTED artifact; the oracle replays the E17
+    * pipeline (frozen-quantizer assignment of the full held-out set), so
+    * a hash match certifies compaction is a pure rewrite — same rows,
+    * same quantizer, same ranking — through the real registered path.
+    * Shares ivfAppendTopKSql by construction: the two sub-batches union
+    * to exactly the E17 batch, frozen-centroid assignment is per-row,
+    * and compaction rewrites without rescoring. The require makes the
+    * query FAIL (not silently degrade to the uncompacted chain) if the
+    * auto-compaction trigger ever regresses.
+    */
+  def ivfCompactTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.ensure(spark)
+    import spark.implicits._
+    val root = buildIvfIndex(spark, dir, "cmp", _.filter($"vec_id" % 10 =!= 7))
+    def batch(m: Int) = Tables.embeddings(spark, dir).filter($"vec_id" % 20 === m)
+      .select($"vec_id", $"embedding".as("v"))
+      .withColumn("nrm", norm($"v"))
+    appendIvfIndex(spark, root, batch(7), compactAfterDeltas = 1)
+    appendIvfIndex(spark, root, batch(17), compactAfterDeltas = 1)
+    require(graft.weather.Staging.chainVersions(spark, root).size == 1,
+      "emb_ivf_compact: auto-compaction did not collapse the chain")
+    ivfQueryFromIndex(spark, dir, root)
+      .withColumn("is_new", ($"cid" % 10 === 7).cast("int"))
+  }
+
+  val ivfCompactTopKSql: String = ivfAppendTopKSql
 
   // ---------------------------------------------------------------------
   // E7 ANN quality evaluation: recall@3 of the IVF probe (E2) against the
@@ -1359,22 +1418,28 @@ object Embeddings {
       import spark.implicits._
       val root = graft.ops.ArtifactRoots.register(s"graft_ivf_mv_nsw$tag", Some(dir))
       val (e0, _) = nswFrames(spark, dir)
-      val e = pred(e0)
-      val adj = nswAdjacency(e)
-      // each NN-descent refresh publishes as the next S6v snapshot
-      // version — an E22 reader mid-scan is never yanked by an E20
-      // refresh's overwrite. The adjacency lives in a named `adj` layer
-      // (E23 appends publish batch deltas carrying `adj` increments plus
-      // a `vecs` archive on the same chain); a refresh derives from the
-      // BASE corpus table only and starts a new chain — appended vectors
-      // not yet merged into the corpus are superseded by it, the same
-      // refresh-owns-the-corpus contract as the pair-graph MV.
-      graft.weather.Staging.publishSnapshot(spark, root) { p =>
-        adj.repartition(4, $"src").sortWithinPartitions($"src", $"dst")
-          .write.mode("overwrite").parquet(s"$p/adj")
-      }
-      graft.weather.Staging.gcChains(spark, root, keepChains = 2)
-      graft.ops.Ckpt.free(e0, adj)
+      // checkpoint registry freed on every exit (the appendNswIndex
+      // discipline): a build failure — including publish-lock contention
+      // — must not strand corpus-sized blocks in a retrying driver
+      val ckpts = scala.collection.mutable.ArrayBuffer[DataFrame](e0)
+      try {
+        val e = pred(e0)
+        val adj = nswAdjacency(e)
+        ckpts += adj
+        // each NN-descent refresh publishes as the next S6v snapshot
+        // version — an E22 reader mid-scan is never yanked by an E20
+        // refresh's overwrite. The adjacency lives in a named `adj` layer
+        // (E23 appends publish batch deltas carrying `adj` increments plus
+        // a `vecs` archive on the same chain); a refresh derives from the
+        // BASE corpus table only and starts a new chain — appended vectors
+        // not yet merged into the corpus are superseded by it, the same
+        // refresh-owns-the-corpus contract as the pair-graph MV.
+        graft.weather.Staging.publishSnapshot(spark, root) { p =>
+          adj.repartition(4, $"src").sortWithinPartitions($"src", $"dst")
+            .write.mode("overwrite").parquet(s"$p/adj")
+        }
+        graft.weather.Staging.gcChains(spark, root, keepChains = 2)
+      } finally graft.ops.Ckpt.free(ckpts.toSeq: _*)
       nswBuilt.put(root, java.lang.Boolean.TRUE)
       root
     }
@@ -1406,13 +1471,21 @@ object Embeddings {
     graft.GraftExtensions.ensure(spark)
     val S = graft.weather.Staging
     val (e0, q) = nswFrames(spark, dir)
-    // ONE chain pin for both layers (the ivfQueryFromIndex discipline)
-    val dirs = S.chainDirs(spark, root)
-    val (eCk, e) = corpusWithVecs(spark, dirs, e0, pred)
-    val adj = S.readChainIn(spark, dirs, "adj").localCheckpoint()
-    val res = nswBeamSearch(e, q, adj)
-    graft.ops.Ckpt.free(eCk, adj)
-    res
+    // checkpoint registry freed on every exit (the appendNswIndex
+    // discipline): a chain-read or beam failure must not strand the
+    // corpus checkpoint in a long-lived query service. e0 stays listed
+    // even when corpusWithVecs frees it internally — double-free is a
+    // no-op.
+    val ckpts = scala.collection.mutable.ArrayBuffer[DataFrame](e0)
+    try {
+      // ONE chain pin for both layers (the ivfQueryFromIndex discipline)
+      val dirs = S.chainDirs(spark, root)
+      val (eCk, e) = corpusWithVecs(spark, dirs, e0, pred)
+      ckpts += eCk
+      val adj = S.readChainIn(spark, dirs, "adj").localCheckpoint()
+      ckpts += adj
+      nswBeamSearch(e, q, adj)
+    } finally graft.ops.Ckpt.free(ckpts.toSeq: _*)
   }
 
   def nswMvTopK(spark: SparkSession, dir: String): DataFrame =
@@ -1470,6 +1543,17 @@ object Embeddings {
     * (insert-then-rebuild is exactly the production HNSW maintenance
     * story). A crash anywhere commits nothing; an empty batch publishes
     * nothing; writers serialize on the index monitor.
+    *
+    * Ingest-guard cost, honestly: the dup guard semi-joins the batch's
+    * ids against corpus ∪ appended vecs, so each append pays one
+    * column-pruned `vec_id` scan of the resident set (short-circuited by
+    * the `.limit(1)`) — O(resident ids) on top of the batch-bounded
+    * insert work; the [[appendIvfIndex]] scaladoc carries the shared
+    * upgrade path (clustered id layer / bloom) if that scan ever
+    * dominates. Every checkpoint this body creates is freed in the
+    * finally — the guard's require and a publish-lock failure are
+    * retry paths, and retrying a poisoned batch must not leak
+    * corpus-sized blocks per attempt.
     */
   private[graft] def appendNswIndex(spark: SparkSession, dir: String,
                                     batch: DataFrame, tag: String = "",
@@ -1483,41 +1567,54 @@ object Embeddings {
     require(nswBuilt.containsKey(root),
       s"appendNswIndex: no built NSW index for $dir — refresh first")
     if (!batch.isEmpty) {
-      val b = batch.select($"vec_id", $"v", $"nrm").localCheckpoint()
-      val (e0, _) = nswFrames(spark, dir)
-      // ONE chain pin shared by the vecs union and the adjacency read
-      val dirs = S.chainDirs(spark, root)
-      val (eCk, e) = corpusWithVecs(spark, dirs, e0, pred)
-      // ingest-contract guard: a resident vec_id re-ingested would land
-      // duplicate vecs rows and double-score every beam candidate
-      val dup = b.select($"vec_id")
-        .join(e.select($"vec_id"), Seq("vec_id"), "left_semi")
-        .limit(1).count()
-      require(dup == 0,
-        s"appendNswIndex: batch re-ingests vec_ids already resident in $root — " +
-          "vec_ids must be disjoint (CDC ingest contract)")
-      val adj = S.readChainIn(spark, dirs, "adj").localCheckpoint()
-      // neighbor search: batch vectors as the query set, final top-5 of
-      // the width-8 beam (the insert's M, matching the build's degree)
-      val qb = broadcast(b.select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn")))
-      val found = nswBeamSearch(e, qb, adj, finalK = 5)
-        .select($"qid".as("src"), $"cid".as("dst"))
-        .localCheckpoint()
-      // batch-internal 5-NN edges: the build's exact seed-graph recipe
-      // (SRP candidates → certified scoring → bounded top-out) over the
-      // batch alone
-      val bbEdges = nswTopOut(nswScorePairs(b, srpCandidates(b)))
-      val delta = found
-        .unionByName(found.select($"dst".as("src"), $"src".as("dst")))
-        .unionByName(bbEdges)
-        .distinct()
-      S.publishSnapshotDelta(spark, root) { p =>
-        delta.repartition(4, $"src").sortWithinPartitions($"src", $"dst")
-          .write.mode("overwrite").parquet(s"$p/adj")
-        b.repartition(4, $"vec_id").sortWithinPartitions($"vec_id")
-          .write.mode("overwrite").parquet(s"$p/vecs")
-      }
-      graft.ops.Ckpt.free(b, eCk, adj, found)
+      // every checkpoint lands in `ckpts` the moment it exists, and the
+      // finally frees them all on EVERY exit — including the dup-guard
+      // require and a publish failure, the paths a retrying ingest
+      // driver hits repeatedly. Double-free is safe (unpersist on an
+      // already-released RDD is a no-op), so e0 stays listed even after
+      // corpusWithVecs frees it internally on the union branch.
+      val ckpts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      try {
+        val b = batch.select($"vec_id", $"v", $"nrm").localCheckpoint()
+        ckpts += b
+        val (e0, _) = nswFrames(spark, dir)
+        ckpts += e0
+        // ONE chain pin shared by the vecs union and the adjacency read
+        val dirs = S.chainDirs(spark, root)
+        val (eCk, e) = corpusWithVecs(spark, dirs, e0, pred)
+        ckpts += eCk
+        // ingest-contract guard: a resident vec_id re-ingested would land
+        // duplicate vecs rows and double-score every beam candidate
+        val dup = b.select($"vec_id")
+          .join(e.select($"vec_id"), Seq("vec_id"), "left_semi")
+          .limit(1).count()
+        require(dup == 0,
+          s"appendNswIndex: batch re-ingests vec_ids already resident in $root — " +
+            "vec_ids must be disjoint (CDC ingest contract)")
+        val adj = S.readChainIn(spark, dirs, "adj").localCheckpoint()
+        ckpts += adj
+        // neighbor search: batch vectors as the query set, final top-5 of
+        // the width-8 beam (the insert's M, matching the build's degree)
+        val qb = broadcast(b.select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn")))
+        val found = nswBeamSearch(e, qb, adj, finalK = 5)
+          .select($"qid".as("src"), $"cid".as("dst"))
+          .localCheckpoint()
+        ckpts += found
+        // batch-internal 5-NN edges: the build's exact seed-graph recipe
+        // (SRP candidates → certified scoring → bounded top-out) over the
+        // batch alone
+        val bbEdges = nswTopOut(nswScorePairs(b, srpCandidates(b)))
+        val delta = found
+          .unionByName(found.select($"dst".as("src"), $"src".as("dst")))
+          .unionByName(bbEdges)
+          .distinct()
+        S.publishSnapshotDelta(spark, root) { p =>
+          delta.repartition(4, $"src").sortWithinPartitions($"src", $"dst")
+            .write.mode("overwrite").parquet(s"$p/adj")
+          b.repartition(4, $"vec_id").sortWithinPartitions($"vec_id")
+            .write.mode("overwrite").parquet(s"$p/vecs")
+        }
+      } finally graft.ops.Ckpt.free(ckpts.toSeq: _*)
       if (compactAfterDeltas > 0 &&
           S.chainVersions(spark, root).size - 1 > compactAfterDeltas)
         compactNswIndex(spark, root)
@@ -1560,10 +1657,13 @@ object Embeddings {
     nswBuilt.synchronized {
       import spark.implicits._
       val S = graft.weather.Staging
-      if (S.chainVersions(spark, root).size > 1) {
-        val adj = S.readChain(spark, root, "adj")
+      // ONE pinned chain resolution for both layers (the compactIvfIndex
+      // rationale: adj and vecs must come from the same chain)
+      val dirs = S.chainDirs(spark, root)
+      if (dirs.size > 1) {
+        val adj = S.readChainIn(spark, dirs, "adj")
         val vecs =
-          if (S.chainHasLayer(spark, root, "vecs")) Some(S.readChain(spark, root, "vecs"))
+          if (S.chainHasLayerIn(spark, dirs, "vecs")) Some(S.readChainIn(spark, dirs, "vecs"))
           else None
         S.publishSnapshot(spark, root) { p =>
           adj.repartition(4, $"src").sortWithinPartitions($"src", $"dst")
@@ -2589,6 +2689,7 @@ object Embeddings {
     "emb_ivf_mv"      -> (ivfMvTopK _),
     "emb_ivf_read"    -> (ivfReadTopK _),
     "emb_ivf_append"  -> (ivfAppendTopK _),
+    "emb_ivf_compact" -> (ivfCompactTopK _),
     "emb_lsh_neardup" -> (lshNearDup _),
     "emb_multiprobe_neardup" -> (multiProbeNearDup _),
     "emb_ivfadc_topk" -> (ivfadcTopK _),
@@ -2614,6 +2715,7 @@ object Embeddings {
     "emb_ivf_mv"      -> ivfMvTopKSql,
     "emb_ivf_read"    -> ivfReadTopKSql,
     "emb_ivf_append"  -> ivfAppendTopKSql,
+    "emb_ivf_compact" -> ivfCompactTopKSql,
     "emb_lsh_neardup" -> lshNearDupSql,
     "emb_multiprobe_neardup" -> multiProbeNearDupSql,
     "emb_ivfadc_topk" -> ivfadcTopKSql,

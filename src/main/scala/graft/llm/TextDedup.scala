@@ -542,18 +542,25 @@ object TextDedup {
     // pays nothing: the short-circuit runs BEFORE the dup guard's chain
     // scan, so routinely-empty micro-batches cost one isEmpty probe
     if (!batch.isEmpty) {
+      // ONE pinned chain resolution shared by the guard and the append
+      // body (the readers' chainDirs discipline)
+      val dirs = graft.weather.Staging.chainDirs(spark, root)
       // ingest-contract guard: a batch doc_id already resident would land
       // duplicate sizes and sigs rows, multiplying rows through the
-      // verify size-join and silently corrupting pairs/labels. One
-      // batch-sized semi-join against the clustered sizes layer.
+      // verify size-join and silently corrupting pairs/labels. Cost,
+      // honestly: one semi-join probing the chained sizes layer's doc_id
+      // column — narrow, clustered, limit-1 short-circuited, but
+      // O(resident ids) per append, not batch-sized; the documented
+      // price of catching a replayed batch (upgrade path if it ever
+      // dominates: bloom over resident ids, probed map-side).
       val dupIds = batch.select($"doc_id")
-        .join(graft.weather.Staging.readChain(spark, root, "sizes").select($"doc_id"),
+        .join(graft.weather.Staging.readChainIn(spark, dirs, "sizes").select($"doc_id"),
           Seq("doc_id"), "left_semi")
         .limit(1).count()
       require(dupIds == 0,
         s"appendPairGraphMv: batch re-ingests doc_ids already resident in $root — " +
           "doc_ids must be disjoint (CDC ingest contract)")
-      appendNonEmpty(spark, root, dir, batch)
+      appendNonEmpty(spark, root, dir, batch, dirs)
       if (compactAfterDeltas > 0 &&
           graft.weather.Staging.chainVersions(spark, root).size - 1 > compactAfterDeltas)
         compactPairGraphMv(spark, dir): Unit
@@ -562,14 +569,14 @@ object TextDedup {
   }
 
   private def appendNonEmpty(spark: SparkSession, root: String, dir: String,
-                             batch: DataFrame): Unit = {
+                             batch: DataFrame, dirs: Seq[String]): Unit = {
     import spark.implicits._
     val bsh = shingles(batch).cache()
     try {
       val bsig = minhashBandSigs(bsh)
       val bszs = bsh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val esig = graft.weather.Staging.readChain(spark, root, "sigs")
-      val eszs = graft.weather.Staging.readChain(spark, root, "sizes")
+      val esig = graft.weather.Staging.readChainIn(spark, dirs, "sigs")
+      val eszs = graft.weather.Staging.readChainIn(spark, dirs, "sizes")
       // asymmetric probe: batch → resident index (da = batch, db = resident)
       val candBE = bsig.as("a").join(esig.as("b"),
           $"a.band" === $"b.band" && $"a.sig" === $"b.sig")
@@ -586,9 +593,9 @@ object TextDedup {
       // append therefore also archives its batch text in its delta's
       // batchdocs layer, batch-sized per append
       val residentDocs =
-        if (graft.weather.Staging.chainHasLayer(spark, root, "batchdocs"))
+        if (graft.weather.Staging.chainHasLayerIn(spark, dirs, "batchdocs"))
           Tables.documents(spark, dir).select($"doc_id", $"text")
-            .unionByName(graft.weather.Staging.readChain(spark, root, "batchdocs"))
+            .unionByName(graft.weather.Staging.readChainIn(spark, dirs, "batchdocs"))
         else Tables.documents(spark, dir).select($"doc_id", $"text")
       val partners = candBE.select($"db".as("doc_id")).distinct()
       val esh = shingles(
@@ -596,35 +603,39 @@ object TextDedup {
       val newPairs = verifiedPairs(candBE, bsh, esh, bszs, eszs)
         .unionByName(verifiedPairs(candBB, bsh, bsh, bszs, bszs))
         .localCheckpoint() // consumed by the pairs write AND the relabel CC
-      // relabel input: old labels as star edges (root → member; roots
-      // reconnect through their members' edges) ∪ the new pairs —
-      // iteration state is (labels + new-pairs)-sized, and existing
-      // components merge correctly when a batch doc bridges them
-      val star = graft.weather.Staging.readChainLatest(spark, root, "labels")
-        .filter($"component" =!= $"doc_id")
-        .select($"component".as("doc_a"), $"doc_id".as("doc_b"))
-      // ONE delta version carries the batch's sigs/sizes/pairs/batchdocs
-      // increments plus the full relabel; the commit marker is the
-      // atomic point — a failure anywhere in here leaves no marker, the
-      // MV stays at its previous committed version (still internally
-      // consistent), and the batch can simply be retried
-      graft.weather.Staging.publishSnapshotDelta(spark, root) { p =>
-        newPairs.repartition(4, $"doc_a").sortWithinPartitions($"doc_a", $"doc_b")
-          .write.mode("overwrite").parquet(s"$p/pairs")
-        bsig.repartition(4, $"band", $"sig").sortWithinPartitions($"band", $"sig")
-          .write.mode("overwrite").parquet(s"$p/sigs")
-        bszs.repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
-          .write.mode("overwrite").parquet(s"$p/sizes")
-        batch.select($"doc_id", $"text")
-          .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
-          .write.mode("overwrite").parquet(s"$p/batchdocs")
-        graft.ops.Graph.connectedComponents(
-            star.unionByName(newPairs.select($"doc_a", $"doc_b")))
-          .select($"node".as("doc_id"), $"component")
-          .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
-          .write.mode("overwrite").parquet(s"$p/labels")
-      }
-      graft.ops.Ckpt.free(newPairs)
+      try {
+        // relabel input: old labels as star edges (root → member; roots
+        // reconnect through their members' edges) ∪ the new pairs —
+        // iteration state is (labels + new-pairs)-sized, and existing
+        // components merge correctly when a batch doc bridges them
+        val star = graft.weather.Staging.readChainLatestIn(spark, dirs, "labels")
+          .filter($"component" =!= $"doc_id")
+          .select($"component".as("doc_a"), $"doc_id".as("doc_b"))
+        // ONE delta version carries the batch's sigs/sizes/pairs/batchdocs
+        // increments plus the full relabel; the commit marker is the
+        // atomic point — a failure anywhere in here leaves no marker, the
+        // MV stays at its previous committed version (still internally
+        // consistent), and the batch can simply be retried
+        graft.weather.Staging.publishSnapshotDelta(spark, root) { p =>
+          newPairs.repartition(4, $"doc_a").sortWithinPartitions($"doc_a", $"doc_b")
+            .write.mode("overwrite").parquet(s"$p/pairs")
+          bsig.repartition(4, $"band", $"sig").sortWithinPartitions($"band", $"sig")
+            .write.mode("overwrite").parquet(s"$p/sigs")
+          bszs.repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
+            .write.mode("overwrite").parquet(s"$p/sizes")
+          batch.select($"doc_id", $"text")
+            .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
+            .write.mode("overwrite").parquet(s"$p/batchdocs")
+          graft.ops.Graph.connectedComponents(
+              star.unionByName(newPairs.select($"doc_a", $"doc_b")))
+            .select($"node".as("doc_id"), $"component")
+            .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
+            .write.mode("overwrite").parquet(s"$p/labels")
+        }
+      // freed on EVERY exit: a publish-lock failure is a retry path, and
+      // a retrying ingest driver must not leak a pairs-sized checkpoint
+      // per attempt
+      } finally graft.ops.Ckpt.free(newPairs)
     } finally { bsh.unpersist(false); () }
   }
 
@@ -658,25 +669,30 @@ object TextDedup {
       val root = pairGraphRoot(dir)
       require(pgBuilt.containsKey(root),
         s"compactPairGraphMv: no built pair-graph MV for $dir — refresh first")
-      if (S.chainVersions(spark, root).size > 1) {
+      // ONE pinned chain resolution for all five layers (the readers'
+      // chainDirs discipline): a cross-process writer or GC between
+      // independent readChain calls could otherwise pair layers from
+      // different chains in the compacted version
+      val dirs = S.chainDirs(spark, root)
+      if (dirs.size > 1) {
         S.publishSnapshot(spark, root) { p =>
-          S.readChain(spark, root, "sigs")
+          S.readChainIn(spark, dirs, "sigs")
             .repartition(4, $"band", $"sig").sortWithinPartitions($"band", $"sig")
             .write.mode("overwrite").parquet(s"$p/sigs")
-          S.readChain(spark, root, "sizes")
+          S.readChainIn(spark, dirs, "sizes")
             .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
             .write.mode("overwrite").parquet(s"$p/sizes")
-          S.readChain(spark, root, "pairs")
+          S.readChainIn(spark, dirs, "pairs")
             .repartition(4, $"doc_a").sortWithinPartitions($"doc_a", $"doc_b")
             .write.mode("overwrite").parquet(s"$p/pairs")
           // appended batch text must survive compaction: later appends
           // re-shingle resident candidate PARTNERS from corpus ∪ batchdocs,
           // and a prior batch's docs are not in the corpus table
-          if (S.chainHasLayer(spark, root, "batchdocs"))
-            S.readChain(spark, root, "batchdocs")
+          if (S.chainHasLayerIn(spark, dirs, "batchdocs"))
+            S.readChainIn(spark, dirs, "batchdocs")
               .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
               .write.mode("overwrite").parquet(s"$p/batchdocs")
-          S.readChainLatest(spark, root, "labels")
+          S.readChainLatestIn(spark, dirs, "labels")
             .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
             .write.mode("overwrite").parquet(s"$p/labels")
         }

@@ -321,6 +321,96 @@ object EventStreams {
       }
   }
 
+  // -------------------------------------------------------------------
+  // Streaming ingest onto the S6v DELTA CHAINS — the streaming form of
+  // E17 (IVF index ingest) and the C22 pair-graph append: foreachBatch
+  // routes each micro-batch through the SAME append operators the batch
+  // pipeline certifies (frozen-quantizer assignment / asymmetric LSH
+  // probe, one batch-sized delta version per non-empty batch, commit
+  // marker as the atomic point), with opt-in auto-compaction bounding
+  // the chain exactly as in batch ingest. X26 publishes a FULL snapshot
+  // per micro-batch (the CDC-apply shape, state-sized); these publish a
+  // DELTA per micro-batch (the index-ingest shape, batch-sized) — the
+  // composition the 100 TB continuous-crawl pipeline actually runs,
+  // where the periodic NN-descent/LSH refresh stays a batch job and the
+  // stream only ever pays per-batch costs.
+  //
+  // Delivery semantics, honestly: foreachBatch is at-least-once — a
+  // crash in the publish-committed/checkpoint-uncommitted window REPLAYS
+  // the batch. The appends' CDC dup guard would fail that replay loudly
+  // (better than silent duplicate index rows), so the sinks make replay
+  // a NO-OP instead: each batch is anti-joined against the destination's
+  // resident ids first. A delta publish is all-or-nothing (one marker),
+  // so a replayed batch is either fully resident (filters to empty →
+  // publishes nothing) or fully new — there is no partial case, which is
+  // what makes the anti-join an exactly-once construction and not a
+  // heuristic. Cost: one extra resident-id column scan per micro-batch
+  // on top of the guard's (both limit/anti-join probes of a narrow
+  // clustered column; the appendIvfIndex scaladoc carries the shared
+  // bloom/id-layer upgrade path). Single-writer contract per index: the
+  // filter runs outside the writers' monitor, so two concurrent ingest
+  // streams on one index could still trip the guard — same one-writer-
+  // per-target contract as every publish path here.
+
+  /** E17 as a streaming sink: micro-batches of (vec_id long,
+    * v array<float>) are routed into the BUILT IVF index at `root` with
+    * the frozen quantizer; `nrm` is computed with the exact batch-path
+    * expression so streamed rows are bit-identical to batch-appended
+    * ones (StreamingSpec pins streamed ≡ batch).
+    */
+  def ivfIngestSink(vecs: DataFrame, root: String, checkpoint: String,
+                    compactAfterDeltas: Int = 0): DataStreamWriter[Row] = {
+    import org.apache.spark.sql.functions.col
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val s = batch.sparkSession
+        graft.GraftExtensions.ensure(s)
+        // materialize the feed ONCE (the cdcApplySink discipline): the
+        // anti-join probe and the append both read the checkpointed rows
+        val feed = batch.toDF()
+          .select(col("vec_id"), col("v"))
+          .withColumn("nrm", graft.llm.Embeddings.norm(col("v")))
+          .localCheckpoint(true)
+        try {
+          val resident = graft.weather.Staging.readChain(s, root, "cells")
+            .select(col("vec_id"))
+          val fresh = feed.join(resident, Seq("vec_id"), "left_anti")
+          // an empty or fully-replayed batch publishes nothing — the
+          // appends' own empty-batch short-circuit
+          graft.llm.Embeddings.appendIvfIndex(s, root, fresh, compactAfterDeltas)
+        } finally graft.ops.Ckpt.free(feed)
+        ()
+      }
+  }
+
+  /** The C22 pair-graph append as a streaming sink: micro-batches of
+    * (doc_id long, text string) are shingled/signed and probed against
+    * the stored (band, sig) index, landing one delta version per
+    * non-empty batch — continuous near-dup maintenance over a document
+    * stream, with the batch pipeline's full cross-batch verification
+    * (batchdocs archive) intact.
+    */
+  def pairGraphIngestSink(docs: DataFrame, dir: String, checkpoint: String,
+                          compactAfterDeltas: Int = 0): DataStreamWriter[Row] = {
+    import org.apache.spark.sql.functions.col
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val s = batch.sparkSession
+        val feed = batch.toDF().select(col("doc_id"), col("text")).localCheckpoint(true)
+        try {
+          val root = graft.llm.TextDedup.pairGraphRoot(dir)
+          val resident = graft.weather.Staging.readChain(s, root, "sizes")
+            .select(col("doc_id"))
+          val fresh = feed.join(resident, Seq("doc_id"), "left_anti")
+          graft.llm.TextDedup.appendPairGraphMv(s, dir, fresh, compactAfterDeltas)
+          ()
+        } finally graft.ops.Ckpt.free(feed)
+        ()
+      }
+  }
+
   /** Custom streaming state via mapGroupsWithState (the escape hatch the
     * built-in windows can't express): per-user running count + max value,
     * carried across micro-batches in GroupState. The reference needs no

@@ -140,19 +140,50 @@ object Staging {
     * before calling [[breakPublishLock]] (same recover-then-retry contract
     * the reference has with one dbt run at a time per target).
     */
-  def publishAtomic(spark: SparkSession, path: String)(write: String => Unit): Unit = {
-    import org.apache.hadoop.fs.Path
-    val target = new Path(path)
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val lock = new Path(path + "__lock")
+  /** THE cross-process writer-exclusion seam — every publish variant
+    * (rename-swap, snapshot, delta) takes its lock through this one hook,
+    * so swapping the primitive swaps it everywhere.
+    *
+    * Atomicity contract, stated precisely: `fs.create(lock,
+    * overwrite=false)` is an atomic create-if-absent on HDFS and local
+    * filesystems (the create either wins or throws — two racing writers
+    * cannot both win), which is what makes the lock a real mutex there.
+    * On S3A the same call is CHECK-then-PUT — a HEAD probe followed by an
+    * unconditional PUT — so two writers racing within the probe window
+    * could both believe they hold the lock. In-process writers are
+    * additionally serialized by each MV family's monitor, so nothing is
+    * wrong in a single-JVM deployment today; a MULTI-process deployment
+    * on object storage must replace this body with one of the standard
+    * upgrades, all of which fit behind this signature unchanged:
+    *  - S3 conditional PUT (`If-None-Match: *`, supported since 2024) —
+    *    the same create-if-absent made atomic by the store;
+    *  - a commit service / lock table (the DynamoDB pattern Delta Lake
+    *    uses for S3 multi-cluster writes);
+    *  - rely on the target table format's own commit protocol once the
+    *    snapshot dirs move under Delta/Iceberg, which makes this lock
+    *    redundant.
+    * Release is best-effort delete in the caller's finally; a writer that
+    * dies between acquire and release leaves the lock behind
+    * DELIBERATELY — see [[breakPublishLock]] for the recovery contract.
+    */
+  private def withPublishLock[A](fs: org.apache.hadoop.fs.FileSystem,
+                                 path: String, what: String)(body: => A): A = {
+    val lock = new org.apache.hadoop.fs.Path(path + "__lock")
     val acquired =
       try { fs.create(lock, /* overwrite = */ false).close(); true }
       catch { case _: java.io.IOException => false }
     if (!acquired)
       throw new java.io.IOException(
-        s"another publish to $target is in progress ($lock exists); " +
+        s"another $what to $path is in progress ($lock exists); " +
           "if its writer is dead, call breakPublishLock first")
-    try {
+    try body finally fs.delete(lock, false)
+  }
+
+  def publishAtomic(spark: SparkSession, path: String)(write: String => Unit): Unit = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withPublishLock(fs, path, "publish") {
       recoverPublished(spark, path) // a crashed prior swap's __old is the only copy — restore, don't delete
       val tmp = new Path(path + "__tmp")
       val old = new Path(path + "__old")
@@ -167,7 +198,7 @@ object Staging {
       }
       fs.delete(old, true)
       spark.catalog.refreshByPath(path)
-    } finally fs.delete(lock, false)
+    }
   }
 
   /** Clears a lock left by a publisher that died between acquiring
@@ -263,22 +294,14 @@ object Staging {
     import org.apache.hadoop.fs.Path
     val fs = fsOf(spark, root)
     fs.mkdirs(new Path(root))
-    val lock = new Path(root + "__lock")
-    val acquired =
-      try { fs.create(lock, /* overwrite = */ false).close(); true }
-      catch { case _: java.io.IOException => false }
-    if (!acquired)
-      throw new java.io.IOException(
-        s"another snapshot publish to $root is in progress ($lock exists); " +
-          "if its writer is dead, call breakPublishLock first")
-    try {
+    withPublishLock(fs, root, "snapshot publish") {
       val next = currentSnapshotVersion(spark, root).getOrElse(-1L) + 1
       val data = new Path(snapDir(root, next))
       fs.delete(data, true) // orphan from a pre-commit crash of this version
       write(data.toString)
       fs.create(commitMarker(root, next), false).close()
       next
-    } finally fs.delete(lock, false)
+    }
   }
 
   /** Data dir of the current committed snapshot — for MV families whose
@@ -381,15 +404,7 @@ object Staging {
   def publishSnapshotDelta(spark: SparkSession, root: String)(write: String => Unit): Long = {
     import org.apache.hadoop.fs.Path
     val fs = fsOf(spark, root)
-    val lock = new Path(root + "__lock")
-    val acquired =
-      try { fs.create(lock, /* overwrite = */ false).close(); true }
-      catch { case _: java.io.IOException => false }
-    if (!acquired)
-      throw new java.io.IOException(
-        s"another snapshot publish to $root is in progress ($lock exists); " +
-          "if its writer is dead, call breakPublishLock first")
-    try {
+    withPublishLock(fs, root, "snapshot publish") {
       val cur = currentSnapshotVersion(spark, root).getOrElse(
         throw new java.io.IOException(s"no committed snapshot under $root to extend with a delta"))
       val next = cur + 1
@@ -399,7 +414,7 @@ object Staging {
       fs.create(deltaTag(root, next), false).close()
       fs.create(commitMarker(root, next), false).close()
       next
-    } finally fs.delete(lock, false)
+    }
   }
 
   /** The current chain: the latest committed FULL version and every

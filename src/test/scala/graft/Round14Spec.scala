@@ -379,6 +379,12 @@ class Round14Spec extends SparkSpec {
       val tail = math.min(ts(ts.length - 1), ts(ts.length - 2))
       assert(tail <= bound,
         f"$q%s passes not flat: ${ts.map(t => f"$t%.2f").mkString(",")}%s (bound $bound%.2f)")
+      // the better-of-last-two gate tolerates ONE contention spike, but a
+      // leak whose growth only crosses the bound on the final pass must
+      // still fail: the last pass gets its own (looser) absolute ceiling
+      val lastBound = math.max(4.0 * ts.min, ts.min + 1.0)
+      assert(ts.last <= lastBound,
+        f"$q%s final pass blown: ${ts.map(t => f"$t%.2f").mkString(",")}%s (last bound $lastBound%.2f)")
     }
   }
 }

@@ -248,6 +248,47 @@ class StagingSpec extends SparkSpec {
       .select("reading_value").head.getString(0) === "1.0")
   }
 
+  test("publish lock: a dead writer's stale lock blocks every publish variant until broken") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_lock_").toString + "/mv"
+    assert(Staging.publishSnapshot(spark, root) { p =>
+      spark.range(3).write.parquet(s"$p/rows")
+    } === 0L)
+    // simulate a writer killed between lock acquire and its finally: the
+    // lock file exists, no process holds it
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(root + "__lock"), false).close()
+    // every publish variant through the shared lock seam fails FAST and
+    // names the recovery call — no write, no version consumed
+    val e1 = intercept[java.io.IOException](
+      Staging.publishSnapshot(spark, root)(p => spark.range(1).write.parquet(s"$p/rows")))
+    assert(e1.getMessage.contains("breakPublishLock"))
+    val e2 = intercept[java.io.IOException](
+      Staging.publishSnapshotDelta(spark, root)(p => spark.range(1).write.parquet(s"$p/rows")))
+    assert(e2.getMessage.contains("breakPublishLock"))
+    assert(Staging.currentSnapshotVersion(spark, root) === Some(0L))
+    // recovery: break the stale lock once the dead writer is confirmed
+    // gone; the next publish proceeds and the lock is released after it
+    assert(Staging.breakPublishLock(spark, root))
+    assert(!Staging.breakPublishLock(spark, root), "double break should find no lock")
+    assert(Staging.publishSnapshotDelta(spark, root) { p =>
+      spark.range(2).write.parquet(s"$p/rows")
+    } === 1L)
+    assert(Staging.readChain(spark, root, "rows").count() === 5)
+    // same contract for the rename-swap publish (path-shaped, not root-shaped)
+    val tbl = Files.createTempDirectory("graft_lock_").toString + "/tbl"
+    Staging.publishAtomic(spark, tbl)(p => spark.range(4).write.parquet(p))
+    fs.create(new org.apache.hadoop.fs.Path(tbl + "__lock"), false).close()
+    val e3 = intercept[java.io.IOException](
+      Staging.publishAtomic(spark, tbl)(p => spark.range(9).write.parquet(p)))
+    assert(e3.getMessage.contains("breakPublishLock"))
+    assert(spark.read.parquet(tbl).count() === 4, "blocked publish must not touch the table")
+    assert(Staging.breakPublishLock(spark, tbl))
+    Staging.publishAtomic(spark, tbl)(p => spark.range(9).write.parquet(p))
+    assert(spark.read.parquet(tbl).count() === 9)
+  }
+
   test("V1 Dataset[EnrichedDoc] parse-as-validation accepts the generated docs") {
     import spark.implicits._
     val ds = WeatherGen.docs(spark).drop("file_path").as[WeatherSchema.EnrichedDoc]

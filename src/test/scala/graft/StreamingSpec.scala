@@ -485,4 +485,104 @@ class StreamingSpec extends SparkSpec {
       assert(rows.head.getLong(1) === 2L && rows.head.getLong(2) === 30L)
     } finally q2.stop()
   }
+
+  test("streaming IVF ingest: micro-batch deltas equal batch appends, replay is a no-op, chain bounded") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.GraftExtensions.ensure(spark)
+    val S = graft.weather.Staging
+    val pred: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      _.filter(col("vec_id") % 20 < 12)
+    // twin indexes over the same resident set: one fed by the stream,
+    // one by direct batch appends — identical auto-compaction settings
+    val rootS = llm.Embeddings.buildIvfIndex(spark, sfDir, "r15_sink", pred)
+    val rootB = llm.Embeddings.buildIvfIndex(spark, sfDir, "r15_sinktwin", pred)
+    def vecs(m: Int) = Tables.embeddings(spark, sfDir).filter($"vec_id" % 20 === m)
+      .select($"vec_id", $"embedding".as("v"))
+    val input = MemoryStream[(Long, Array[Float])]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ivf_sink_ck").toString
+    val q = graft.streaming.EventStreams
+      .ivfIngestSink(input.toDF.toDF("vec_id", "v"), rootS, ckpt, compactAfterDeltas = 2)
+      .start()
+    try {
+      var lastRows: Seq[(Long, Array[Float])] = Seq.empty
+      for (m <- 12 to 15) {
+        lastRows = vecs(m).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        input.addData(lastRows: _*)
+        q.processAllAvailable()
+        llm.Embeddings.appendIvfIndex(spark, rootB,
+          vecs(m).withColumn("nrm", llm.Embeddings.norm($"v")), compactAfterDeltas = 2)
+        assert(S.chainVersions(spark, rootS).size <= 3,
+          s"streamed chain ${S.chainVersions(spark, rootS)} exceeds the compaction bound")
+      }
+      // an at-least-once REPLAY (the post-commit/pre-checkpoint crash
+      // window) must publish nothing: the batch is fully resident, the
+      // sink's anti-join filters it to empty
+      val vBefore = S.currentSnapshotVersion(spark, rootS)
+      input.addData(lastRows: _*)
+      q.processAllAvailable()
+      assert(S.currentSnapshotVersion(spark, rootS) === vBefore,
+        "replayed micro-batch published a version")
+      // streamed index ≡ batch-appended index, both layers
+      def cells(root: String) = S.readChain(spark, root, "cells")
+        .select($"vec_id", $"cell").collect().toSet
+      assert(cells(rootS) === cells(rootB))
+      assert(S.readChainLatest(spark, rootS, "centroids").collect().toSet
+        === S.readChainLatest(spark, rootB, "centroids").collect().toSet)
+      assert(S.chainVersions(spark, rootS).size === S.chainVersions(spark, rootB).size)
+    } finally q.stop()
+  }
+
+  test("streaming pair-graph ingest: micro-batch deltas equal batch appends, replay is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val S = graft.weather.Staging
+    val docs = Tables.documents(spark, sfDir)
+    val dirS = java.nio.file.Files.createTempDirectory("graft_pg_sink").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_pg_sinktwin").toString
+    try {
+      for (d <- Seq(dirS, dirB))
+        docs.filter($"doc_id" % 20 < 12).write.mode("overwrite")
+          .parquet(s"$d/documents.parquet")
+      val rootS = llm.TextDedup.refreshPairGraphMv(spark, dirS)
+      llm.TextDedup.refreshPairGraphMv(spark, dirB)
+      def batchDocs(m: Int) = docs.filter($"doc_id" % 20 === m).select($"doc_id", $"text")
+      val input = MemoryStream[(Long, String)]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_pg_sink_ck").toString
+      val q = graft.streaming.EventStreams
+        .pairGraphIngestSink(input.toDF.toDF("doc_id", "text"), dirS, ckpt,
+          compactAfterDeltas = 2)
+        .start()
+      try {
+        var lastRows: Seq[(Long, String)] = Seq.empty
+        for (m <- 12 to 15) {
+          lastRows = batchDocs(m).collect()
+            .map(r => (r.getLong(0), r.getString(1))).toSeq
+          input.addData(lastRows: _*)
+          q.processAllAvailable()
+          llm.TextDedup.appendPairGraphMv(spark, dirB, batchDocs(m), compactAfterDeltas = 2)
+          assert(S.chainVersions(spark, rootS).size <= 3,
+            s"streamed chain ${S.chainVersions(spark, rootS)} exceeds the compaction bound")
+        }
+        // replay idempotence
+        val vBefore = S.currentSnapshotVersion(spark, rootS)
+        input.addData(lastRows: _*)
+        q.processAllAvailable()
+        assert(S.currentSnapshotVersion(spark, rootS) === vBefore,
+          "replayed micro-batch published a version")
+        // streamed MV ≡ batch-appended MV across the consumer layers
+        def pairSet(dir: String) = llm.TextDedup.pairGraphPairs(spark, dir)
+          .select($"doc_a", $"doc_b", $"n_common", $"n_a", $"n_b")
+          .collect().map(_.toSeq).toSet
+        def labelSet(dir: String) = llm.TextDedup.componentLabels(spark, dir)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(pairSet(dirS) === pairSet(dirB))
+        assert(labelSet(dirS) === labelSet(dirB))
+      } finally q.stop()
+    } finally {
+      graft.ops.ArtifactRoots.delete(dirS)
+      graft.ops.ArtifactRoots.delete(dirB)
+    }
+  }
 }
