@@ -454,6 +454,16 @@ object Staging {
   // separate readChain calls can straddle a concurrent publish and pair
   // one chain's quantizer with another chain's assignments (wrong data,
   // no error). `chainDirs` is the pin; the *In readers consume it.
+  //
+  // Reader-vs-GC contract, stated completely: [[requirePinnedLive]]
+  // catches a GC that lands between the pin and layer RESOLUTION (loud
+  // error, no silent row loss). A GC landing between resolution and the
+  // Spark ACTION can still yank files mid-scan — that surfaces as a loud
+  // FileNotFoundException, never as silently missing rows, and it is the
+  // standard VACUUM retention contract (identical to Delta/Iceberg):
+  // retention (`gcChains` keepChains) must exceed the longest-running
+  // reader. A deployment tunes retention to its slowest consumer exactly
+  // as it would VACUUM horizons.
 
   /** The current chain's data dirs, oldest first — ONE marker-set
     * resolution to derive every layer read from.
