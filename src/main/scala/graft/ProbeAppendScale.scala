@@ -62,7 +62,13 @@ object ProbeAppendScale {
               Seq(graft.weather.Staging.chainDirs(spark, root).last), "pairs").count()
           println(f"PROBEAPPENDSCALE family=pg k=$k batchDocs=$n append=$tAppend%.2fs " +
             f"deltaPairs=$nPairs refresh=$tRefresh%.2fs")
-        } finally graft.ops.ArtifactRoots.delete(scratch)
+        } finally {
+          // the MV root is a separate /tmp tree (registered for the
+          // shutdown hook, but 6 corpus-scale artifacts accumulating for
+          // the probe's lifetime is real disk pressure at larger SF)
+          graft.ops.ArtifactRoots.delete(llm.TextDedup.pairGraphRoot(scratch))
+          graft.ops.ArtifactRoots.delete(scratch)
+        }
       }
     }
 
@@ -78,7 +84,9 @@ object ProbeAppendScale {
             emb.filter($"vec_id" % 20 === 12)
               .select(($"vec_id" + j * idOff).as("vec_id"), $"embedding".as("v"))
           }.reduce(_ unionByName _)
-            .withColumn("nrm", sqrt(call_function("graft_dot", $"v", $"v")))
+            // the ONE shared stored-norm expression — hand-rolling it
+            // here could silently diverge from what the index stores
+            .withColumn("nrm", llm.Embeddings.norm($"v"))
           val n = batch.count()
           val (_, tAppend) = t(llm.Embeddings.appendNswIndex(spark, scratch, batch))
           val nEdges = graft.weather.Staging
@@ -86,7 +94,10 @@ object ProbeAppendScale {
               Seq(graft.weather.Staging.chainDirs(spark, root).last), "adj").count()
           println(f"PROBEAPPENDSCALE family=nsw k=$k batchVecs=$n append=$tAppend%.2fs " +
             f"deltaEdges=$nEdges build=$tBuild%.2fs")
-        } finally graft.ops.ArtifactRoots.delete(scratch)
+        } finally {
+          graft.ops.ArtifactRoots.delete(llm.Embeddings.nswRoot(scratch))
+          graft.ops.ArtifactRoots.delete(scratch)
+        }
       }
     }
     spark.stop()

@@ -547,15 +547,17 @@ object TextDedup {
       val dirs = graft.weather.Staging.chainDirs(spark, root)
       // ingest-contract guard: a batch doc_id already resident would land
       // duplicate sizes and sigs rows, multiplying rows through the
-      // verify size-join and silently corrupting pairs/labels. Cost,
-      // honestly: one semi-join probing the chained sizes layer's doc_id
-      // column — narrow, clustered, limit-1 short-circuited, but
-      // O(resident ids) per append, not batch-sized; the documented
-      // price of catching a replayed batch (upgrade path if it ever
-      // dominates: bloom over resident ids, probed map-side).
+      // verify size-join and silently corrupting pairs/labels. The
+      // resident-id set is sizes ∪ batchdocs ([[residentDocIds]]): a
+      // <3-word appended doc never shingles and so has NO sizes row —
+      // sizes alone would let a replay of such a doc through. Cost,
+      // honestly: one semi-join probing two narrow clustered doc_id
+      // columns, limit-1 short-circuited, but O(resident ids) per
+      // append, not batch-sized; the documented price of catching a
+      // replayed batch (upgrade path if it ever dominates: bloom over
+      // resident ids, probed map-side).
       val dupIds = batch.select($"doc_id")
-        .join(graft.weather.Staging.readChainIn(spark, dirs, "sizes").select($"doc_id"),
-          Seq("doc_id"), "left_semi")
+        .join(residentDocIds(spark, dirs), Seq("doc_id"), "left_semi")
         .limit(1).count()
       require(dupIds == 0,
         s"appendPairGraphMv: batch re-ingests doc_ids already resident in $root — " +
@@ -566,6 +568,26 @@ object TextDedup {
         compactPairGraphMv(spark, dir): Unit
     }
     root
+  }
+
+  /** Every doc_id resident in the MV's current chain: sizes (all
+    * shingled docs — base corpus + appended) ∪ batchdocs (EVERY appended
+    * doc, including <3-word docs that never shingle and so never get a
+    * sizes row). This is the replay-detection set shared by the append
+    * dup guard and the streaming sink's idempotence anti-join — sizes
+    * alone would miss a replayed short doc (duplicate batchdocs rows,
+    * one extra delta per replay). Edge left open deliberately: a
+    * BASE-corpus <3-word doc re-ingested as a "new" batch doc is not
+    * caught (the corpus table is not scanned), but it is harmless — a
+    * shingle-less doc has no sigs, is never a candidate partner, and
+    * its duplicate batchdocs row can never reach the verify join.
+    */
+  private[graft] def residentDocIds(spark: SparkSession, dirs: Seq[String]): DataFrame = {
+    val S = graft.weather.Staging
+    val sz = S.readChainIn(spark, dirs, "sizes").select(col("doc_id"))
+    if (S.chainHasLayerIn(spark, dirs, "batchdocs"))
+      sz.unionByName(S.readChainIn(spark, dirs, "batchdocs").select(col("doc_id")))
+    else sz
   }
 
   private def appendNonEmpty(spark: SparkSession, root: String, dir: String,

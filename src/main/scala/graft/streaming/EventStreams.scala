@@ -339,18 +339,23 @@ object EventStreams {
   // crash in the publish-committed/checkpoint-uncommitted window REPLAYS
   // the batch. The appends' CDC dup guard would fail that replay loudly
   // (better than silent duplicate index rows), so the sinks make replay
-  // a NO-OP instead: each batch is anti-joined against the destination's
-  // resident ids first. A delta publish is all-or-nothing (one marker),
-  // so a replayed batch is either fully resident (filters to empty →
+  // a NO-OP instead: each batch is deduped on its key (an at-least-once
+  // SOURCE can also deliver the same id twice WITHIN one micro-batch,
+  // which would bypass both the resident filter and the batch-vs-
+  // resident dup guard) and then anti-joined against the destination's
+  // resident ids. A delta publish is all-or-nothing (one marker), so a
+  // replayed batch is either fully resident (filters to empty →
   // publishes nothing) or fully new — there is no partial case, which is
   // what makes the anti-join an exactly-once construction and not a
-  // heuristic. Cost: one extra resident-id column scan per micro-batch
-  // on top of the guard's (both limit/anti-join probes of a narrow
-  // clustered column; the appendIvfIndex scaladoc carries the shared
-  // bloom/id-layer upgrade path). Single-writer contract per index: the
-  // filter runs outside the writers' monitor, so two concurrent ingest
-  // streams on one index could still trip the guard — same one-writer-
-  // per-target contract as every publish path here.
+  // heuristic. The filtered batch is checkpointed ONCE and freed in a
+  // finally, so the resident-id scan runs once per micro-batch, not once
+  // per downstream consumer. Cost: one extra resident-id column scan per
+  // micro-batch on top of the guard's (both limit/anti-join probes of
+  // narrow clustered columns; the appendIvfIndex scaladoc carries the
+  // shared bloom/id-layer upgrade path). Single-writer contract per
+  // index: the filter runs outside the writers' monitor, so two
+  // concurrent ingest streams on one index could still trip the guard —
+  // same one-writer-per-target contract as every publish path here.
 
   /** E17 as a streaming sink: micro-batches of (vec_id long,
     * v array<float>) are routed into the BUILT IVF index at `root` with
@@ -366,20 +371,22 @@ object EventStreams {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
         val s = batch.sparkSession
         graft.GraftExtensions.ensure(s)
-        // materialize the feed ONCE (the cdcApplySink discipline): the
-        // anti-join probe and the append both read the checkpointed rows
-        val feed = batch.toDF()
+        // dedup-within-batch + resident anti-join, materialized ONCE (the
+        // cdcApplySink discipline): everything downstream — the append's
+        // isEmpty probe, its dup guard, the delta write — reads these
+        // checkpointed batch-sized blocks instead of re-running the
+        // resident-id scan per consumer
+        val fresh = batch.toDF()
+          .dropDuplicates("vec_id")
           .select(col("vec_id"), col("v"))
           .withColumn("nrm", graft.llm.Embeddings.norm(col("v")))
+          .join(graft.weather.Staging.readChain(s, root, "cells").select(col("vec_id")),
+            Seq("vec_id"), "left_anti")
           .localCheckpoint(true)
-        try {
-          val resident = graft.weather.Staging.readChain(s, root, "cells")
-            .select(col("vec_id"))
-          val fresh = feed.join(resident, Seq("vec_id"), "left_anti")
-          // an empty or fully-replayed batch publishes nothing — the
-          // appends' own empty-batch short-circuit
-          graft.llm.Embeddings.appendIvfIndex(s, root, fresh, compactAfterDeltas)
-        } finally graft.ops.Ckpt.free(feed)
+        // an empty or fully-replayed batch publishes nothing — the
+        // appends' own empty-batch short-circuit
+        try graft.llm.Embeddings.appendIvfIndex(s, root, fresh, compactAfterDeltas)
+        finally graft.ops.Ckpt.free(fresh)
         ()
       }
   }
@@ -398,15 +405,21 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
         val s = batch.sparkSession
-        val feed = batch.toDF().select(col("doc_id"), col("text")).localCheckpoint(true)
+        val root = graft.llm.TextDedup.pairGraphRoot(dir)
+        // replay detection joins the FULL resident-id set (sizes ∪
+        // batchdocs — a <3-word doc never shingles, so it has no sizes
+        // row and only its batchdocs row proves it was ingested); the
+        // same set the append's own dup guard uses
+        val dirs = graft.weather.Staging.chainDirs(s, root)
+        val fresh = batch.toDF()
+          .dropDuplicates("doc_id")
+          .select(col("doc_id"), col("text"))
+          .join(graft.llm.TextDedup.residentDocIds(s, dirs), Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
         try {
-          val root = graft.llm.TextDedup.pairGraphRoot(dir)
-          val resident = graft.weather.Staging.readChain(s, root, "sizes")
-            .select(col("doc_id"))
-          val fresh = feed.join(resident, Seq("doc_id"), "left_anti")
           graft.llm.TextDedup.appendPairGraphMv(s, dir, fresh, compactAfterDeltas)
           ()
-        } finally graft.ops.Ckpt.free(feed)
+        } finally graft.ops.Ckpt.free(fresh)
         ()
       }
   }

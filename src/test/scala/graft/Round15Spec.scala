@@ -17,13 +17,27 @@ class Round15Spec extends SparkSpec {
 
   private def emb = Tables.embeddings(spark, sfDir)
 
+  // the ONE shared stored-norm expression (llm.Embeddings.norm) — a
+  // hand-rolled copy here could silently diverge from what the index
+  // actually stores
   private def vecBatch(m: Int) = emb.filter(col("vec_id") % 20 === m)
     .select(col("vec_id"), col("embedding").as("v"))
-    .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
+    .withColumn("nrm", llm.Embeddings.norm(col("v")))
 
   private def clones(off: Long) = emb.filter(col("vec_id") < 5)
     .select((col("vec_id") + off).as("vec_id"), col("embedding").as("v"))
-    .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
+    .withColumn("nrm", llm.Embeddings.norm(col("v")))
+
+  /** Checkpoint releases ride Spark's ASYNC listener bus (freeOnConsumed
+    * scopes inside the beam search) — poll instead of asserting a
+    * snapshot, or a lagging listener thread flakes the leak pins.
+    */
+  private def awaitNoLeak(before: scala.collection.Set[Int], what: String): Unit = {
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(leaked.isEmpty, s"$what leaked checkpoint blocks: $leaked")
+  }
 
   test("IVF auto-compaction: 4 appends at compactAfterDeltas=2 bound the chain and match the never-compacted twin") {
     import spark.implicits._
@@ -159,14 +173,12 @@ class Round15Spec extends SparkSpec {
     // identity-pred corpus (vec_id >= 5), so the dup guard must fire
     intercept[IllegalArgumentException](
       llm.Embeddings.appendNswIndex(spark, sfDir, clones(10L), "r15leak"))
-    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
-      "dup-guard failure leaked checkpoint blocks")
+    awaitNoLeak(before, "dup-guard failure")
     // publish-lock contention: everything materialized before the publish
     // must be released on the failure path too
     fs.create(new org.apache.hadoop.fs.Path(root + "__lock"), false).close()
     intercept[java.io.IOException](llm.Embeddings.appendIvfIndex(spark, root, fresh))
-    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
-      "publish-lock failure leaked checkpoint blocks")
+    awaitNoLeak(before, "publish-lock failure")
     assert(Staging.breakPublishLock(spark, root))
     // the retry after recovery succeeds — the guard saw no phantom state
     llm.Embeddings.appendIvfIndex(spark, root, fresh)
@@ -176,8 +188,7 @@ class Round15Spec extends SparkSpec {
     val b2 = spark.sparkContext.getPersistentRDDs.keySet
     intercept[java.io.IOException](
       llm.Embeddings.appendNswIndex(spark, sfDir, clones(7000000L), "r15leak"))
-    assert((spark.sparkContext.getPersistentRDDs.keySet -- b2).isEmpty,
-      "NSW publish-lock failure leaked checkpoint blocks")
+    awaitNoLeak(b2, "NSW publish-lock failure")
     assert(Staging.breakPublishLock(spark, nswRoot))
     llm.Embeddings.appendNswIndex(spark, sfDir, clones(7000000L), "r15leak")
     assert(Staging.chainVersions(spark, nswRoot).size === 2)
@@ -198,8 +209,7 @@ class Round15Spec extends SparkSpec {
       val before = spark.sparkContext.getPersistentRDDs.keySet
       intercept[java.io.IOException](
         llm.TextDedup.appendPairGraphMv(spark, scratch, batch))
-      assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
-        "pair-graph publish-lock failure leaked blocks")
+      awaitNoLeak(before, "pair-graph publish-lock failure")
       assert(Staging.currentSnapshotVersion(spark, root) === Some(0L),
         "blocked append must commit nothing")
       assert(Staging.breakPublishLock(spark, root))
@@ -215,13 +225,22 @@ class Round15Spec extends SparkSpec {
   }
 
   test("chained-artifact reads: 5 passes over multi-delta indexes stay flat with zero leaked blocks") {
+    import org.apache.spark.sql.DataFrame
     // the Round14Spec flatness pin extended to CHAIN-heavy reads (round-14
     // verdict item 5): the IVF read resolves a 5-dir pin per pass, the NSW
     // read additionally builds and frees a corpus∪vecs checkpoint per
     // pass — a delta-read or pin-resolution leak accumulates blocks and
-    // shows the monotonic-growth shape
-    val rootI = llm.Embeddings.ivfRoot(sfDir, "r15_nc")   // 5 dirs (twin test)
-    val rootG = llm.Embeddings.nswRoot(sfDir, "r15nc")    // 5 dirs incl vecs
+    // shows the monotonic-growth shape. The 5-dir chains are built HERE
+    // (dedicated tags), not borrowed from the twin tests' side effects,
+    // so the pin survives isolation/reordering.
+    graft.GraftExtensions.ensure(spark)
+    val predF: DataFrame => DataFrame = _.filter(col("vec_id") % 20 < 12)
+    val rootI = llm.Embeddings.buildIvfIndex(spark, sfDir, "r15_flat", predF)
+    for (m <- 12 to 15) llm.Embeddings.appendIvfIndex(spark, rootI, vecBatch(m))
+    val rootG = llm.Embeddings.buildNswIndex(spark, sfDir, "r15flat")
+    for (i <- 1 to 4) llm.Embeddings.appendNswIndex(spark, sfDir, clones(i * 1000000L), "r15flat")
+    assert(Staging.chainVersions(spark, rootI).size === 5)
+    assert(Staging.chainVersions(spark, rootG).size === 5)
     val passes = Seq[(String, () => Long)](
       ("ivf_chain_read", () => llm.Embeddings.ivfQueryFromIndex(spark, sfDir, rootI).count()),
       ("nsw_chain_read", () => llm.Embeddings.nswQueryFromIndex(spark, sfDir, rootG).count()))

@@ -509,7 +509,11 @@ class StreamingSpec extends SparkSpec {
       for (m <- 12 to 15) {
         lastRows = vecs(m).collect()
           .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
-        input.addData(lastRows: _*)
+        // an at-least-once source can deliver the same id twice WITHIN a
+        // micro-batch — the sink must collapse it, or duplicate cells
+        // rows would double-rank that cid (checked by the per-id
+        // uniqueness assert below)
+        input.addData((lastRows ++ lastRows.take(2)): _*)
         q.processAllAvailable()
         llm.Embeddings.appendIvfIndex(spark, rootB,
           vecs(m).withColumn("nrm", llm.Embeddings.norm($"v")), compactAfterDeltas = 2)
@@ -524,10 +528,16 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       assert(S.currentSnapshotVersion(spark, rootS) === vBefore,
         "replayed micro-batch published a version")
-      // streamed index ≡ batch-appended index, both layers
+      // streamed index ≡ batch-appended index, both layers — and no
+      // vec_id landed twice (the within-batch dedup is binding: without
+      // it the duplicated rows above land duplicate cells rows)
       def cells(root: String) = S.readChain(spark, root, "cells")
         .select($"vec_id", $"cell").collect().toSet
       assert(cells(rootS) === cells(rootB))
+      assert(S.readChain(spark, rootS, "cells")
+        .groupBy($"vec_id").agg(count(lit(1)).as("k"))
+        .filter($"k" > 1).count() === 0,
+        "within-batch duplicate ids landed duplicate cells rows")
       assert(S.readChainLatest(spark, rootS, "centroids").collect().toSet
         === S.readChainLatest(spark, rootB, "centroids").collect().toSet)
       assert(S.chainVersions(spark, rootS).size === S.chainVersions(spark, rootB).size)
@@ -571,6 +581,19 @@ class StreamingSpec extends SparkSpec {
         q.processAllAvailable()
         assert(S.currentSnapshotVersion(spark, rootS) === vBefore,
           "replayed micro-batch published a version")
+        // the SHORT-doc replay hole (a <3-word doc never shingles, so it
+        // has no sizes row — replay detection must see its batchdocs
+        // row): ingest one, then replay it; the replay must be a no-op
+        val shortDoc = Seq((999999L, "tiny doc"))
+        input.addData(shortDoc: _*)
+        q.processAllAvailable()
+        llm.TextDedup.appendPairGraphMv(spark, dirB,
+          shortDoc.toDF("doc_id", "text"), compactAfterDeltas = 2)
+        val vShort = S.currentSnapshotVersion(spark, rootS)
+        input.addData(shortDoc: _*)
+        q.processAllAvailable()
+        assert(S.currentSnapshotVersion(spark, rootS) === vShort,
+          "replayed short doc published a version (sizes-only replay detection)")
         // streamed MV ≡ batch-appended MV across the consumer layers
         def pairSet(dir: String) = llm.TextDedup.pairGraphPairs(spark, dir)
           .select($"doc_a", $"doc_b", $"n_common", $"n_a", $"n_b")
