@@ -451,6 +451,10 @@ object Embeddings {
           .repartition($"cell")
           .write.mode("overwrite").partitionBy("cell").parquet(s"$p/cells")
         cents.repartition(1).write.mode("overwrite").parquet(s"$p/centroids")
+        // resident-id bloom sidecar (graft.ops.IdBloom): what keeps later
+        // appends' dup guards O(batch) instead of scanning this version's
+        // vec_id column per ingest
+        graft.ops.IdBloom.write(spark, p, e.select($"vec_id"), "vec_id")
       }
       graft.weather.Staging.gcChains(spark, root, keepChains = 2)
     } finally { e.unpersist(false); () }
@@ -475,19 +479,28 @@ object Embeddings {
     * bill; both writers hold the same monitor, so the pair is atomic
     * w.r.t. other writers and readers keep the previous chain).
     *
-    * Ingest-guard cost, honestly: the dup guard semi-joins the batch's
-    * ids against the chained cells layer, so each append pays one
-    * column-pruned scan of the index's `vec_id` column (narrow,
-    * clustered, short-circuited by the `.limit(1)`) — O(index ids), NOT
-    * O(batch), on top of the batch-sized delta work. That is the
-    * documented price of catching a replayed batch before it corrupts
-    * top-k results; if the id scan ever dominates at 100 TB, the upgrade
-    * is a dedicated clustered id layer per delta (the pair-graph `sizes`
-    * pattern) or a bloom filter over resident ids — both keep the guard
-    * while shrinking the probe to metadata size.
+    * Ingest-guard cost (round-16): the dup guard probes the batch's ids
+    * against the chain's per-version BLOOM sidecars first
+    * ([[graft.ops.IdBloom]]) — map-side, O(batch) — and touches the
+    * index's resident `vec_id` column only when a batch id is flagged
+    * (a real replay, or the 1%-fpp false-positive sliver), which is the
+    * failure path, not the steady state. A chain missing any sidecar
+    * degrades to the exact column scan — cost, never correctness.
+    *
+    * `idempotent = true` (the streaming-sink mode) replaces the loud
+    * require with drop-resident-rows semantics: the batch is filtered to
+    * its not-yet-resident remainder (same bloom-first machinery) and an
+    * entirely-replayed batch publishes NOTHING — what makes foreachBatch
+    * at-least-once delivery exactly-once on the chain. A delta publish
+    * is all-or-nothing (one marker), so a replayed batch is either fully
+    * resident (filters to empty) or fully new; the filter also runs
+    * INSIDE the writers' monitor, so two concurrent idempotent ingests
+    * of overlapping batches serialize — the second lands only the rows
+    * the first didn't (partial overlap included).
     */
   private[graft] def appendIvfIndex(spark: SparkSession, root: String, batch: DataFrame,
-                                    compactAfterDeltas: Int = 0): Unit =
+                                    compactAfterDeltas: Int = 0,
+                                    idempotent: Boolean = false): Unit =
     // serialized with rebuilds on the writers' monitor: an append racing
     // a concurrent rebuild could otherwise assign against a quantizer
     // the rebuild is about to retire (and land its delta on the new
@@ -506,32 +519,45 @@ object Embeddings {
         // require and the publish are exactly the retry-after-failure
         // paths, and a long-lived ingest driver retrying a poisoned batch
         // must not leak a checkpoint per attempt.
-        val b = batch.select($"vec_id", $"v", $"nrm").localCheckpoint()
+        val b0 = batch.select($"vec_id", $"v", $"nrm").localCheckpoint()
+        val ckpts = scala.collection.mutable.ArrayBuffer[DataFrame](b0)
         try {
           val dirs = graft.weather.Staging.chainDirs(spark, root)
+          // the exact resident-id frame — constructed ONLY when the bloom
+          // probe flags a batch id (by-name in both guard forms)
+          def residentIds =
+            graft.weather.Staging.readChainIn(spark, dirs, "cells").select($"vec_id")
           // ingest-contract guard (parity with the NSW and pair-graph
           // appends): a re-ingested vec_id — e.g. a batch retried after a
           // failure PAST the commit marker — would land duplicate cells
           // rows and rank the same cid into two top-k slots, silently
-          val dup = b.select($"vec_id")
-            .join(graft.weather.Staging.readChainIn(spark, dirs, "cells").select($"vec_id"),
-              Seq("vec_id"), "left_semi")
-            .limit(1).count()
-          require(dup == 0,
-            s"appendIvfIndex: batch re-ingests vec_ids already resident in $root — " +
-              "vec_ids must be disjoint (CDC ingest contract)")
-          // frozen quantizer = the chain's committed centroids; the batch
-          // publishes as a DELTA version carrying only its own cell rows —
-          // committed versions stay immutable, a crash before the marker
-          // leaves the index at its previous version, and readers union
-          // cells across the chain
-          val cents = graft.weather.Staging.readChainLatestIn(spark, dirs, "centroids")
-          graft.weather.Staging.publishSnapshotDelta(spark, root) { p =>
-            assignCells(b, cents).select($"vec_id", $"v", $"nrm", $"cell")
-              .repartition($"cell")
-              .write.mode("overwrite").partitionBy("cell").parquet(s"$p/cells")
+          val b =
+            if (idempotent) {
+              val fresh = graft.ops.IdBloom.filterFresh(spark, dirs, b0, "vec_id", residentIds)
+              if (fresh eq b0) b0
+              else { val c = fresh.localCheckpoint(); ckpts += c; c }
+            } else {
+              require(!graft.ops.IdBloom.overlaps(spark, dirs, b0, "vec_id", residentIds),
+                s"appendIvfIndex: batch re-ingests vec_ids already resident in $root — " +
+                  "vec_ids must be disjoint (CDC ingest contract)")
+              b0
+            }
+          // an entirely-replayed idempotent batch publishes nothing
+          if (!idempotent || !b.isEmpty) {
+            // frozen quantizer = the chain's committed centroids; the batch
+            // publishes as a DELTA version carrying only its own cell rows —
+            // committed versions stay immutable, a crash before the marker
+            // leaves the index at its previous version, and readers union
+            // cells across the chain
+            val cents = graft.weather.Staging.readChainLatestIn(spark, dirs, "centroids")
+            graft.weather.Staging.publishSnapshotDelta(spark, root) { p =>
+              assignCells(b, cents).select($"vec_id", $"v", $"nrm", $"cell")
+                .repartition($"cell")
+                .write.mode("overwrite").partitionBy("cell").parquet(s"$p/cells")
+              graft.ops.IdBloom.write(spark, p, b.select($"vec_id"), "vec_id")
+            }
           }
-        } finally graft.ops.Ckpt.free(b)
+        } finally graft.ops.Ckpt.free(ckpts.toSeq: _*)
         if (compactAfterDeltas > 0 &&
             graft.weather.Staging.chainVersions(spark, root).size - 1 > compactAfterDeltas)
           compactIvfIndex(spark, root)
@@ -572,6 +598,11 @@ object Embeddings {
             .repartition($"cell")
             .write.mode("overwrite").partitionBy("cell").parquet(s"$p/cells")
           cents.repartition(1).write.mode("overwrite").parquet(s"$p/centroids")
+          // sidecars are COPIED, never merged or recomputed (IdBloom's
+          // no-false-negative invariant): union semantics come from
+          // probing every blob, and a chain missing any sidecar writes
+          // none (exact-scan fallback) rather than an incomplete set
+          graft.ops.IdBloom.copyInto(spark, dirs, p)
         }
         S.gcChains(spark, root, keepChains = 2)
         ()
@@ -1437,6 +1468,9 @@ object Embeddings {
         graft.weather.Staging.publishSnapshot(spark, root) { p =>
           adj.repartition(4, $"src").sortWithinPartitions($"src", $"dst")
             .write.mode("overwrite").parquet(s"$p/adj")
+          // resident-id bloom sidecar over the build's corpus (pred
+          // applied — the same set appends guard against as corpus∪vecs)
+          graft.ops.IdBloom.write(spark, p, e.select($"vec_id"), "vec_id")
         }
         graft.weather.Staging.gcChains(spark, root, keepChains = 2)
       } finally graft.ops.Ckpt.free(ckpts.toSeq: _*)
@@ -1584,11 +1618,11 @@ object Embeddings {
         val (eCk, e) = corpusWithVecs(spark, dirs, e0, pred)
         ckpts += eCk
         // ingest-contract guard: a resident vec_id re-ingested would land
-        // duplicate vecs rows and double-score every beam candidate
-        val dup = b.select($"vec_id")
-          .join(e.select($"vec_id"), Seq("vec_id"), "left_semi")
-          .limit(1).count()
-        require(dup == 0,
+        // duplicate vecs rows and double-score every beam candidate.
+        // Bloom-first (IdBloom): the full version's sidecar covers the
+        // build corpus, each delta's covers its batch, so the exact
+        // corpus∪vecs id scan runs only when a batch id is flagged
+        require(!graft.ops.IdBloom.overlaps(spark, dirs, b, "vec_id", e.select($"vec_id")),
           s"appendNswIndex: batch re-ingests vec_ids already resident in $root — " +
             "vec_ids must be disjoint (CDC ingest contract)")
         val adj = S.readChainIn(spark, dirs, "adj").localCheckpoint()
@@ -1613,6 +1647,7 @@ object Embeddings {
             .write.mode("overwrite").parquet(s"$p/adj")
           b.repartition(4, $"vec_id").sortWithinPartitions($"vec_id")
             .write.mode("overwrite").parquet(s"$p/vecs")
+          graft.ops.IdBloom.write(spark, p, b.select($"vec_id"), "vec_id")
         }
       } finally graft.ops.Ckpt.free(ckpts.toSeq: _*)
       if (compactAfterDeltas > 0 &&
@@ -1670,6 +1705,8 @@ object Embeddings {
             .write.mode("overwrite").parquet(s"$p/adj")
           vecs.foreach(_.repartition(4, $"vec_id").sortWithinPartitions($"vec_id")
             .write.mode("overwrite").parquet(s"$p/vecs"))
+          // copy, never merge/recompute — the compactIvfIndex rationale
+          graft.ops.IdBloom.copyInto(spark, dirs, p)
         }
         S.gcChains(spark, root, keepChains = 2)
         ()

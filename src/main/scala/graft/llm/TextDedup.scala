@@ -489,6 +489,10 @@ object TextDedup {
           .select($"node".as("doc_id"), $"component")
           .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
           .write.mode("overwrite").parquet(s"$p/labels")
+        // resident-id bloom sidecar over the shingled ids — exactly the
+        // set this version contributes to [[residentDocIds]] (a fresh
+        // refresh starts a new chain, so there is no batchdocs layer yet)
+        graft.ops.IdBloom.write(spark, p, szs.select($"doc_id"), "doc_id")
       }
     } finally { sh.unpersist(false); () }
     // a refresh starts a NEW chain; retain the previous chain for its
@@ -531,16 +535,25 @@ object TextDedup {
     * [[compactPairGraphMv]] collapses it under the same writer monitor —
     * the operational form of ProbeAppend's measured trigger.
     */
+  /** `idempotent = true` (the streaming-sink mode): instead of the loud
+    * require, rows already resident are DROPPED and only the remainder
+    * appends — an entirely-replayed micro-batch publishes nothing, which
+    * is what turns foreachBatch's at-least-once delivery into
+    * exactly-once on the chain. The filter runs inside the writers'
+    * monitor, so two concurrent idempotent ingests of overlapping
+    * batches serialize (the second lands only what the first didn't).
+    */
   private[graft] def appendPairGraphMv(spark: SparkSession, dir: String,
                                        batch: DataFrame,
-                                       compactAfterDeltas: Int = 0): String = pgBuilt.synchronized {
+                                       compactAfterDeltas: Int = 0,
+                                       idempotent: Boolean = false): String = pgBuilt.synchronized {
     import spark.implicits._
     val root = pairGraphRoot(dir)
     require(pgBuilt.containsKey(root),
       s"appendPairGraphMv: no built pair-graph MV for $dir — refresh first")
     // an EMPTY batch publishes nothing (the streaming-sink contract) and
-    // pays nothing: the short-circuit runs BEFORE the dup guard's chain
-    // scan, so routinely-empty micro-batches cost one isEmpty probe
+    // pays nothing: the short-circuit runs BEFORE the dup guard's probe,
+    // so routinely-empty micro-batches cost one isEmpty probe
     if (!batch.isEmpty) {
       // ONE pinned chain resolution shared by the guard and the append
       // body (the readers' chainDirs discipline)
@@ -550,19 +563,31 @@ object TextDedup {
       // verify size-join and silently corrupting pairs/labels. The
       // resident-id set is sizes ∪ batchdocs ([[residentDocIds]]): a
       // <3-word appended doc never shingles and so has NO sizes row —
-      // sizes alone would let a replay of such a doc through. Cost,
-      // honestly: one semi-join probing two narrow clustered doc_id
-      // columns, limit-1 short-circuited, but O(resident ids) per
-      // append, not batch-sized; the documented price of catching a
-      // replayed batch (upgrade path if it ever dominates: bloom over
-      // resident ids, probed map-side).
-      val dupIds = batch.select($"doc_id")
-        .join(residentDocIds(spark, dirs), Seq("doc_id"), "left_semi")
-        .limit(1).count()
-      require(dupIds == 0,
-        s"appendPairGraphMv: batch re-ingests doc_ids already resident in $root — " +
-          "doc_ids must be disjoint (CDC ingest contract)")
-      appendNonEmpty(spark, root, dir, batch, dirs)
+      // sizes alone would let a replay of such a doc through. Cost
+      // (round-16): bloom-first via the per-version IdBloom sidecars —
+      // every version's blob covers exactly what it contributes to
+      // residentDocIds (refresh: sizes ids; delta: ALL batch ids, short
+      // docs included) — so the exact sizes∪batchdocs scan runs only for
+      // flagged ids: O(batch) steady state, O(resident) only on the
+      // replay/false-positive path.
+      if (idempotent) {
+        val b0 = batch.select($"doc_id", $"text").localCheckpoint()
+        val ckpts = scala.collection.mutable.ArrayBuffer[DataFrame](b0)
+        try {
+          val fresh = graft.ops.IdBloom.filterFresh(spark, dirs, b0, "doc_id",
+            residentDocIds(spark, dirs))
+          val f =
+            if (fresh eq b0) b0
+            else { val c = fresh.localCheckpoint(); ckpts += c; c }
+          if (!f.isEmpty) appendNonEmpty(spark, root, dir, f, dirs)
+        } finally graft.ops.Ckpt.free(ckpts.toSeq: _*)
+      } else {
+        require(!graft.ops.IdBloom.overlaps(spark, dirs, batch, "doc_id",
+            residentDocIds(spark, dirs)),
+          s"appendPairGraphMv: batch re-ingests doc_ids already resident in $root — " +
+            "doc_ids must be disjoint (CDC ingest contract)")
+        appendNonEmpty(spark, root, dir, batch, dirs)
+      }
       if (compactAfterDeltas > 0 &&
           graft.weather.Staging.chainVersions(spark, root).size - 1 > compactAfterDeltas)
         compactPairGraphMv(spark, dir): Unit
@@ -653,6 +678,9 @@ object TextDedup {
             .select($"node".as("doc_id"), $"component")
             .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
             .write.mode("overwrite").parquet(s"$p/labels")
+          // bloom over ALL batch ids (matching the batchdocs layer, so a
+          // replayed <3-word doc is flagged too — the short-doc hole)
+          graft.ops.IdBloom.write(spark, p, batch.select($"doc_id"), "doc_id")
         }
       // freed on EVERY exit: a publish-lock failure is a retry path, and
       // a retrying ingest driver must not leak a pairs-sized checkpoint
@@ -717,6 +745,8 @@ object TextDedup {
           S.readChainLatestIn(spark, dirs, "labels")
             .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
             .write.mode("overwrite").parquet(s"$p/labels")
+          // copy, never merge/recompute (IdBloom's no-false-negative rule)
+          graft.ops.IdBloom.copyInto(spark, dirs, p)
         }
         S.gcChains(spark, root, keepChains = 2)
         ()

@@ -338,24 +338,26 @@ object EventStreams {
   // Delivery semantics, honestly: foreachBatch is at-least-once — a
   // crash in the publish-committed/checkpoint-uncommitted window REPLAYS
   // the batch. The appends' CDC dup guard would fail that replay loudly
-  // (better than silent duplicate index rows), so the sinks make replay
-  // a NO-OP instead: each batch is deduped on its key (an at-least-once
-  // SOURCE can also deliver the same id twice WITHIN one micro-batch,
-  // which would bypass both the resident filter and the batch-vs-
-  // resident dup guard) and then anti-joined against the destination's
-  // resident ids. A delta publish is all-or-nothing (one marker), so a
-  // replayed batch is either fully resident (filters to empty →
-  // publishes nothing) or fully new — there is no partial case, which is
-  // what makes the anti-join an exactly-once construction and not a
-  // heuristic. The filtered batch is checkpointed ONCE and freed in a
-  // finally, so the resident-id scan runs once per micro-batch, not once
-  // per downstream consumer. Cost: one extra resident-id column scan per
-  // micro-batch on top of the guard's (both limit/anti-join probes of
-  // narrow clustered columns; the appendIvfIndex scaladoc carries the
-  // shared bloom/id-layer upgrade path). Single-writer contract per
-  // index: the filter runs outside the writers' monitor, so two
-  // concurrent ingest streams on one index could still trip the guard —
-  // same one-writer-per-target contract as every publish path here.
+  // (better than silent duplicate index rows), so the sinks run the
+  // appends in IDEMPOTENT mode instead: each batch is deduped on its key
+  // (an at-least-once SOURCE can also deliver the same id twice WITHIN
+  // one micro-batch) and the append itself drops already-resident rows —
+  // bloom-first against the chain's per-version IdBloom sidecars, so the
+  // steady-state replay probe is O(batch) map-side work, with the exact
+  // resident-id scan reserved for flagged ids. A delta publish is
+  // all-or-nothing (one marker), so with a replayable source that
+  // re-delivers the same micro-batch membership (Kafka offsets,
+  // MemoryStream, file source — the foreachBatch deployment shape) a
+  // replayed batch is fully resident and filters to empty → publishes
+  // nothing; the filter tolerates PARTIAL residency anyway (only the
+  // missing rows land), so even a source violating that precondition
+  // degrades to at-least-once-per-row, never duplicate index rows.
+  // ONE resident probe per micro-batch total (the filter IS the dup
+  // guard in idempotent mode), inside the writers' monitor — so two
+  // concurrent ingest streams on one index serialize and dedup instead
+  // of tripping a guard; Round16Spec pins that contract. An empty
+  // trigger tick costs one isEmpty probe (the appends' first check) —
+  // no checkpoint, no resident work.
 
   /** E17 as a streaming sink: micro-batches of (vec_id long,
     * v array<float>) are routed into the BUILT IVF index at `root` with
@@ -371,22 +373,12 @@ object EventStreams {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
         val s = batch.sparkSession
         graft.GraftExtensions.ensure(s)
-        // dedup-within-batch + resident anti-join, materialized ONCE (the
-        // cdcApplySink discipline): everything downstream — the append's
-        // isEmpty probe, its dup guard, the delta write — reads these
-        // checkpointed batch-sized blocks instead of re-running the
-        // resident-id scan per consumer
-        val fresh = batch.toDF()
-          .dropDuplicates("vec_id")
-          .select(col("vec_id"), col("v"))
-          .withColumn("nrm", graft.llm.Embeddings.norm(col("v")))
-          .join(graft.weather.Staging.readChain(s, root, "cells").select(col("vec_id")),
-            Seq("vec_id"), "left_anti")
-          .localCheckpoint(true)
-        // an empty or fully-replayed batch publishes nothing — the
-        // appends' own empty-batch short-circuit
-        try graft.llm.Embeddings.appendIvfIndex(s, root, fresh, compactAfterDeltas)
-        finally graft.ops.Ckpt.free(fresh)
+        graft.llm.Embeddings.appendIvfIndex(s, root,
+          batch.toDF()
+            .dropDuplicates("vec_id")
+            .select(col("vec_id"), col("v"))
+            .withColumn("nrm", graft.llm.Embeddings.norm(col("v"))),
+          compactAfterDeltas, idempotent = true)
         ()
       }
   }
@@ -405,21 +397,11 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
         val s = batch.sparkSession
-        val root = graft.llm.TextDedup.pairGraphRoot(dir)
-        // replay detection joins the FULL resident-id set (sizes ∪
-        // batchdocs — a <3-word doc never shingles, so it has no sizes
-        // row and only its batchdocs row proves it was ingested); the
-        // same set the append's own dup guard uses
-        val dirs = graft.weather.Staging.chainDirs(s, root)
-        val fresh = batch.toDF()
-          .dropDuplicates("doc_id")
-          .select(col("doc_id"), col("text"))
-          .join(graft.llm.TextDedup.residentDocIds(s, dirs), Seq("doc_id"), "left_anti")
-          .localCheckpoint(true)
-        try {
-          graft.llm.TextDedup.appendPairGraphMv(s, dir, fresh, compactAfterDeltas)
-          ()
-        } finally graft.ops.Ckpt.free(fresh)
+        graft.llm.TextDedup.appendPairGraphMv(s, dir,
+          batch.toDF()
+            .dropDuplicates("doc_id")
+            .select(col("doc_id"), col("text")),
+          compactAfterDeltas, idempotent = true)
         ()
       }
   }
