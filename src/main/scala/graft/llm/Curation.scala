@@ -915,6 +915,42 @@ object Curation {
       graft.weather.Staging.readChainLatest(spark, root, "labels"))
   }
 
+  /** C23 pair-graph compaction as a REGISTERED, oracle-checked query —
+    * the E24 convention applied to the near-dup MV: the pair graph is
+    * refreshed over a 90% scratch corpus (the MV is keyed by dataset dir,
+    * so the resident subset gets its own dir — the PairGraphMvSpec
+    * recipe), the held-out 10% arrives as TWO sub-batches appended with
+    * `compactAfterDeltas = 1`, so the second append TRIPS auto-compaction
+    * and the chain collapses to ONE full version; the `require` fails the
+    * query rather than silently serving the uncompacted chain. The C12
+    * report then reads the COMPACTED labels. Splitting the batch is sound
+    * here (unlike NSW — see nswCompactTopK's scaladoc): append №2 probes
+    * the stored sigs chain, which already carries append №1's signatures,
+    * and verifies partners against corpus ∪ batchdocs, so the final pair
+    * set and labels equal a full-corpus rebuild (PairGraphMvSpec pins
+    * append ≡ rebuild) — the query shares nearDedupBestSql, and the hash
+    * match certifies incremental ingest + auto-compaction end-to-end.
+    * Honest billing: scratch-corpus write + 90% refresh + two appends +
+    * compaction + report, every run.
+    */
+  def nearDedupCompact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val scratch = graft.ops.ArtifactRoots.register("graft_pg_cmp_corpus", Some(dir))
+    docs.filter($"doc_id" % 10 =!= 7)
+      .write.mode("overwrite").parquet(s"$scratch/documents.parquet")
+    val root = TextDedup.refreshPairGraphMv(spark, scratch)
+    def batch(m: Int) = docs.filter($"doc_id" % 20 === m).select($"doc_id", $"text")
+    TextDedup.appendPairGraphMv(spark, scratch, batch(7), compactAfterDeltas = 1)
+    TextDedup.appendPairGraphMv(spark, scratch, batch(17), compactAfterDeltas = 1)
+    require(graft.weather.Staging.chainVersions(spark, root).size == 1,
+      "cur_neardedup_compact: auto-compaction did not collapse the chain")
+    nearDedupReport(qualityFrame(spark, dir),
+      graft.weather.Staging.readChainLatest(spark, root, "labels"))
+  }
+
+  lazy val nearDedupCompactSql: String = nearDedupBestSql
+
   // lazy: nearDedupBestSql is declared further down the object body — an
   // eager val here would read null during object init (the graphPipelineSql
   // lesson)
@@ -1142,6 +1178,7 @@ object Curation {
     "cur_dsir"         -> (dsirWeights _),
     "cur_neardedup_best" -> (nearDedupBest _),
     "cur_neardedup_mv" -> (nearDedupMv _),
+    "cur_neardedup_compact" -> (nearDedupCompact _),
     "cur_weighted_sample" -> (weightedSample _),
     "cur_snapshot_diff" -> (snapshotDiffReport _),
     "cur_chunk"        -> (chunk _),
@@ -1165,6 +1202,7 @@ object Curation {
     "cur_dsir"         -> dsirSql,
     "cur_neardedup_best" -> nearDedupBestSql,
     "cur_neardedup_mv" -> nearDedupMvSql,
+    "cur_neardedup_compact" -> nearDedupCompactSql,
     "cur_weighted_sample" -> weightedSampleSql,
     "cur_snapshot_diff" -> snapshotDiffSql,
     "cur_chunk"        -> chunkSql,

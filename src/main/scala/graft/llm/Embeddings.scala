@@ -1713,6 +1713,42 @@ object Embeddings {
       }
     }
 
+  /** E25 NSW compaction as a REGISTERED, oracle-checked query — E24's
+    * convention applied to the graph index: the E23 pipeline runs
+    * unchanged (resident build on 90%, the held-out batch inserted), then
+    * [[compactNswIndex]] collapses the full+delta chain to ONE version
+    * before the query beam runs against it; the `require` fails the query
+    * rather than silently serving the uncompacted chain. Shares
+    * nswAppendTopKSql by construction: compaction rewrites adj/vecs
+    * without rescoring, so a hash match certifies the rewrite end-to-end.
+    *
+    * Deliberate asymmetry with E24 (which splits the batch in two and
+    * trips the AUTO-compaction threshold): an NSW insert is ORDER- and
+    * BATCHING-dependent — a second sub-batch beam-searches over the first
+    * sub-batch's edges and its batch-internal SRP edges are scoped to its
+    * own sub-batch — so a two-sub-batch ingest provably cannot share
+    * E23's single-insert oracle the way IVF's per-row frozen-quantizer
+    * assignment can. The auto-trigger path for NSW is pinned by
+    * Round14Spec/Round15Spec; what the oracle adds here is the
+    * compacted-artifact correctness through the registered read path.
+    */
+  def nswCompactTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.ensure(spark)
+    import spark.implicits._
+    val pred: DataFrame => DataFrame = _.filter($"vec_id" % 10 =!= 7)
+    val root = buildNswIndex(spark, dir, "cmp", pred)
+    val batch = Tables.embeddings(spark, dir)
+      .filter($"vec_id" >= 5 && $"vec_id" % 10 === 7)
+      .select($"vec_id", $"embedding".as("v"))
+      .withColumn("nrm", norm($"v"))
+    appendNswIndex(spark, dir, batch, "cmp", pred)
+    compactNswIndex(spark, root)
+    require(graft.weather.Staging.chainVersions(spark, root).size == 1,
+      "emb_nsw_compact: compaction did not collapse the chain")
+    nswQueryFromIndex(spark, dir, root, pred)
+      .withColumn("is_new", ($"cid" % 10 === 7).cast("int"))
+  }
+
   /** One beam-search round's CTEs, parameterized by adjacency / corpus /
     * query table names and a CTE-name prefix — E23's oracle runs TWO
     * beam searches in one query (the batch's insert search over the
@@ -2735,6 +2771,7 @@ object Embeddings {
     "emb_nsw_mv"      -> (nswMvTopK _),
     "emb_nsw_read"    -> (nswReadTopK _),
     "emb_nsw_append"  -> (nswAppendTopK _),
+    "emb_nsw_compact" -> (nswCompactTopK _),
     "emb_semdedup"    -> (semDedup _),
     "emb_quantize"    -> (quantize _),
     "emb_recall_eval" -> (recallEval _),
@@ -2761,6 +2798,7 @@ object Embeddings {
     "emb_nsw_mv"      -> nswTopKSql,
     "emb_nsw_read"    -> nswTopKSql,
     "emb_nsw_append"  -> nswAppendTopKSql,
+    "emb_nsw_compact" -> nswAppendTopKSql,
     "emb_semdedup"    -> semDedupSql,
     "emb_quantize"    -> quantizeSql,
     "emb_recall_eval" -> recallEvalSql,
