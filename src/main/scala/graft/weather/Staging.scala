@@ -142,41 +142,24 @@ object Staging {
     */
   /** THE cross-process writer-exclusion seam — every publish variant
     * (rename-swap, snapshot, delta) takes its lock through this one hook,
-    * so swapping the primitive swaps it everywhere.
-    *
-    * Atomicity contract, stated precisely: `fs.create(lock,
-    * overwrite=false)` is an atomic create-if-absent on HDFS and local
-    * filesystems (the create either wins or throws — two racing writers
-    * cannot both win), which is what makes the lock a real mutex there.
-    * On S3A the same call is CHECK-then-PUT — a HEAD probe followed by an
-    * unconditional PUT — so two writers racing within the probe window
-    * could both believe they hold the lock. In-process writers are
-    * additionally serialized by each MV family's monitor, so nothing is
-    * wrong in a single-JVM deployment today; a MULTI-process deployment
-    * on object storage must replace this body with one of the standard
-    * upgrades, all of which fit behind this signature unchanged:
-    *  - S3 conditional PUT (`If-None-Match: *`, supported since 2024) —
-    *    the same create-if-absent made atomic by the store;
-    *  - a commit service / lock table (the DynamoDB pattern Delta Lake
-    *    uses for S3 multi-cluster writes);
-    *  - rely on the target table format's own commit protocol once the
-    *    snapshot dirs move under Delta/Iceberg, which makes this lock
-    *    redundant.
-    * Release is best-effort delete in the caller's finally; a writer that
-    * dies between acquire and release leaves the lock behind
-    * DELIBERATELY — see [[breakPublishLock]] for the recovery contract.
+    * and the acquire/release PRIMITIVE is the pluggable
+    * [[CommitLockProvider]] strategy ([[CommitLock.provider]]): the
+    * default is HDFS/local-FS atomic create-if-absent; the S3A
+    * check-then-act hazard and its conditional-PUT upgrade are documented
+    * on the trait and pinned executable by StagingSpec's race tests.
+    * Release is best-effort in the caller's finally; a writer that dies
+    * between acquire and release leaves the lock behind DELIBERATELY —
+    * see [[breakPublishLock]] for the recovery contract.
     */
   private def withPublishLock[A](fs: org.apache.hadoop.fs.FileSystem,
                                  path: String, what: String)(body: => A): A = {
     val lock = new org.apache.hadoop.fs.Path(path + "__lock")
-    val acquired =
-      try { fs.create(lock, /* overwrite = */ false).close(); true }
-      catch { case _: java.io.IOException => false }
-    if (!acquired)
+    val provider = CommitLock.provider
+    if (!provider.tryAcquire(fs, lock))
       throw new java.io.IOException(
         s"another $what to $path is in progress ($lock exists); " +
           "if its writer is dead, call breakPublishLock first")
-    try body finally fs.delete(lock, false)
+    try body finally provider.release(fs, lock)
   }
 
   def publishAtomic(spark: SparkSession, path: String)(write: String => Unit): Unit = {

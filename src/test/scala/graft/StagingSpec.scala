@@ -296,4 +296,116 @@ class StagingSpec extends SparkSpec {
     assert(d.length === 9)
     assert(d.forall(_.weather.data.length === WeatherGen.params.length))
   }
+
+  test("commit-lock race: two concurrent publishers through the real lock — exactly one wins loudly") {
+    // the round-16 executable spec for the writer-exclusion seam: on a
+    // filesystem with an ATOMIC create-if-absent (local FS here, HDFS in
+    // deployment), two publishers racing into the same root must resolve
+    // to exactly one committed version and one loud IOException — never
+    // two interleaved writes, never a silent drop
+    val root = Files.createTempDirectory("graft_race_").toString + "/mv"
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Long]]()
+    val threads = (1 to 2).map { i =>
+      new Thread(() => {
+        gate.await()
+        outcomes.add(
+          try Right(Staging.publishSnapshot(spark, root) { p =>
+            // hold the lock long enough that the loser's acquire attempt
+            // lands inside the winner's critical section even if the
+            // loser thread is briefly descheduled on a loaded box
+            Thread.sleep(1500)
+            spark.range(10L * i).write.parquet(p)
+          })
+          catch { case t: Throwable => Left(t) })
+      }, s"race-writer-$i")
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    val (losers, winners) = {
+      import scala.jdk.CollectionConverters._
+      outcomes.asScala.toSeq.partition(_.isLeft)
+    }
+    assert(winners.size === 1 && losers.size === 1,
+      s"expected exactly one winner and one loser, got $outcomes")
+    val err = losers.head.left.toOption.get
+    assert(err.isInstanceOf[java.io.IOException] && err.getMessage.contains("in progress"),
+      s"loser must fail loudly on the lock, got $err")
+    // exactly ONE committed version, its data complete, lock released
+    assert(Staging.currentSnapshotVersion(spark, root) === Some(0L))
+    val n = Staging.readSnapshot(spark, root).count()
+    assert(n === 10L || n === 20L, s"committed snapshot is a complete write, got $n rows")
+    assert(!Staging.breakPublishLock(spark, root), "winner must release the lock in its finally")
+  }
+
+  test("commit-lock providers: check-then-act double races to double-acquire; conditional-put double does not") {
+    // the S3A hazard and its upgrade, both as assertions instead of
+    // scaladoc prose (round-15 verdict item 5). The check-then-act double
+    // reproduces what fs.create(overwrite=false) IS on S3A — a HEAD probe
+    // then an unconditional PUT — with a barrier forcing both writers
+    // into the probe window; the conditional-put double models
+    // `If-None-Match: *` (one atomic decision point) and must admit
+    // exactly one winner under the same forced race.
+    val fs = new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def race(p: graft.weather.CommitLockProvider, lock: org.apache.hadoop.fs.Path): Seq[Boolean] = {
+      val gate = new java.util.concurrent.CyclicBarrier(2)
+      val wins = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+      val ts = (1 to 2).map(_ => new Thread(() => { gate.await(); wins.add(p.tryAcquire(fs, lock)): Unit }))
+      ts.foreach(_.start()); ts.foreach(_.join(60000))
+      import scala.jdk.CollectionConverters._
+      wins.asScala.toSeq
+    }
+    // (a) check-then-act (the S3A shape): both probes run before either
+    // PUT — both believe they won. The barrier INSIDE the double stands
+    // in for S3's probe-to-PUT latency window.
+    val inWindow = new java.util.concurrent.CyclicBarrier(2)
+    val checkThenAct = new graft.weather.CommitLockProvider {
+      override def tryAcquire(fs: org.apache.hadoop.fs.FileSystem,
+                              lock: org.apache.hadoop.fs.Path): Boolean = {
+        if (fs.exists(lock)) false // the HEAD probe
+        else {
+          inWindow.await(30, java.util.concurrent.TimeUnit.SECONDS) // both inside the window
+          fs.create(lock, /* overwrite = */ true).close() // the unconditional PUT
+          true
+        }
+      }
+    }
+    val l1 = new org.apache.hadoop.fs.Path(
+      Files.createTempDirectory("graft_cta_").toString + "/x__lock")
+    assert(race(checkThenAct, l1) === Seq(true, true),
+      "check-then-act must double-acquire under a forced race — that IS the documented S3A hazard")
+    // (b) conditional PUT: one atomic decision point (putIfAbsent here,
+    // `If-None-Match: *` on S3) — exactly one winner, same forced race
+    val decided = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val conditionalPut = new graft.weather.CommitLockProvider {
+      override def tryAcquire(fs: org.apache.hadoop.fs.FileSystem,
+                              lock: org.apache.hadoop.fs.Path): Boolean =
+        if (decided.add(lock.toString)) { fs.create(lock, true).close(); true }
+        else false
+      override def release(fs: org.apache.hadoop.fs.FileSystem,
+                           lock: org.apache.hadoop.fs.Path): Unit = {
+        fs.delete(lock, false); decided.remove(lock.toString); ()
+      }
+    }
+    val l2 = new org.apache.hadoop.fs.Path(
+      Files.createTempDirectory("graft_cput_").toString + "/x__lock")
+    assert(race(conditionalPut, l2).sorted === Seq(false, true),
+      "conditional PUT must admit exactly one winner")
+    // and wired through the REAL publish seam: with the conditional-put
+    // provider installed, a full publishSnapshot still round-trips
+    // (acquire → write → commit → release), proving the provider swap is
+    // behavior-preserving on the happy path
+    val prev = graft.weather.CommitLock.provider
+    try {
+      graft.weather.CommitLock.provider = conditionalPut
+      val root = Files.createTempDirectory("graft_cput_pub_").toString + "/mv"
+      assert(Staging.publishSnapshot(spark, root) { p =>
+        spark.range(7).write.parquet(p)
+      } === 0L)
+      assert(Staging.readSnapshot(spark, root).count() === 7)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(root + "__lock")),
+        "provider release must run in the publish finally")
+    } finally graft.weather.CommitLock.provider = prev
+  }
 }
