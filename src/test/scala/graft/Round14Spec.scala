@@ -381,10 +381,21 @@ class Round14Spec extends SparkSpec {
         f"$q%s passes not flat: ${ts.map(t => f"$t%.2f").mkString(",")}%s (bound $bound%.2f)")
       // the better-of-last-two gate tolerates ONE contention spike, but a
       // leak whose growth only crosses the bound on the final pass must
-      // still fail: the last pass gets its own (looser) absolute ceiling
+      // still fail: the last pass gets its own (looser) absolute ceiling —
+      // with ONE retry (round-15 advice: a lone GC/IO stall on a loaded
+      // box landing on the final pass must not flake the suite; a real
+      // leak keeps growing and blows the retry pass too, a transient
+      // stall does not recur)
       val lastBound = math.max(4.0 * ts.min, ts.min + 1.0)
-      assert(ts.last <= lastBound,
-        f"$q%s final pass blown: ${ts.map(t => f"$t%.2f").mkString(",")}%s (last bound $lastBound%.2f)")
+      val last = if (ts.last <= lastBound) ts.last else {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
+      }
+      assert(last <= lastBound,
+        f"$q%s final pass blown twice: ${(ts :+ last).map(t => f"$t%.2f").mkString(",")}%s (last bound $lastBound%.2f)")
     }
   }
 }

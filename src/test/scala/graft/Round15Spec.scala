@@ -158,12 +158,15 @@ class Round15Spec extends SparkSpec {
     val nswRoot = llm.Embeddings.buildNswIndex(spark, sfDir, "r15leak")
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the ONE shared stored-norm expression (round-15 advice: hand-rolling
+    // sqrt(graft_dot(v,v)) here would silently diverge from the index on a
+    // future norm change)
     def resident(m: Int) = emb.filter($"vec_id" % 10 === m && $"vec_id" % 10 =!= 7)
       .select($"vec_id", $"embedding".as("v"))
-      .withColumn("nrm", sqrt(call_function("graft_dot", $"v", $"v")))
+      .withColumn("nrm", llm.Embeddings.norm($"v"))
     def fresh = emb.filter($"vec_id" % 10 === 7)
       .select($"vec_id", $"embedding".as("v"))
-      .withColumn("nrm", sqrt(call_function("graft_dot", $"v", $"v")))
+      .withColumn("nrm", llm.Embeddings.norm($"v"))
     val before = spark.sparkContext.getPersistentRDDs.keySet
     // dup-guard failure: the batch checkpoint (and, for NSW, the corpus
     // union checkpoint) must be released, not stranded per retry
@@ -263,9 +266,19 @@ class Round15Spec extends SparkSpec {
       val tail = math.min(ts(ts.length - 1), ts(ts.length - 2))
       assert(tail <= bound,
         f"$name%s chain-read passes not flat: ${ts.map(t => f"$t%.2f").mkString(",")}%s (bound $bound%.2f)")
+      // looser final-pass ceiling with ONE retry (round-15 advice: a lone
+      // GC/IO stall on the last pass must not flake the suite; a real
+      // leak keeps growing and blows the retry pass too)
       val lastBound = math.max(4.0 * ts.min, ts.min + 1.0)
-      assert(ts.last <= lastBound,
-        f"$name%s final pass blown: ${ts.map(t => f"$t%.2f").mkString(",")}%s (last bound $lastBound%.2f)")
+      val last = if (ts.last <= lastBound) ts.last else {
+        val t0 = System.nanoTime()
+        run()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
+      }
+      assert(last <= lastBound,
+        f"$name%s final pass blown twice: ${(ts :+ last).map(t => f"$t%.2f").mkString(",")}%s (last bound $lastBound%.2f)")
     }
   }
 }
