@@ -598,11 +598,15 @@ object Embeddings {
             .repartition($"cell")
             .write.mode("overwrite").partitionBy("cell").parquet(s"$p/cells")
           cents.repartition(1).write.mode("overwrite").parquet(s"$p/centroids")
-          // sidecars are COPIED, never merged or recomputed (IdBloom's
-          // no-false-negative invariant): union semantics come from
-          // probing every blob, and a chain missing any sidecar writes
-          // none (exact-scan fallback) rather than an incomplete set
-          graft.ops.IdBloom.copyInto(spark, dirs, p)
+          // ONE fresh bloom recomputed over the exact cells id frame
+          // already being rewritten — never a merge of the old blobs
+          // (bit-incompatible across sizes), and deliberately not a copy:
+          // carrying every historical blob forward would grow the per-row
+          // probe cost and the union fpp linearly with total appends ever
+          // made, quietly degrading steady-state ingest back to the exact
+          // resident scan. Recompute resets both to one 1%-fpp blob per
+          // compaction cycle and heals a chain whose sidecars were lost.
+          graft.ops.IdBloom.write(spark, p, cells.select($"vec_id"), "vec_id")
         }
         S.gcChains(spark, root, keepChains = 2)
         ()
@@ -1468,9 +1472,11 @@ object Embeddings {
         graft.weather.Staging.publishSnapshot(spark, root) { p =>
           adj.repartition(4, $"src").sortWithinPartitions($"src", $"dst")
             .write.mode("overwrite").parquet(s"$p/adj")
-          // resident-id bloom sidecar over the build's corpus (pred
-          // applied — the same set appends guard against as corpus∪vecs)
-          graft.ops.IdBloom.write(spark, p, e.select($"vec_id"), "vec_id")
+          // no IdBloom sidecar for NSW, deliberately: the NSW resident
+          // set is pred(LIVE corpus) ∪ vecs — not chain-derived — so a
+          // build-time bloom could not soundly prove disjointness, and
+          // appendNswIndex's guard is exact (and free: it probes the e
+          // frame the insert beam materializes anyway)
         }
         graft.weather.Staging.gcChains(spark, root, keepChains = 2)
       } finally graft.ops.Ckpt.free(ckpts.toSeq: _*)
@@ -1579,12 +1585,16 @@ object Embeddings {
     * nothing; writers serialize on the index monitor.
     *
     * Ingest-guard cost, honestly: the dup guard semi-joins the batch's
-    * ids against corpus ∪ appended vecs, so each append pays one
-    * column-pruned `vec_id` scan of the resident set (short-circuited by
-    * the `.limit(1)`) — O(resident ids) on top of the batch-bounded
-    * insert work; the [[appendIvfIndex]] scaladoc carries the shared
-    * upgrade path (clustered id layer / bloom) if that scan ever
-    * dominates. Every checkpoint this body creates is freed in the
+    * ids against corpus ∪ appended vecs EXACTLY — deliberately not the
+    * bloom-first [[graft.ops.IdBloom]] probe the IVF and pair-graph
+    * appends use, because the NSW resident set references the LIVE
+    * corpus table (a build-time sidecar misses corpus rows added since
+    * the build, and a missed row means a silently admitted duplicate).
+    * The exactness is free in asymptotic terms: the insert beam below
+    * materializes the full corpus ∪ vecs frame regardless (an NSW
+    * insert must score against resident vectors), so the guard's
+    * limit-1 semi-join probes a checkpointed frame the append already
+    * paid for. Every checkpoint this body creates is freed in the
     * finally — the guard's require and a publish-lock failure are
     * retry paths, and retrying a poisoned batch must not leak
     * corpus-sized blocks per attempt.
@@ -1619,10 +1629,19 @@ object Embeddings {
         ckpts += eCk
         // ingest-contract guard: a resident vec_id re-ingested would land
         // duplicate vecs rows and double-score every beam candidate.
-        // Bloom-first (IdBloom): the full version's sidecar covers the
-        // build corpus, each delta's covers its batch, so the exact
-        // corpus∪vecs id scan runs only when a batch id is flagged
-        require(!graft.ops.IdBloom.overlaps(spark, dirs, b, "vec_id", e.select($"vec_id")),
+        // EXACT by construction, deliberately NOT bloom-first: unlike IVF
+        // and the pair graph, whose resident sets are chain-derived, the
+        // NSW resident set references the LIVE corpus table
+        // (pred(corpus) ∪ vecs) — a sidecar written at build time covers
+        // only the build-time corpus, so a bloom-first probe would miss
+        // corpus rows added since the build and admit a duplicate. The
+        // exact semi-join costs nothing extra here: the insert beam
+        // already materialized e (corpus∪vecs, checkpointed above), so
+        // the guard probes a frame this append constructs regardless.
+        val dup = b.select($"vec_id")
+          .join(e.select($"vec_id"), Seq("vec_id"), "left_semi")
+          .limit(1).count()
+        require(dup == 0,
           s"appendNswIndex: batch re-ingests vec_ids already resident in $root — " +
             "vec_ids must be disjoint (CDC ingest contract)")
         val adj = S.readChainIn(spark, dirs, "adj").localCheckpoint()
@@ -1647,7 +1666,6 @@ object Embeddings {
             .write.mode("overwrite").parquet(s"$p/adj")
           b.repartition(4, $"vec_id").sortWithinPartitions($"vec_id")
             .write.mode("overwrite").parquet(s"$p/vecs")
-          graft.ops.IdBloom.write(spark, p, b.select($"vec_id"), "vec_id")
         }
       } finally graft.ops.Ckpt.free(ckpts.toSeq: _*)
       if (compactAfterDeltas > 0 &&
@@ -1705,8 +1723,9 @@ object Embeddings {
             .write.mode("overwrite").parquet(s"$p/adj")
           vecs.foreach(_.repartition(4, $"vec_id").sortWithinPartitions($"vec_id")
             .write.mode("overwrite").parquet(s"$p/vecs"))
-          // copy, never merge/recompute — the compactIvfIndex rationale
-          graft.ops.IdBloom.copyInto(spark, dirs, p)
+          // no sidecar (see buildNswIndex: the NSW guard is exact, not
+          // bloom-first, because its resident set references the live
+          // corpus table)
         }
         S.gcChains(spark, root, keepChains = 2)
         ()

@@ -745,8 +745,13 @@ object TextDedup {
           S.readChainLatestIn(spark, dirs, "labels")
             .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
             .write.mode("overwrite").parquet(s"$p/labels")
-          // copy, never merge/recompute (IdBloom's no-false-negative rule)
-          graft.ops.IdBloom.copyInto(spark, dirs, p)
+          // ONE fresh bloom recomputed over exactly the id set this
+          // version contributes to residentDocIds (sizes ∪ batchdocs,
+          // both unions already in hand) — never a copy: carrying every
+          // historical blob forward would grow probe cost and union fpp
+          // linearly with appends ever made (the compactIvfIndex
+          // rationale), and recompute heals a sidecar-less chain
+          graft.ops.IdBloom.write(spark, p, residentDocIds(spark, dirs), "doc_id")
         }
         S.gcChains(spark, root, keepChains = 2)
         ()

@@ -31,17 +31,22 @@ import org.apache.spark.util.sketch.BloomFilter
   *    sliver) fall back to the EXACT resident-id join — the failure path
   *    pays the old scan, the steady state never does.
   *
-  * Compaction must preserve the no-false-negative invariant without
-  * re-aggregating anything: blobs are never merged (Spark blooms of
-  * different expectedNumItems are bit-incompatible) — the compacted
-  * version simply COPIES every source version's blobs into its own
-  * `idbloom/` (byte copy, metadata-sized), and union semantics fall out of
-  * probing all blobs. If ANY chain version lacks a sidecar (an artifact
-  * written by other code), loaders return None and callers use the exact
-  * scan for everything — absence degrades cost, never correctness, and a
-  * compaction over such a chain writes NO sidecar rather than an
-  * incomplete one (an incomplete bloom set would produce false negatives,
-  * i.e. admit real duplicates).
+  * Compaction RECOMPUTES the sidecar: the compacted version gets ONE
+  * fresh blob built over the exact union id frame compaction is already
+  * rewriting (blobs are still never MERGED — Spark blooms of different
+  * expectedNumItems are bit-incompatible — but recomputing from exact ids
+  * carries no false-negative risk). Recompute, not copy, is load-bearing
+  * for the long-run contract: carrying every historical blob forward
+  * would grow both the per-row probe cost and the union false-positive
+  * rate linearly with total appends ever made (at 1% fpp per blob, ~70
+  * accumulated blobs falsely flag ~half of every fresh batch — quietly
+  * degrading steady-state ingest back to the exact resident scan this
+  * module exists to delete). Recompute also HEALS a chain that lost its
+  * sidecars: the compacted version carries a complete bloom regardless of
+  * what the source versions had. If ANY chain version lacks a sidecar (an
+  * artifact written by other code), loaders return None and callers use
+  * the exact scan for everything — absence degrades cost, never
+  * correctness, until the next compaction restores the fast path.
   *
   * The probe itself is a Scala UDF over the id column: deliberately so —
   * it runs only on guard/ingest paths (never in a registered query's hot
@@ -75,23 +80,6 @@ object IdBloom {
     try bf.writeTo(out) finally out.close()
   }
 
-  /** Copy every source version's blobs into `destDir`'s sidecar — the
-    * compaction path. Writes NOTHING unless every source dir carries a
-    * sidecar (a partial copy would be a false-negative hazard; see the
-    * object scaladoc). Byte copy, metadata-sized, no jobs.
-    */
-  def copyInto(spark: SparkSession, srcDirs: Seq[String], destDir: String): Unit = {
-    val blobs = srcDirs.map(d => listBlobs(spark, d))
-    if (blobs.forall(_.nonEmpty)) {
-      val fs = fsOf(spark, new Path(destDir))
-      blobs.flatten.zipWithIndex.foreach { case (src, i) =>
-        val dst = new Path(s"$destDir/$Dir/c$i.bin")
-        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, true,
-          spark.sparkContext.hadoopConfiguration)
-      }
-    }
-  }
-
   private def listBlobs(spark: SparkSession, versionDir: String): Seq[Path] = {
     val d = new Path(s"$versionDir/$Dir")
     val fs = fsOf(spark, d)
@@ -112,8 +100,17 @@ object IdBloom {
     })
   }
 
+  /** A null id is conservatively FLAGGED (a primitive-Long UDF would
+    * instead return null, and BOTH `filter(might)` and `filter(not(might))`
+    * drop null — filterFresh would silently lose the row while the
+    * sidecar-absent fallback kept it, two different index contents from
+    * the same input). Flagged-null routes the row to the exact-join leg,
+    * where a null join key never matches: retained by the left_anti
+    * (ingested, same as the fallback) and never counted by the left_semi —
+    * both guard forms answer identically with and without sidecars.
+    */
   private def mightContainAny(blooms: Seq[BloomFilter]) =
-    udf((id: Long) => blooms.exists(_.mightContainLong(id)))
+    udf((id: java.lang.Long) => id == null || blooms.exists(_.mightContainLong(id)))
 
   /** CDC dup-guard probe: does `batch` intersect the chain's resident
     * ids? Bloom-first — zero flagged rows proves disjoint with no

@@ -13,8 +13,10 @@ import graft.weather.Staging
   *    the dup guard probes them BEFORE touching the resident id column
   *    (and skips the exact frame entirely when nothing is flagged — the
   *    steady-state CDC case), a chain missing ANY sidecar degrades to the
-  *    exact scan (cost, never correctness), and compaction COPIES blobs so
-  *    the no-false-negative invariant survives the rewrite;
+  *    exact scan (cost, never correctness), a null id behaves identically
+  *    with and without sidecars, and compaction RECOMPUTES one fresh blob
+  *    over the exact union id frame — bounding probe cost and union fpp
+  *    against blob accumulation, and healing a sidecar-less chain;
   *  - two concurrent idempotent ingest streams on ONE index serialize on
   *    the writers' monitor and dedup instead of corrupting or tripping a
   *    guard — the single-writer contract upgraded from prose
@@ -86,6 +88,22 @@ class Round16Spec extends SparkSpec {
       .select($"vec_id").collect().map(_.getLong(0)).toSet
     assert(kept === fresh.select($"vec_id").collect().map(_.getLong(0)).toSet)
 
+    // a NULL id must behave IDENTICALLY with and without sidecars: the
+    // bloom probe conservatively flags null (a primitive-Long UDF would
+    // silently DROP the row from both filter legs), and the exact joins
+    // never match a null key — so filterFresh retains it and overlaps
+    // never counts it, on both paths
+    val nullBatch = spark.sql(
+      "select cast(null as bigint) as vec_id union all select cast(9999999991 as bigint)")
+    def exactIds = S.readChainIn(spark, dirs, "cells").select($"vec_id")
+    assert(graft.ops.IdBloom.filterFresh(spark, dirs, nullBatch, "vec_id", exactIds)
+      .count() === 2)
+    assert(!graft.ops.IdBloom.overlaps(spark, dirs, nullBatch, "vec_id", exactIds))
+    // fallback parity: an empty dir list has no sidecars → exact path
+    assert(graft.ops.IdBloom.filterFresh(spark, Seq.empty, nullBatch, "vec_id", exactIds)
+      .count() === 2)
+    assert(!graft.ops.IdBloom.overlaps(spark, Seq.empty, nullBatch, "vec_id", exactIds))
+
     // an empty batch publishes nothing (the streaming-sink empty-tick
     // contract, cheapest possible pin)
     val vBefore = S.chainVersions(spark, root)
@@ -104,7 +122,7 @@ class Round16Spec extends SparkSpec {
     assert(S.chainVersions(spark, root).size === 3)
   }
 
-  test("compaction copies sidecars (never merges): the compacted chain still probes bloom-first and replays publish nothing") {
+  test("compaction recomputes ONE sidecar over the union ids (bounding blob growth) and heals a sidecar-less chain") {
     import spark.implicits._
     graft.GraftExtensions.ensure(spark)
     val S = Staging
@@ -112,13 +130,23 @@ class Round16Spec extends SparkSpec {
     val root = llm.Embeddings.buildIvfIndex(spark, sfDir, "r16_cmp", pred)
     llm.Embeddings.appendIvfIndex(spark, root, vecBatch(12))
     llm.Embeddings.appendIvfIndex(spark, root, vecBatch(13))
+    // strip one version's sidecar BEFORE compacting — the guard degrades
+    // to the exact scan here, and compaction must HEAL it (recompute from
+    // the exact union id frame), not propagate the gap
+    val preDirs = S.chainDirs(spark, root)
+    fsOf(preDirs.head).delete(
+      new org.apache.hadoop.fs.Path(s"${preDirs.head}/idbloom"), true)
+    assert(graft.ops.IdBloom.load(spark, preDirs).isEmpty)
     llm.Embeddings.compactIvfIndex(spark, root)
     val dirs = S.chainDirs(spark, root)
     assert(dirs.size === 1)
-    // one blob per source version, byte-copied — NOT one merged blob (a
-    // merge of differently-sized Spark blooms would be bit-invalid, and a
-    // recompute would re-aggregate what compaction promises not to)
-    assert(sidecarBlobs(dirs.head).size === 3)
+    // exactly ONE recomputed blob — not one per historical version
+    // (accumulating copies would grow per-row probe cost and union fpp
+    // linearly with total appends ever made) and not a bit-level merge
+    // (blooms of different expectedNumItems are bit-incompatible; the
+    // recompute is from exact ids, so no false-negative risk)
+    assert(sidecarBlobs(dirs.head).size === 1)
+    assert(graft.ops.IdBloom.load(spark, dirs).exists(_.size === 1))
     // the copied set still covers every resident id: a fully-resident
     // idempotent replay filters to empty and publishes NOTHING
     val vBefore = S.chainVersions(spark, root)

@@ -305,23 +305,38 @@ class StagingSpec extends SparkSpec {
     // two interleaved writes, never a silent drop
     val root = Files.createTempDirectory("graft_race_").toString + "/mv"
     val gate = new java.util.concurrent.CyclicBarrier(2)
+    // deterministic overlap, not sleep-probabilistic: the winner holds
+    // the lock until BOTH threads' acquire attempts have completed (a
+    // counting wrapper around the real provider), so the loser's attempt
+    // necessarily lands inside the winner's critical section no matter
+    // how long either thread is descheduled on a loaded box
+    val attempted = new java.util.concurrent.CountDownLatch(2)
+    val real = graft.weather.CommitLock.provider
+    val counting = new graft.weather.CommitLockProvider {
+      override def tryAcquire(fs: org.apache.hadoop.fs.FileSystem,
+                              lock: org.apache.hadoop.fs.Path): Boolean = {
+        val r = real.tryAcquire(fs, lock)
+        attempted.countDown()
+        r
+      }
+    }
     val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Long]]()
     val threads = (1 to 2).map { i =>
       new Thread(() => {
         gate.await()
         outcomes.add(
           try Right(Staging.publishSnapshot(spark, root) { p =>
-            // hold the lock long enough that the loser's acquire attempt
-            // lands inside the winner's critical section even if the
-            // loser thread is briefly descheduled on a loaded box
-            Thread.sleep(1500)
+            attempted.await(60, java.util.concurrent.TimeUnit.SECONDS)
             spark.range(10L * i).write.parquet(p)
           })
           catch { case t: Throwable => Left(t) })
       }, s"race-writer-$i")
     }
-    threads.foreach(_.start())
-    threads.foreach(_.join(120000))
+    graft.weather.CommitLock.provider = counting
+    try {
+      threads.foreach(_.start())
+      threads.foreach(_.join(120000))
+    } finally graft.weather.CommitLock.provider = real
     val (losers, winners) = {
       import scala.jdk.CollectionConverters._
       outcomes.asScala.toSeq.partition(_.isLeft)
