@@ -18,9 +18,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+    // round-16: shuffle partitions + AQE derived from INPUT SIZE instead
+    // of the core-count constant (graft.ops.Tuning — env-overridable,
+    // production values justified in OPTIMIZATION_r16.md)
+    val spark = graft.ops.Tuning.configure(
+        SparkSession.builder()
+          .master(s"local[$cpus]"),
+        sfDir, cpus.toInt)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")

@@ -16,8 +16,31 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Schema cache keyed by canonical file path (round-16 optimization):
+    * `spark.read.parquet` without a schema lists the path and reads
+    * parquet footers ON EVERY CALL — pure metadata work repeated per
+    * query construction (225 queries × ~2.5 tables × 4 bench executions).
+    * The driver tables are immutable for a process lifetime (the same
+    * contract the MV memos rely on), so the first inference's schema is
+    * reused via `.schema(...)` afterwards — no data or results are
+    * cached, exactly what a table catalog does in production. Keyed by
+    * canonical path: two dirs named alike under different parents never
+    * collide (the ArtifactRoots discipline).
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val key = new java.io.File(path).getCanonicalPath
+    val cached = schemaCache.get(key)
+    if (cached != null) spark.read.schema(cached).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      schemaCache.put(key, df.schema)
+      df
+    }
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

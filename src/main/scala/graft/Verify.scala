@@ -11,9 +11,11 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+    // round-16: scale-adaptive partitions/AQE shared with Bench
+    val spark = graft.ops.Tuning.configure(
+        SparkSession.builder()
+          .master(s"local[$cpus]"),
+        sfDir, cpus.toInt)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")

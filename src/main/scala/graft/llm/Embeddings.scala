@@ -447,14 +447,17 @@ object Embeddings {
       // starts a new chain, the previous chain (full + its deltas) is
       // retained for live readers.
       graft.weather.Staging.publishSnapshot(spark, root) { p =>
-        assignCells(e, cents).select($"vec_id", $"v", $"nrm", $"cell")
-          .repartition($"cell")
-          .write.mode("overwrite").partitionBy("cell").parquet(s"$p/cells")
-        cents.repartition(1).write.mode("overwrite").parquet(s"$p/centroids")
-        // resident-id bloom sidecar (graft.ops.IdBloom): what keeps later
-        // appends' dup guards O(batch) instead of scanning this version's
-        // vec_id column per ingest
-        graft.ops.IdBloom.write(spark, p, e.select($"vec_id"), "vec_id")
+        // three independent layer writes overlapped on the driver pool
+        // (guide §2.6, r16): wall = max(layer) not Σ(layer)
+        graft.ops.Par.all(
+          () => assignCells(e, cents).select($"vec_id", $"v", $"nrm", $"cell")
+            .repartition($"cell")
+            .write.mode("overwrite").partitionBy("cell").parquet(s"$p/cells"),
+          () => cents.repartition(1).write.mode("overwrite").parquet(s"$p/centroids"),
+          // resident-id bloom sidecar (graft.ops.IdBloom): what keeps later
+          // appends' dup guards O(batch) instead of scanning this version's
+          // vec_id column per ingest
+          () => graft.ops.IdBloom.write(spark, p, e.select($"vec_id"), "vec_id"))
       }
       graft.weather.Staging.gcChains(spark, root, keepChains = 2)
     } finally { e.unpersist(false); () }
@@ -551,10 +554,11 @@ object Embeddings {
             // cells across the chain
             val cents = graft.weather.Staging.readChainLatestIn(spark, dirs, "centroids")
             graft.weather.Staging.publishSnapshotDelta(spark, root) { p =>
-              assignCells(b, cents).select($"vec_id", $"v", $"nrm", $"cell")
-                .repartition($"cell")
-                .write.mode("overwrite").partitionBy("cell").parquet(s"$p/cells")
-              graft.ops.IdBloom.write(spark, p, b.select($"vec_id"), "vec_id")
+              graft.ops.Par.all(
+                () => assignCells(b, cents).select($"vec_id", $"v", $"nrm", $"cell")
+                  .repartition($"cell")
+                  .write.mode("overwrite").partitionBy("cell").parquet(s"$p/cells"),
+                () => graft.ops.IdBloom.write(spark, p, b.select($"vec_id"), "vec_id"))
             }
           }
         } finally graft.ops.Ckpt.free(ckpts.toSeq: _*)
@@ -594,10 +598,11 @@ object Embeddings {
         val cells = S.readChainIn(spark, dirs, "cells")
         val cents = S.readChainLatestIn(spark, dirs, "centroids")
         S.publishSnapshot(spark, root) { p =>
-          cells.select($"vec_id", $"v", $"nrm", $"cell")
+          graft.ops.Par.all(
+          () => cells.select($"vec_id", $"v", $"nrm", $"cell")
             .repartition($"cell")
-            .write.mode("overwrite").partitionBy("cell").parquet(s"$p/cells")
-          cents.repartition(1).write.mode("overwrite").parquet(s"$p/centroids")
+            .write.mode("overwrite").partitionBy("cell").parquet(s"$p/cells"),
+          () => cents.repartition(1).write.mode("overwrite").parquet(s"$p/centroids"),
           // ONE fresh bloom recomputed over the exact cells id frame
           // already being rewritten — never a merge of the old blobs
           // (bit-incompatible across sizes), and deliberately not a copy:
@@ -606,7 +611,7 @@ object Embeddings {
           // made, quietly degrading steady-state ingest back to the exact
           // resident scan. Recompute resets both to one 1%-fpp blob per
           // compaction cycle and heals a chain whose sidecars were lost.
-          graft.ops.IdBloom.write(spark, p, cells.select($"vec_id"), "vec_id")
+          () => graft.ops.IdBloom.write(spark, p, cells.select($"vec_id"), "vec_id"))
         }
         S.gcChains(spark, root, keepChains = 2)
         ()
@@ -1340,11 +1345,15 @@ object Embeddings {
     // cand0 feeds the seed scoring + the anti-join, scored0 feeds adj0's
     // top-out + the final top-out (the memoized seed scores), adj0 feeds
     // three consumers (both sides of the NN-descent self-join + the
-    // final union): checkpoint all three so each runs once, not per
-    // consumer (A/B'd — see the round-12 SURVEY note)
-    val cand0 = srpCandidates(e).localCheckpoint()
-    val scored0 = scorePairs(cand0).localCheckpoint()
-    val adj0 = topOut(scored0).localCheckpoint()
+    // final union) — each must run once, not per consumer. Round-16 form:
+    // LAZY local checkpoints (localCheckpoint(eager = false)) — the same
+    // LogicalRDD leaf and lineage truncation as the old eager form, but
+    // block materialization happens inside the ONE final `adj` checkpoint
+    // job instead of three extra eager job round-trips. All three are
+    // dead once `adj` materializes and are freed before returning.
+    val cand0 = srpCandidates(e).localCheckpoint(false)
+    val scored0 = scorePairs(cand0).localCheckpoint(false)
+    val adj0 = topOut(scored0).localCheckpoint(false)
     val non = adj0.as("a").join(adj0.as("b"),
         $"a.dst" === $"b.src" && $"a.src" =!= $"b.dst")
       .select(least($"a.src", $"b.dst").as("va"),
@@ -1381,12 +1390,21 @@ object Embeddings {
     val seeds = e.orderBy($"vec_id".asc).limit(4)
       .select($"vec_id".as("cid"), $"v".as("cv"), $"nrm".as("cn"))
     val wBeam = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid".asc)
+    // Round-16 job-count fuse: the seed beam and rounds 1–3 are LAZY
+    // local checkpoints — LogicalRDD leaves immediately (identical
+    // lineage truncation to the old eager form: each round still plans
+    // against the prior round's leaf, no snowball) — and only the FINAL
+    // round is an eager localCheckpoint, whose one job materializes the
+    // whole chain. The loop drops from 5 eager checkpoint jobs to 1 with
+    // identical round trajectories; intermediate blocks are dead once the
+    // final checkpoint lands and are freed before returning.
     // 4 seeds × n_queries constant nested-loop broadcast (PlanAudit allowlisted)
     var beam = seeds.join(q)
       .withColumn("sim", round(dot($"qv", $"cv") / ($"qn" * $"cn"), 6))
       .select($"qid", $"cid", $"sim")
-      .localCheckpoint()
-    for (_ <- 1 to 4) {
+      .localCheckpoint(false)
+    val rounds = scala.collection.mutable.ArrayBuffer[DataFrame](beam)
+    for (r <- 1 to 4) {
       val cand = beam.select($"qid", $"cid".as("src"))
         .join(adj, Seq("src"))
         .select($"qid", $"dst".as("cid")).distinct()
@@ -1395,16 +1413,14 @@ object Embeddings {
         .join(q, Seq("qid"))
         .withColumn("sim", round(dot($"qv", $"cv") / ($"qn" * $"cn"), 6))
         .select($"qid", $"cid", $"sim")
-      val prev = beam
-      beam = beam.unionByName(scored).distinct()
+      val next = beam.unionByName(scored).distinct()
         .withColumn("rk", row_number().over(wBeam))
         .filter($"rk" <= 8)
         .select($"qid", $"cid", $"sim")
-        .localCheckpoint()
-      // the new round's checkpoint materialized above (eager) — the
-      // prior round's blocks are dead, drop them now
-      graft.ops.Ckpt.free(prev)
+      beam = if (r < 4) { val c = next.localCheckpoint(false); rounds += c; c }
+        else next.localCheckpoint() // the ONE action: materializes all rounds
     }
+    graft.ops.Ckpt.free(rounds.toSeq: _*)
     // the result's plan reads the FINAL beam at action time — release it
     // through the consumed-listener, not eagerly
     graft.ops.Ckpt.freeOnConsumed(
@@ -1662,10 +1678,11 @@ object Embeddings {
           .unionByName(bbEdges)
           .distinct()
         S.publishSnapshotDelta(spark, root) { p =>
-          delta.repartition(4, $"src").sortWithinPartitions($"src", $"dst")
-            .write.mode("overwrite").parquet(s"$p/adj")
-          b.repartition(4, $"vec_id").sortWithinPartitions($"vec_id")
-            .write.mode("overwrite").parquet(s"$p/vecs")
+          graft.ops.Par.all(
+            () => delta.repartition(4, $"src").sortWithinPartitions($"src", $"dst")
+              .write.mode("overwrite").parquet(s"$p/adj"),
+            () => b.repartition(4, $"vec_id").sortWithinPartitions($"vec_id")
+              .write.mode("overwrite").parquet(s"$p/vecs"))
         }
       } finally graft.ops.Ckpt.free(ckpts.toSeq: _*)
       if (compactAfterDeltas > 0 &&
@@ -1719,10 +1736,11 @@ object Embeddings {
           if (S.chainHasLayerIn(spark, dirs, "vecs")) Some(S.readChainIn(spark, dirs, "vecs"))
           else None
         S.publishSnapshot(spark, root) { p =>
-          adj.repartition(4, $"src").sortWithinPartitions($"src", $"dst")
-            .write.mode("overwrite").parquet(s"$p/adj")
-          vecs.foreach(_.repartition(4, $"vec_id").sortWithinPartitions($"vec_id")
-            .write.mode("overwrite").parquet(s"$p/vecs"))
+          graft.ops.Par.all(
+            () => adj.repartition(4, $"src").sortWithinPartitions($"src", $"dst")
+              .write.mode("overwrite").parquet(s"$p/adj"),
+            () => vecs.foreach(_.repartition(4, $"vec_id").sortWithinPartitions($"vec_id")
+              .write.mode("overwrite").parquet(s"$p/vecs")))
           // no sidecar (see buildNswIndex: the NSW guard is exact, not
           // bloom-first, because its resident set references the live
           // corpus table)

@@ -469,30 +469,33 @@ object TextDedup {
         // are what appendPairGraphMv probes, so an append never re-shingles
         // the resident corpus (the L8 asymmetric-index discipline). The
         // index is (band, sig)-clustered — the probe join's key.
-        sig.repartition(4, $"band", $"sig").sortWithinPartitions($"band", $"sig")
-          .write.mode("overwrite").parquet(s"$p/sigs")
-        szs.repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
-          .write.mode("overwrite").parquet(s"$p/sizes")
-        val cand = sig.as("a").join(sig.as("b"),
-            $"a.band" === $"b.band" && $"a.sig" === $"b.sig" && $"a.doc_id" < $"b.doc_id")
-          .select($"a.doc_id".as("da"), $"b.doc_id".as("db")).distinct()
-        verifiedPairs(cand, sh, sh, szs, szs)
-          .repartition(4, $"doc_a").sortWithinPartitions($"doc_a", $"doc_b")
-          .write.mode("overwrite").parquet(s"$p/pairs")
-        // labels run CC over the READ-BACK pairs (still uncommitted at
-        // this point — read by direct path), so their lineage roots at
-        // the artifact and the iteration's localCheckpoints never
-        // re-plan the shingle pipeline; committing them in the SAME
-        // version makes labels-vs-pairs consistency a single-marker fact
-        graft.ops.Graph.connectedComponents(
-            spark.read.parquet(s"$p/pairs").select($"doc_a", $"doc_b"))
-          .select($"node".as("doc_id"), $"component")
-          .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
-          .write.mode("overwrite").parquet(s"$p/labels")
-        // resident-id bloom sidecar over the shingled ids — exactly the
-        // set this version contributes to [[residentDocIds]] (a fresh
-        // refresh starts a new chain, so there is no batchdocs layer yet)
-        graft.ops.IdBloom.write(spark, p, szs.select($"doc_id"), "doc_id")
+        // The four independent write chains overlap on the driver pool
+        // (guide §2.6, r16): sigs ∥ sizes ∥ bloom ∥ (pairs → labels) —
+        // only labels orders after pairs (CC reads the written artifact,
+        // so its lineage roots there; committing both in ONE version
+        // keeps labels-vs-pairs consistency a single-marker fact).
+        graft.ops.Par.all(
+          () => sig.repartition(4, $"band", $"sig").sortWithinPartitions($"band", $"sig")
+            .write.mode("overwrite").parquet(s"$p/sigs"),
+          () => szs.repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
+            .write.mode("overwrite").parquet(s"$p/sizes"),
+          // resident-id bloom sidecar over the shingled ids — exactly the
+          // set this version contributes to [[residentDocIds]] (a fresh
+          // refresh starts a new chain, so there is no batchdocs layer yet)
+          () => graft.ops.IdBloom.write(spark, p, szs.select($"doc_id"), "doc_id"),
+          () => {
+            val cand = sig.as("a").join(sig.as("b"),
+                $"a.band" === $"b.band" && $"a.sig" === $"b.sig" && $"a.doc_id" < $"b.doc_id")
+              .select($"a.doc_id".as("da"), $"b.doc_id".as("db")).distinct()
+            verifiedPairs(cand, sh, sh, szs, szs)
+              .repartition(4, $"doc_a").sortWithinPartitions($"doc_a", $"doc_b")
+              .write.mode("overwrite").parquet(s"$p/pairs")
+            graft.ops.Graph.connectedComponents(
+                spark.read.parquet(s"$p/pairs").select($"doc_a", $"doc_b"))
+              .select($"node".as("doc_id"), $"component")
+              .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
+              .write.mode("overwrite").parquet(s"$p/labels")
+          })
       }
     } finally { sh.unpersist(false); () }
     // a refresh starts a NEW chain; retain the previous chain for its
@@ -664,23 +667,27 @@ object TextDedup {
         // MV stays at its previous committed version (still internally
         // consistent), and the batch can simply be retried
         graft.weather.Staging.publishSnapshotDelta(spark, root) { p =>
-          newPairs.repartition(4, $"doc_a").sortWithinPartitions($"doc_a", $"doc_b")
-            .write.mode("overwrite").parquet(s"$p/pairs")
-          bsig.repartition(4, $"band", $"sig").sortWithinPartitions($"band", $"sig")
-            .write.mode("overwrite").parquet(s"$p/sigs")
-          bszs.repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
-            .write.mode("overwrite").parquet(s"$p/sizes")
-          batch.select($"doc_id", $"text")
-            .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
-            .write.mode("overwrite").parquet(s"$p/batchdocs")
-          graft.ops.Graph.connectedComponents(
-              star.unionByName(newPairs.select($"doc_a", $"doc_b")))
-            .select($"node".as("doc_id"), $"component")
-            .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
-            .write.mode("overwrite").parquet(s"$p/labels")
-          // bloom over ALL batch ids (matching the batchdocs layer, so a
-          // replayed <3-word doc is flagged too — the short-doc hole)
-          graft.ops.IdBloom.write(spark, p, batch.select($"doc_id"), "doc_id")
+          // six INDEPENDENT write chains (labels' CC reads star + the
+          // newPairs checkpoint, not the written pairs file) — overlapped
+          // on the driver pool, wall = max(layer) not Σ(layer) (guide §2.6)
+          graft.ops.Par.all(
+            () => newPairs.repartition(4, $"doc_a").sortWithinPartitions($"doc_a", $"doc_b")
+              .write.mode("overwrite").parquet(s"$p/pairs"),
+            () => bsig.repartition(4, $"band", $"sig").sortWithinPartitions($"band", $"sig")
+              .write.mode("overwrite").parquet(s"$p/sigs"),
+            () => bszs.repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
+              .write.mode("overwrite").parquet(s"$p/sizes"),
+            () => batch.select($"doc_id", $"text")
+              .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
+              .write.mode("overwrite").parquet(s"$p/batchdocs"),
+            () => graft.ops.Graph.connectedComponents(
+                star.unionByName(newPairs.select($"doc_a", $"doc_b")))
+              .select($"node".as("doc_id"), $"component")
+              .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
+              .write.mode("overwrite").parquet(s"$p/labels"),
+            // bloom over ALL batch ids (matching the batchdocs layer, so a
+            // replayed <3-word doc is flagged too — the short-doc hole)
+            () => graft.ops.IdBloom.write(spark, p, batch.select($"doc_id"), "doc_id"))
         }
       // freed on EVERY exit: a publish-lock failure is a retry path, and
       // a retrying ingest driver must not leak a pairs-sized checkpoint
@@ -726,32 +733,35 @@ object TextDedup {
       val dirs = S.chainDirs(spark, root)
       if (dirs.size > 1) {
         S.publishSnapshot(spark, root) { p =>
-          S.readChainIn(spark, dirs, "sigs")
-            .repartition(4, $"band", $"sig").sortWithinPartitions($"band", $"sig")
-            .write.mode("overwrite").parquet(s"$p/sigs")
-          S.readChainIn(spark, dirs, "sizes")
-            .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
-            .write.mode("overwrite").parquet(s"$p/sizes")
-          S.readChainIn(spark, dirs, "pairs")
-            .repartition(4, $"doc_a").sortWithinPartitions($"doc_a", $"doc_b")
-            .write.mode("overwrite").parquet(s"$p/pairs")
-          // appended batch text must survive compaction: later appends
-          // re-shingle resident candidate PARTNERS from corpus ∪ batchdocs,
-          // and a prior batch's docs are not in the corpus table
-          if (S.chainHasLayerIn(spark, dirs, "batchdocs"))
-            S.readChainIn(spark, dirs, "batchdocs")
+          // six independent chain-union rewrites overlapped on the driver
+          // pool (guide §2.6, r16)
+          graft.ops.Par.all(
+            () => S.readChainIn(spark, dirs, "sigs")
+              .repartition(4, $"band", $"sig").sortWithinPartitions($"band", $"sig")
+              .write.mode("overwrite").parquet(s"$p/sigs"),
+            () => S.readChainIn(spark, dirs, "sizes")
               .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
-              .write.mode("overwrite").parquet(s"$p/batchdocs")
-          S.readChainLatestIn(spark, dirs, "labels")
-            .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
-            .write.mode("overwrite").parquet(s"$p/labels")
-          // ONE fresh bloom recomputed over exactly the id set this
-          // version contributes to residentDocIds (sizes ∪ batchdocs,
-          // both unions already in hand) — never a copy: carrying every
-          // historical blob forward would grow probe cost and union fpp
-          // linearly with appends ever made (the compactIvfIndex
-          // rationale), and recompute heals a sidecar-less chain
-          graft.ops.IdBloom.write(spark, p, residentDocIds(spark, dirs), "doc_id")
+              .write.mode("overwrite").parquet(s"$p/sizes"),
+            () => S.readChainIn(spark, dirs, "pairs")
+              .repartition(4, $"doc_a").sortWithinPartitions($"doc_a", $"doc_b")
+              .write.mode("overwrite").parquet(s"$p/pairs"),
+            // appended batch text must survive compaction: later appends
+            // re-shingle resident candidate PARTNERS from corpus ∪ batchdocs,
+            // and a prior batch's docs are not in the corpus table
+            () => if (S.chainHasLayerIn(spark, dirs, "batchdocs"))
+              S.readChainIn(spark, dirs, "batchdocs")
+                .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
+                .write.mode("overwrite").parquet(s"$p/batchdocs"),
+            () => S.readChainLatestIn(spark, dirs, "labels")
+              .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
+              .write.mode("overwrite").parquet(s"$p/labels"),
+            // ONE fresh bloom recomputed over exactly the id set this
+            // version contributes to residentDocIds (sizes ∪ batchdocs,
+            // both unions already in hand) — never a copy: carrying every
+            // historical blob forward would grow probe cost and union fpp
+            // linearly with appends ever made (the compactIvfIndex
+            // rationale), and recompute heals a sidecar-less chain
+            () => graft.ops.IdBloom.write(spark, p, residentDocIds(spark, dirs), "doc_id"))
         }
         S.gcChains(spark, root, keepChains = 2)
         ()

@@ -331,29 +331,32 @@ object Graph {
   private[graft] def ssspDistFrom(weighted: DataFrame): DataFrame = {
     val spark = weighted.sparkSession
     import spark.implicits._
+    // round-16 job-count fuse (the connectedComponents shape): the edge
+    // frame and rounds 1–3 are LAZY local checkpoints — LogicalRDD leaves
+    // immediately (identical lineage truncation to the old eager form, so
+    // the 4-round plan stays linear) with materialization deferred — and
+    // only round 4 is an EAGER checkpoint, whose one job materializes the
+    // whole chain (5 eager checkpoint jobs → 1). Intermediate blocks are
+    // dead once it lands and are freed before returning.
     val wEdges = weighted
       .select($"u", $"v", expr("1000000 div shared").as("cost"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val und = wEdges.select($"u".as("src"), $"v".as("dst"), $"cost")
       .unionByName(wEdges.select($"v".as("src"), $"u".as("dst"), $"cost"))
     val srcRow = und.agg(min(least($"src", $"dst")).as("s"))
     var dist = broadcast(srcRow).select($"s".as("node"), lit(0L).as("dist"))
-    var prev: Option[DataFrame] = None
-    for (_ <- 1 to 4) {
+    val rounds = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (r <- 1 to 4) {
       val relax = und
         .join(dist.select($"node".as("src"), $"dist".as("dsrc")), Seq("src"))
         .select($"dst".as("node"), ($"dsrc" + $"cost").as("cand"))
-      dist = dist.select($"node", $"dist".as("cand"))
+      val next = dist.select($"node", $"dist".as("cand"))
         .unionByName(relax)
         .groupBy($"node").agg(min($"cand").as("dist"))
-        .localCheckpoint()
-      // the new round's checkpoint is eager — the prior round's blocks
-      // are dead now (graft.ops.Ckpt release discipline)
-      prev.foreach(graft.ops.Ckpt.free(_))
-      prev = Some(dist)
+      dist = if (r < 4) { val c = next.localCheckpoint(false); rounds += c; c }
+        else next.localCheckpoint() // the ONE action: materializes all rounds
     }
-    // the loop is done: the edge checkpoint is dead, and the FINAL dist
-    // frame is what the caller's result reads at action time
+    graft.ops.Ckpt.free(rounds.toSeq: _*)
     graft.ops.Ckpt.free(wEdges)
     graft.ops.Ckpt.freeOnConsumed(dist, Seq(dist))
   }
@@ -812,21 +815,28 @@ object Graph {
 
   def connectedComponents(pairs: DataFrame): DataFrame = {
     import pairs.sparkSession.implicits._
-    val i0 = if (ccVerbose) System.nanoTime() else 0L
-    val p = pairs.toDF("u", "v").localCheckpoint()
-    val i1 = if (ccVerbose) System.nanoTime() else 0L
+    // round-16 job-count fuse: every round's state is a LAZY local
+    // checkpoint — localCheckpoint(eager = false) roots the frame at a
+    // LogicalRDD leaf IMMEDIATELY (the same planner/lineage truncation
+    // the eager form gave, so the round-4 snowball lesson still holds)
+    // but defers block materialization to the first consuming action,
+    // which here is the convergence sum. One job per round instead of
+    // checkpoint-job + sum-job, and one for the whole init. (A plain
+    // .cache() was tried first and HUNG the suite: caches substitute
+    // InMemoryRelation only at execution — the ANALYZED tree still grows
+    // ~4× per round, and plan canonicalization went exponential.)
+    // Storage release is unchanged: each round frees the prior round's
+    // blocks, the pair checkpoint dies at loop end, the final labels
+    // release on the caller's consuming action.
+    val p = pairs.toDF("u", "v").localCheckpoint(false)
     val edges = p.select($"u".as("src"), $"v".as("dst"))
       .unionByName(p.select($"v".as("src"), $"u".as("dst")))
     var labels = edges.select($"src".as("node")).distinct()
-      .withColumn("lbl", $"node").localCheckpoint()
-    if (ccVerbose) {
-      val i2 = System.nanoTime()
-      println(f"CC init: pairs-ckpt ${(i1 - i0) / 1e9}%.3f labels-init ${(i2 - i1) / 1e9}%.3f")
-    }
+      .withColumn("lbl", $"node").localCheckpoint(false)
     def labelSum(df: DataFrame): Option[BigInt] =
       Option(df.agg(sum($"lbl".cast("decimal(38,0)"))).head().getDecimal(0))
         .map(d => BigInt(d.toBigInteger))
-    var prevSum = labelSum(labels)
+    var prevSum = labelSum(labels) // materializes the label AND pair ckpts
     var converged = prevSum.isEmpty
     var rounds = 0
     while (!converged && rounds < 20) {
@@ -839,9 +849,8 @@ object Graph {
       val next = prop.as("x")
         .join(prop.select($"node".as("lbl"), $"lbl".as("lbl2")).as("m"), Seq("lbl"), "left")
         .select($"node", least($"lbl", coalesce($"lbl2", $"lbl")).as("lbl"))
-        .localCheckpoint()
-      val t1 = if (ccVerbose) System.nanoTime() else 0L
-      val s = labelSum(next)
+        .localCheckpoint(false)
+      val s = labelSum(next) // the ONE action: materializes next's blocks
       converged = s == prevSum
       prevSum = s
       // this round's checkpoint is materialized — the prior round's
@@ -850,8 +859,8 @@ object Graph {
       labels = next
       rounds += 1
       if (ccVerbose) {
-        val t2 = System.nanoTime()
-        println(f"CC round $rounds: prop+jump ${(t1 - t0) / 1e9}%.3f sum ${(t2 - t1) / 1e9}%.3f converged=$converged")
+        val t1 = System.nanoTime()
+        println(f"CC round $rounds: round+sum ${(t1 - t0) / 1e9}%.3f converged=$converged")
       }
     }
     // the edge checkpoint is dead once the loop ends; the final labels

@@ -310,7 +310,7 @@ object Staging {
     val fs = fsOf(spark, root)
     if (!fs.exists(commitMarker(root, v)))
       throw new java.io.IOException(s"snapshot $v of $root is not committed (or was GC'd)")
-    spark.read.parquet(snapDir(root, v))
+    readLayerDir(spark, snapDir(root, v))
   }
 
   /** S6 MERGE with snapshot isolation: dedup-merge `incoming` into the
@@ -487,13 +487,45 @@ object Staging {
     dirs.exists(d => fs.exists(new org.apache.hadoop.fs.Path(s"$d/$layer")))
   }
 
+  /** Per-(root, layer) schema cache for chain/snapshot reads (round-16):
+    * a schema-less `spark.read.parquet(dir)` pays footer-inference work —
+    * including a Spark job — on EVERY call, and chain readers re-read
+    * layers many times per query (guard + body + compaction + query
+    * read). Every version of one root's layer is written by the same
+    * writer with one schema (the S6v protocol), so the first inference
+    * is authoritative for the root's lifetime in this process; only
+    * metadata is cached, never data. Keyed by (chain root, layer): the
+    * snap_ component is stripped so all versions share the entry, and
+    * roots are nonce-unique per process (ArtifactRoots), so a new build
+    * of the same dataset reuses the same schema by construction.
+    */
+  private val layerSchemas =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  private def snapRootOf(dir: String): String = {
+    val i = dir.lastIndexOf("/snap_")
+    if (i > 0) dir.take(i) + dir.drop(i).replaceAll("^/snap_[0-9]+", "")
+    else dir
+  }
+
+  private[graft] def readLayerDir(spark: SparkSession, dir: String): DataFrame = {
+    val key = snapRootOf(dir)
+    val cached = layerSchemas.get(key)
+    if (cached != null) spark.read.schema(cached).parquet(dir)
+    else {
+      val df = spark.read.parquet(dir)
+      layerSchemas.put(key, df.schema)
+      df
+    }
+  }
+
   /** [[readChain]] against a pinned dir list. */
   def readChainIn(spark: SparkSession, dirs: Seq[String], layer: String): DataFrame =
-    layerDirsIn(spark, dirs, layer).map(spark.read.parquet(_)).reduce(_ unionByName _)
+    layerDirsIn(spark, dirs, layer).map(readLayerDir(spark, _)).reduce(_ unionByName _)
 
   /** [[readChainLatest]] against a pinned dir list. */
   def readChainLatestIn(spark: SparkSession, dirs: Seq[String], layer: String): DataFrame =
-    spark.read.parquet(layerDirsIn(spark, dirs, layer).last)
+    readLayerDir(spark, layerDirsIn(spark, dirs, layer).last)
 
   /** Append-shaped layer read: the union of `layer` across every chain
     * dir that carries it (the full base + each delta batch). Dirs are
