@@ -1345,15 +1345,21 @@ object Embeddings {
     // cand0 feeds the seed scoring + the anti-join, scored0 feeds adj0's
     // top-out + the final top-out (the memoized seed scores), adj0 feeds
     // three consumers (both sides of the NN-descent self-join + the
-    // final union) — each must run once, not per consumer. Round-16 form:
-    // LAZY local checkpoints (localCheckpoint(eager = false)) — the same
-    // LogicalRDD leaf and lineage truncation as the old eager form, but
-    // block materialization happens inside the ONE final `adj` checkpoint
-    // job instead of three extra eager job round-trips. All three are
-    // dead once `adj` materializes and are freed before returning.
+    // final union) — each must run once, not per consumer. Round-17 form
+    // (fixing the round-16 all-lazy regression): cand0/scored0 stay LAZY
+    // leaves, but adj0 is EAGER — its one checkpoint job walks the
+    // single-consumer chain cand0 → scored0 → adj0 and persists all
+    // three exactly once. Under the round-16 all-lazy form the final
+    // `adj` job requested cand0 from 2 subtrees, scored0 from 2 and adj0
+    // from 3 CONCURRENTLY, so partitions were computed repeatedly before
+    // their blocks landed (the driver-observed "Block already exists"
+    // BlockManager warnings; ProbeJobs measured 51 s of task time for a
+    // 2000-vector build). Two jobs total, zero duplicate compute: the
+    // guide §2.4/§5 trade — one extra action buys run-once semantics for
+    // every multi-consumer frame.
     val cand0 = srpCandidates(e).localCheckpoint(false)
     val scored0 = scorePairs(cand0).localCheckpoint(false)
-    val adj0 = topOut(scored0).localCheckpoint(false)
+    val adj0 = topOut(scored0).localCheckpoint()
     val non = adj0.as("a").join(adj0.as("b"),
         $"a.dst" === $"b.src" && $"a.src" =!= $"b.dst")
       .select(least($"a.src", $"b.dst").as("va"),
@@ -1405,15 +1411,33 @@ object Embeddings {
       .localCheckpoint(false)
     val rounds = scala.collection.mutable.ArrayBuffer[DataFrame](beam)
     for (r <- 1 to 4) {
+      // Round-17 note: an explicit-broadcast variant of this loop
+      // (broadcast(beam) probing adj, broadcast(cand) probing e) was
+      // A/B-measured and REVERTED — it cut emb_nsw_topk 3.71→2.93 s but
+      // regressed the insert-time callers (append/compact/mv each run
+      // many beam searches, and each broadcast build is a synchronous
+      // driver round-trip), a net −1 s across the NSW family. At
+      // production scale the ≥1 GiB Tuning branch runs AQE, which
+      // converts these tiny-side SMJs to broadcast joins from runtime
+      // stats without the driver sync. Two row-17 tweaks kept from that
+      // experiment, both result-identical:
+      //  - no distinct on cand: duplicate (qid, cid) expansions score
+      //    the same deterministic sim and collapse in the post-union
+      //    distinct below — one dedup exchange per round, not two;
+      //  - repartition($"qid") before the distinct: qid is a subset of
+      //    every later clustering key, so the distinct, the beam window
+      //    AND the next round's window all reuse this ONE exchange
+      //    (guide §2.4 "two operations keyed the same way share one
+      //    exchange").
       val cand = beam.select($"qid", $"cid".as("src"))
         .join(adj, Seq("src"))
-        .select($"qid", $"dst".as("cid")).distinct()
+        .select($"qid", $"dst".as("cid"))
       val scored = cand
         .join(e.select($"vec_id".as("cid"), $"v".as("cv"), $"nrm".as("cn")), Seq("cid"))
         .join(q, Seq("qid"))
         .withColumn("sim", round(dot($"qv", $"cv") / ($"qn" * $"cn"), 6))
         .select($"qid", $"cid", $"sim")
-      val next = beam.unionByName(scored).distinct()
+      val next = beam.unionByName(scored).repartition($"qid").distinct()
         .withColumn("rk", row_number().over(wBeam))
         .filter($"rk" <= 8)
         .select($"qid", $"cid", $"sim")
@@ -2166,18 +2190,30 @@ object Embeddings {
     val encoded = e.filter($"vec_id" >= 5)
       .withColumn("codes", codesCol($"v", centsSeq))
       .select($"vec_id".as("cid"), $"codes")
-    // ADC tables: per query, the subspace dot against EVERY codeword
-    // (m × k doubles), keyed by (subspace, cell)
+    // ADC tables: per query, the subspace dot against EVERY codeword —
+    // round-17 form: a DENSE (s, cell)-indexed array (td[s*k + cell]),
+    // built once per query row (m·k slots, ≤1 dot each; missing cells —
+    // a codebook can shrink — hold null structs no code ever references),
+    // so the per-CANDIDATE lookup below is O(1) positional indexing
+    // instead of the old filter()-lambda scan of all m·k structs per
+    // code (O(m²k) interpreted work per candidate row).
     val q = e.filter($"vec_id" < 5).join(cs)
       .select($"vec_id".as("qid"), $"nrm".as("qn"),
-        expr(s"transform(cs, c -> struct(c.s AS s, c.cell AS cell, graft_dot(slice(v, c.s * $PqSub + 1, $PqSub), c.cv) AS d, c.cn AS cn))").as("t"))
-    // stage 1 — ADC shortlist: m table lookups per candidate, map-side
-    // bounded top-25 per query
+        expr(s"""transform(sequence(0, ${PqM * PqK - 1}), i ->
+          transform(filter(cs, c -> c.s = i div $PqK AND c.cell = i % $PqK),
+            c -> struct(graft_dot(slice(v, c.s * $PqSub + 1, $PqSub), c.cv) AS d, c.cn AS cn))[0])""").as("td"))
+    // stage 1 — ADC shortlist: m POSITIONAL table lookups per candidate
+    // (td[s*k + codes[s]] — GetArrayItem/GetStructField, whole-stage
+    // codegen, no higher-order lambdas in the candidate loop), map-side
+    // bounded top-25 per query. The fold order (and the 0.0 seed) of the
+    // old aggregate() is reproduced term by term, so apx is bit-identical.
+    val dSum = (lit(0.0d) +: (0 until PqM).map(s =>
+      expr(s"td[$s * $PqK + codes[$s]].d"))).reduce(_ + _)
+    val cnSum = (lit(0.0d) +: (0 until PqM).map { s =>
+      val cn = expr(s"td[$s * $PqK + codes[$s]].cn"); cn * cn
+    }).reduce(_ + _)
     val shortlist = encoded.join(broadcast(q))
-      .withColumn("ps", expr("transform(codes, (code, s) -> filter(t, c -> c.s = s AND c.cell = code)[0])"))
-      .withColumn("apx", round(
-        expr("aggregate(ps, CAST(0.0 AS DOUBLE), (acc, p) -> acc + p.d)")
-          / ($"qn" * sqrt(expr("aggregate(ps, CAST(0.0 AS DOUBLE), (acc, p) -> acc + p.cn * p.cn)"))), 6))
+      .withColumn("apx", round(dSum / ($"qn" * sqrt(cnSum)), 6))
       .groupBy($"qid")
       .agg(shortk($"cid", $"codes", $"apx").as("top"))
       .select($"qid", explode($"top").as("sc"))
@@ -2333,15 +2369,26 @@ object Embeddings {
       .withColumn("prn", row_number().over(wProbe))
       .filter($"prn" <= 3)
       .select($"qid", $"cell")
+    // the pqTopK round-17 ADC shape: dense (s, cell)-indexed query table,
+    // O(1) positional lookups in the candidate loop (codegen — no
+    // higher-order lambdas per candidate), fold order preserved term by
+    // term so apx is bit-identical
     val qt = q.join(cs)
       .select($"vec_id".as("qid"), $"nrm".as("qn"),
-        expr(s"transform(cs, c -> struct(c.s AS s, c.cell AS cell, graft_dot(slice(v, c.s * $PqSub + 1, $PqSub), c.cv) AS d, c.cn AS cn))").as("t"))
-    val shortlist = inverted.join(probes, Seq("cell"))
+        expr(s"""transform(sequence(0, ${PqM * PqK - 1}), i ->
+          transform(filter(cs, c -> c.s = i div $PqK AND c.cell = i % $PqK),
+            c -> struct(graft_dot(slice(v, c.s * $PqSub + 1, $PqSub), c.cv) AS d, c.cn AS cn))[0])""").as("td"))
+    val dSum = (lit(0.0d) +: (0 until PqM).map(s =>
+      expr(s"td[$s * $PqK + codes[$s]].d"))).reduce(_ + _)
+    val cnSum = (lit(0.0d) +: (0 until PqM).map { s =>
+      val cn = expr(s"td[$s * $PqK + codes[$s]].cn"); cn * cn
+    }).reduce(_ + _)
+    // probes is (n_queries × nprobe) rows — broadcast it so the inverted
+    // file (corpus-sized at scale) is never exchanged for the cell
+    // restriction (guide §3.1)
+    val shortlist = inverted.join(broadcast(probes), Seq("cell"))
       .join(broadcast(qt), Seq("qid"))
-      .withColumn("ps", expr("transform(codes, (code, s) -> filter(t, c -> c.s = s AND c.cell = code)[0])"))
-      .withColumn("apx", round(
-        expr("aggregate(ps, CAST(0.0 AS DOUBLE), (acc, p) -> acc + p.d)")
-          / ($"qn" * sqrt(expr("aggregate(ps, CAST(0.0 AS DOUBLE), (acc, p) -> acc + p.cn * p.cn)"))), 6))
+      .withColumn("apx", round(dSum / ($"qn" * sqrt(cnSum)), 6))
       .groupBy($"qid")
       .agg(shortk($"cid", $"codes", $"apx").as("top"))
       .select($"qid", explode($"top").as("sc"))

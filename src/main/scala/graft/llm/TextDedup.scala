@@ -654,13 +654,25 @@ object TextDedup {
         .unionByName(verifiedPairs(candBB, bsh, bsh, bszs, bszs))
         .localCheckpoint() // consumed by the pairs write AND the relabel CC
       try {
-        // relabel input: old labels as star edges (root → member; roots
-        // reconnect through their members' edges) ∪ the new pairs —
-        // iteration state is (labels + new-pairs)-sized, and existing
-        // components merge correctly when a batch doc bridges them
-        val star = graft.weather.Staging.readChainLatestIn(spark, dirs, "labels")
-          .filter($"component" =!= $"doc_id")
-          .select($"component".as("doc_a"), $"doc_id".as("doc_b"))
+        // relabel input (round-17, guide §2.3 shuffle-fewer-bytes applied
+        // to the CC iteration): run CC over the ROOT graph only — each new
+        // pair mapped to its endpoints' old component roots (self, when
+        // unlabeled) — then re-point members with ONE join, instead of
+        // feeding CC one star edge per already-labeled doc ∪ the new
+        // pairs. Equivalence: a member's only connectivity is through its
+        // root, so root-level reachability IS full reachability; an old
+        // root is its component's min doc_id, so min-over-roots = min doc
+        // of the merged component, and an unmerged root's label is
+        // itself (the left-join coalesce). The output row set is
+        // unchanged: every old-labeled doc (membership's first branch —
+        // labels components always have ≥2 members, so every labeled doc
+        // appeared in a star edge before) ∪ every new-pair doc (second
+        // branch). Iteration state shrinks from (all labeled docs +
+        // pairs) to (touched roots + batch docs) — at 100 TB the
+        // difference between corpus-sized and merge-frontier-sized CC
+        // rounds; root self-loops (a pair internal to one old component)
+        // add no connectivity and are dropped before the loop.
+        val oldLbl = graft.weather.Staging.readChainLatestIn(spark, dirs, "labels")
         // ONE delta version carries the batch's sigs/sizes/pairs/batchdocs
         // increments plus the full relabel; the commit marker is the
         // atomic point — a failure anywhere in here leaves no marker, the
@@ -680,11 +692,31 @@ object TextDedup {
             () => batch.select($"doc_id", $"text")
               .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
               .write.mode("overwrite").parquet(s"$p/batchdocs"),
-            () => graft.ops.Graph.connectedComponents(
-                star.unionByName(newPairs.select($"doc_a", $"doc_b")))
-              .select($"node".as("doc_id"), $"component")
-              .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
-              .write.mode("overwrite").parquet(s"$p/labels"),
+            () => {
+              val np = newPairs.select($"doc_a", $"doc_b")
+              val rp = np
+                .join(oldLbl.select($"doc_id".as("doc_a"), $"component".as("ra")),
+                  Seq("doc_a"), "left")
+                .join(oldLbl.select($"doc_id".as("doc_b"), $"component".as("rb")),
+                  Seq("doc_b"), "left")
+                .select(coalesce($"ra", $"doc_a").as("u"), coalesce($"rb", $"doc_b").as("v"))
+                .filter($"u" =!= $"v")
+              val merged = graft.ops.Graph.connectedComponents(rp)
+                .select($"node".as("root"), $"component".as("mc"))
+              // re-point: old members via their root (left join — unmerged
+              // components keep their label); docs NEW to the label set are
+              // exactly merged's nodes absent from the old labels (every
+              // new-pair doc reaches CC as its own root, and old roots all
+              // have a labels row), so one anti-join recovers them
+              val relabeled = oldLbl.select($"doc_id", $"component".as("root"))
+                .join(merged, Seq("root"), "left")
+                .select($"doc_id", coalesce($"mc", $"root").as("component"))
+              val newDocLbl = merged.select($"root".as("doc_id"), $"mc".as("component"))
+                .join(oldLbl.select($"doc_id"), Seq("doc_id"), "left_anti")
+              relabeled.unionByName(newDocLbl)
+                .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
+                .write.mode("overwrite").parquet(s"$p/labels")
+            },
             // bloom over ALL batch ids (matching the batchdocs layer, so a
             // replayed <3-word doc is flagged too — the short-doc hole)
             () => graft.ops.IdBloom.write(spark, p, batch.select($"doc_id"), "doc_id"))
@@ -1025,20 +1057,40 @@ object TextDedup {
     // the rep star; cross-sig connectivity needs a shared band chunk and
     // hamming ≤ 3, the exact pairwise condition — and the certifying
     // oracle still derives them from the full pairwise listing.
-    val sig = graft.ops.ScopedCache.untilConsumed(simhashSigs(spark, dir))
-    val reps = sig.groupBy($"sig").agg(min($"doc_id").as("rep"))
-    val stars = sig.join(reps, Seq("sig"))
-      .filter($"doc_id" =!= $"rep")
-      .select($"rep".as("doc_a"), $"doc_id".as("doc_b"))
+    // Round-17 (guide §2.3 "shuffle fewer bytes" applied to the CC
+    // iteration state): run CC over the REP graph only and attach members
+    // by ONE join afterwards, instead of feeding CC the rep pairs ∪ one
+    // star edge per member. Equivalence: a member's only edge is the star
+    // to its rep, so rep-level reachability IS full-graph reachability,
+    // and a component's min doc_id is always a rep (each rep is its
+    // group's min), hence member label = coalesce(ccLabel(rep), rep) —
+    // identical to CC over the full edge set. Node-set bookkeeping: the
+    // old CC emitted exactly the docs appearing in ≥1 edge = members of
+    // size-≥2 sig groups (via stars) ∪ reps with a rep pair; the filter
+    // below reproduces that set. Iteration state shrinks from (docs) to
+    // (distinct signatures) — at dup-heavy corpora the whole point of the
+    // signature compression — and each CC round's join moves rep rows
+    // only. sig is cached through BOTH its consumers (grp feeds CC's
+    // input jobs; the member join runs in the final action) via
+    // untilResultConsumed — untilConsumed would release after CC's first
+    // convergence action and the final join would recompute the
+    // signature aggregation from scratch.
+    val sig = simhashSigs(spark, dir).cache()
+    val grp = sig.groupBy($"sig").agg(min($"doc_id").as("rep"), count(lit(1)).as("n"))
     val repPairs = simhashBandJoin(
-      simhashBands(reps.select($"rep".as("doc_id"), $"sig")))
+      simhashBands(grp.select($"rep".as("doc_id"), $"sig")))
       .select($"doc_a", $"doc_b")
-    graft.ops.Graph.connectedComponents(repPairs.unionByName(stars))
-      .select($"node".as("doc_id"), $"component".as("lbl"))
+    val ccRep = graft.ops.Graph.connectedComponents(repPairs)
+      .select($"node".as("rep"), $"component")
+    val out = sig.join(grp, Seq("sig"))
+      .join(ccRep, Seq("rep"), "left")
+      .filter($"n" >= 2 || $"component".isNotNull)
+      .select($"doc_id", coalesce($"component", $"rep").as("lbl"))
       .groupBy($"lbl".as("cluster_root"))
       .agg(count(lit(1)).as("n_members"), max($"doc_id").as("max_doc"))
       .filter($"n_members" >= 2)
       .orderBy($"cluster_root")
+    graft.ops.ScopedCache.untilResultConsumed(sig, out)
   }
 
   val simhashSql: String =

@@ -62,8 +62,23 @@ object Tuning {
 
   /** Bytes-derived shuffle-partition count:
     *  - small inputs: ceil(bytes / 2 MiB), clamped to [4, 4·cpus] — at
-    *    sf0.1 that is 8 partitions (measured sweet spot), at sf0.01 the
-    *    floor of 4 keeps a parallelism margin;
+    *    sf0.1 that is ~9 partitions (measured sweet spot), at sf0.01 the
+    *    floor of 4 keeps a parallelism margin. A round-17 CORE-AWARE
+    *    variant (floor raised from 4 to `cpus`, answering the round-16
+    *    `suspect_cpus_ignored` scaling probe) was A/B-measured and
+    *    REJECTED: with 32 vs 9 partitions at sf0.1 the SAME tree ran
+    *    llm_simhash_clusters 7.35 s vs 4.53 s, emb_nsw_mv 4.55 vs 3.64,
+    *    emb_nsw_topk 4.66 vs 3.55 (subset bench, best-of-3, same box,
+    *    minutes apart — OPTIMIZATION_r17.md §tuning). Sub-GiB shuffle
+    *    stages are per-task-fixed-cost-bound, so extra width only adds
+    *    scheduling latency — and it cannot fix the scaling probe either:
+    *    an 8-core session would use max(8, 9)=9 partitions while the
+    *    32-core one uses 32 slower-in-absolute partitions, driving the
+    *    8/32 ratio BELOW 1. The ≈1.0 core-scaling ratios at sf0.1 are a
+    *    property of the data scale (69 MiB of parquet: nothing to
+    *    parallelize past ~9 shuffle tasks), not of the formula — the
+    *    large branch below explicitly grows with both bytes and cores,
+    *    and SPARK_GRAFT_SHUFFLE_PARTS stays the experiment override.
     *  - large (or unmeasurable) inputs: max(2·cpus, bytes / 64 MiB)
     *    capped at 2048 — AQE (on at this scale) coalesces the excess, so
     *    the constant only needs to be an upper bound on useful fan-out
