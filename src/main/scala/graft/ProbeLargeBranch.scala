@@ -32,12 +32,12 @@ object ProbeLargeBranch {
     val dir = sys.env.getOrElse("SPARK_GRAFT_LARGE_DIR", "/tmp/graft_large")
     val src = "/root/testdata/sf0.1"
 
-    def session(parts: Int, aqe: Boolean): SparkSession = {
+    def session(parts: Int, aqe: Boolean, parallelismFirst: Boolean = false): SparkSession = {
       val s = SparkSession.builder().master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", parts.toString)
         .config("spark.sql.adaptive.enabled", aqe.toString)
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128m")
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", parallelismFirst.toString)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.extensions", "graft.GraftExtensions")
         .config("spark.ui.enabled", "false")
@@ -84,8 +84,8 @@ object ProbeLargeBranch {
     val queries = Seq("sql_tpch_q3", "sql_tpch_q18", "sql_tpch_q21",
       "w1_latest_per_key", "ev_session", "ta_tfidf")
 
-    def run(label: String, parts: Int, aqe: Boolean): Unit = {
-      val s = session(parts, aqe)
+    def run(label: String, parts: Int, aqe: Boolean, parallelismFirst: Boolean = false): Unit = {
+      val s = session(parts, aqe, parallelismFirst)
       try {
         println(f"[config $label] partitions=$parts aqe=$aqe")
         queries.foreach { name =>
@@ -108,7 +108,17 @@ object ProbeLargeBranch {
       } finally s.stop()
     }
 
-    run("A-auto-large", autoParts, autoAqe)
-    run("B-forced-sandbox", 9, aqe = false)
+    // selectable config list, e.g. SPARK_GRAFT_LARGE_CONFIGS=A2 to add a
+    // single variant to an already-measured window
+    val configs: Map[String, () => Unit] = Map(
+      "A" -> (() => run("A-auto-large", autoParts, autoAqe)),
+      // A with Spark's DEFAULT parallelismFirst=true: AQE coalescing never
+      // drops below the session parallelism — the window-1 probe showed
+      // parallelismFirst=false coalescing ev_session's ~0.5 GB window
+      // shuffle to a handful of 128m partitions, starving 32 cores 3×
+      "A2" -> (() => run("A2-auto-large-pfTrue", autoParts, autoAqe, parallelismFirst = true)),
+      "B" -> (() => run("B-forced-sandbox", 9, aqe = false)))
+    sys.env.getOrElse("SPARK_GRAFT_LARGE_CONFIGS", "A,A2,B").split(",").map(_.trim)
+      .foreach(c => configs(c)())
   }
 }

@@ -101,6 +101,33 @@ object Tuning {
       .config("spark.sql.adaptive.enabled", adaptiveEnabled(bytes).toString)
       // when AQE is on (large inputs) aim reducers at the guide §2.2 band
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128m")
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // parallelismFirst stays at Spark's DEFAULT (true): the round-16
+      // value (false) let AQE coalesce a ~0.5 GB window shuffle into a
+      // handful of 128m partitions and starve a 32-core box — measured on
+      // the ≥-threshold probe dataset (ProbeLargeBranch, 0.9 GiB, two
+      // windows): ev_session 56/41 s with false vs 20.9 s with true,
+      // sql_tpch_q18 26.1/18.0 vs 14.8, q21 13.0/10.7 vs 8.9
+      // (OPTIMIZATION_r17.md §large-branch). With true, coalescing still
+      // merges tiny partitions but never below the session parallelism —
+      // the §2.2 target only binds when partitions ≫ cores, which is the
+      // regime where 128m-sized reducers matter anyway.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
+      // preferSortMergeJoin stays at Spark's default: the r17 A/B
+      // (OPTIMIZATION_r17.md §joins) showed allowing shuffled-hash was
+      // within noise on this suite, and SMJ's graceful spill is the safer
+      // production default.
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "true"))
+      // Broadcast threshold stays at Spark's 10 MB default. A 64 MB
+      // small-branch value first measured 1.13× faster on the join-heavy
+      // subset — then the committed plan dumps showed the plans are
+      // IDENTICAL at both thresholds (every broadcastable side already
+      // broadcasts at 10 MB at these sizes), so the "win" was pure
+      // box-drift between sequential runs and was reverted
+      // (OPTIMIZATION_r17.md §joins; the reason every accepted change in
+      // r17 needs plan evidence, not just a timing delta).
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BROADCAST_THRESHOLD", "10485760"))
   }
 }
