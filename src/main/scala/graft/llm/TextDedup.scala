@@ -469,11 +469,21 @@ object TextDedup {
         // are what appendPairGraphMv probes, so an append never re-shingles
         // the resident corpus (the L8 asymmetric-index discipline). The
         // index is (band, sig)-clustered — the probe join's key.
-        // The four independent write chains overlap on the driver pool
-        // (guide §2.6, r16): sigs ∥ sizes ∥ bloom ∥ (pairs → labels) —
-        // only labels orders after pairs (CC reads the written artifact,
-        // so its lineage roots there; committing both in ONE version
-        // keeps labels-vs-pairs consistency a single-marker fact).
+        // The four top-level chains overlap on the driver pool (guide
+        // §2.6, r16): sigs ∥ sizes ∥ bloom ∥ the pair chain. Round-17
+        // change INSIDE the pair chain: the r16 form serialized labels
+        // after the pairs WRITE (CC re-read the written parquet, so the
+        // chain was verify → write → CC rounds → labels write, end to
+        // end). Now the verified pair set is materialized ONCE as an
+        // eager checkpoint — the same lineage truncation the artifact
+        // read-back gave (CC's iteration plans against a LogicalRDD
+        // leaf, never the shingle pipeline) — and the pairs write and
+        // the CC→labels chain consume the persisted blocks in PARALLEL
+        // (nested Par.all), exactly the shape the append path already
+        // uses (newPairs ckpt → pairs write ∥ relabel). Both layers
+        // still commit in the ONE snapshot version, so labels-vs-pairs
+        // consistency stays a single-marker fact; the checkpoint is
+        // freed on every exit including publish failure.
         graft.ops.Par.all(
           () => sig.repartition(4, $"band", $"sig").sortWithinPartitions($"band", $"sig")
             .write.mode("overwrite").parquet(s"$p/sigs"),
@@ -487,14 +497,16 @@ object TextDedup {
             val cand = sig.as("a").join(sig.as("b"),
                 $"a.band" === $"b.band" && $"a.sig" === $"b.sig" && $"a.doc_id" < $"b.doc_id")
               .select($"a.doc_id".as("da"), $"b.doc_id".as("db")).distinct()
-            verifiedPairs(cand, sh, sh, szs, szs)
-              .repartition(4, $"doc_a").sortWithinPartitions($"doc_a", $"doc_b")
-              .write.mode("overwrite").parquet(s"$p/pairs")
-            graft.ops.Graph.connectedComponents(
-                spark.read.parquet(s"$p/pairs").select($"doc_a", $"doc_b"))
-              .select($"node".as("doc_id"), $"component")
-              .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
-              .write.mode("overwrite").parquet(s"$p/labels")
+            val vp = verifiedPairs(cand, sh, sh, szs, szs).localCheckpoint()
+            try {
+              graft.ops.Par.all(
+                () => vp.repartition(4, $"doc_a").sortWithinPartitions($"doc_a", $"doc_b")
+                  .write.mode("overwrite").parquet(s"$p/pairs"),
+                () => graft.ops.Graph.connectedComponents(vp.select($"doc_a", $"doc_b"))
+                  .select($"node".as("doc_id"), $"component")
+                  .repartition(4, $"doc_id").sortWithinPartitions($"doc_id")
+                  .write.mode("overwrite").parquet(s"$p/labels"))
+            } finally graft.ops.Ckpt.free(vp)
           })
       }
     } finally { sh.unpersist(false); () }
